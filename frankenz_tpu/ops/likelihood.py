@@ -1,0 +1,341 @@
+"""
+Photometric log-likelihood kernels (batched, TPU-first).
+
+Reference semantics: `frankenz/pdf.py:27-411` (`_loglike`, `_loglike_s`,
+`loglike`, `logprob`).  The reference computes one datum against all models
+per call inside a Python loop over objects; here every function is batched
+over objects from the start — shapes ``(Nobj, Nfilt) x (Nmodel, Nfilt) ->
+(Nobj, Nmodel)`` — and is jit/vmap/shard_map friendly (pure functions, no
+mutation, static flags).
+
+Math contract (must match the reference to <=1e-6 relative):
+
+* combined mask ``tot_mask = data_mask * models_mask``; total variance
+  ``sigma_d^2 + sigma_m^2`` (or ``sigma_d^2`` alone when
+  ``ignore_model_err``)  [pdf.py:76-87]
+* ``dim_prior=True`` replaces the Normal logpdf with the chi^2-distribution
+  logpdf with dof = Ndim (fixed scale) or Ndim-1 (free scale)
+  [pdf.py:90-93, 226-229]
+* free-scale ML solution ``s = (sum m d / var) / (sum m^2 / var)`` with the
+  *frozen-numerator* fixed-point iteration: the masked numerators
+  ``m*d`` and ``m^2`` are computed once with the initial variance's mask and
+  never rebuilt, only re-divided by the updated variance
+  ``sigma_d^2 + (s*sigma_m)^2``  [pdf.py:180-223]
+* the Normal logpdf's ``sum(log tot_var)`` term sums over *all* filters,
+  not just masked ones  [pdf.py:97-98]
+* ``loglike`` treats non-finite / non-positive-error bands as masked with
+  value 0 and error 1  [pdf.py:310-311]
+
+Design notes (TPU):
+
+* The general masked chi^2 has a per-(object, model, filter) variance, which
+  breaks a clean matmul decomposition.  Nfilt is tiny (5-30), so the exact
+  path reduces over filters with an unrolled loop of rank-1 outer updates —
+  XLA fuses this into a single elementwise pipeline over the (Nobj, Nmodel)
+  tile and never materializes (Nobj, Nmodel, Nfilt).
+* When ``ignore_model_err=True`` the variance depends only on the datum and
+  chi^2 decomposes into three matmuls ``(Nobj, 3*Nfilt) @ (3*Nfilt,
+  Nmodel)`` that run on the MXU — see `frankenz_tpu.ops.chi2` for that fast
+  path and the fused Pallas pipeline.  This module is the exact
+  reference-parity path and the building block for everything else.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import gammaln, xlogy
+
+__all__ = [
+    "LoglikeResult",
+    "LogprobResult",
+    "loglike",
+    "loglike_fixed",
+    "loglike_free",
+    "logprob",
+    "clean_data",
+]
+
+_LOG_2PI = 1.8378770664093453  # log(2*pi)
+_LOG_2 = 0.6931471805599453  # log(2)
+
+
+class LoglikeResult(NamedTuple):
+    """Output of the likelihood kernels, batched over objects.
+
+    All fields have shape (Nobj, Nmodel); `scale`/`scale_err` are None
+    unless the free-scale path produced them.
+    """
+
+    lnlike: jax.Array
+    ndim: jax.Array
+    chi2: jax.Array
+    scale: jax.Array | None = None
+    scale_err: jax.Array | None = None
+
+
+class LogprobResult(NamedTuple):
+    """Output of `logprob` — the fitting-layer contract.
+
+    Mirrors the 5/7-tuple returned by the reference `pdf.logprob`
+    (pdf.py:404-411): (lnprior, lnlike, lnprob, ndim, chi2[, scale,
+    scale_err]).
+    """
+
+    lnprior: jax.Array
+    lnlike: jax.Array
+    lnprob: jax.Array
+    ndim: jax.Array
+    chi2: jax.Array
+    scale: jax.Array | None = None
+    scale_err: jax.Array | None = None
+
+
+def _atleast_2d(*arrays):
+    """Promote (Nfilt,) single-object inputs to (1, Nfilt)."""
+    return tuple(a if a.ndim == 2 else a[None, :] for a in arrays)
+
+
+def _f(x):
+    return jnp.asarray(x, dtype=jnp.result_type(jnp.asarray(x).dtype, jnp.float32))
+
+
+def _chi2_dim_logpdf(a, chi2):
+    """logpdf of the chi^2 distribution with dof 2*a evaluated at chi2.
+
+    Matches the reference's dimensionality prior (pdf.py:90-93):
+    ``xlogy(a - 1, chi2) - chi2/2 - gammaln(a) - a*log(2)``.
+    """
+    return xlogy(a - 1.0, chi2) - 0.5 * chi2 - gammaln(a) - _LOG_2 * a
+
+
+def _filter_reduce(d, de, dm, m, me, mm, *, ignore_model_err, need_logvar,
+                   scale=None):
+    """Reduce chi^2 (and optionally sum-log-variance) over the filter axis.
+
+    Unrolled rank-1 outer updates over Nfilt: each step broadcasts a
+    (Nobj, 1) column against a (1, Nmodel) row, so the working set is a
+    single (Nobj, Nmodel) tile per accumulator and XLA fuses the whole
+    pipeline — (Nobj, Nmodel, Nfilt) is never materialized.
+
+    `scale` (Nobj, Nmodel), if given, rescales the models (free-scale chi^2
+    with variance sigma_d^2 + (scale*sigma_m)^2 when model errors are kept).
+    """
+    nfilt = d.shape[1]
+    dt = jnp.result_type(d.dtype, m.dtype)
+    nobj, nmodel = d.shape[0], m.shape[0]
+    chi2 = jnp.zeros((nobj, nmodel), dt)
+    logvar = jnp.zeros((nobj, nmodel), dt) if need_logvar else None
+    for k in range(nfilt):
+        dk = d[:, k:k + 1]
+        dek = de[:, k:k + 1]
+        mek = me[None, :, k]
+        mask = dm[:, k:k + 1] * mm[None, :, k]
+        if ignore_model_err:
+            var = dek * dek + jnp.zeros((1, nmodel), dt)
+        elif scale is None:
+            var = dek * dek + mek * mek
+        else:
+            smek = scale * me[None, :, k]
+            var = dek * dek + smek * smek
+        if scale is None:
+            resid = dk - m[None, :, k]
+        else:
+            resid = dk - scale * m[None, :, k]
+        chi2 = chi2 + mask * resid * resid / var
+        if need_logvar:
+            # Reference sums log(tot_var) over *all* filters (pdf.py:97-98),
+            # masked or not.
+            logvar = logvar + jnp.log(var)
+    return chi2, logvar
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("clean", "ignore_model_err", "dim_prior"))
+def _loglike_fixed_jit(data, data_err, data_mask, models, models_err,
+                       models_mask, *, clean=False, ignore_model_err=False,
+                       dim_prior=True):
+    d, de, dm = _atleast_2d(_f(data), _f(data_err), _f(data_mask))
+    m, me, mm = _f(models), _f(models_err), _f(models_mask)
+    if clean:
+        d, de, dm = clean_data(d, de, dm)
+
+    ndim = dm @ mm.T  # Ndim = sum of combined mask (exact: 0/1 entries)
+    chi2, logvar = _filter_reduce(
+        d, de, dm, m, me, mm,
+        ignore_model_err=ignore_model_err, need_logvar=not dim_prior)
+    if dim_prior:
+        lnl = _chi2_dim_logpdf(0.5 * ndim, chi2)
+    else:
+        lnl = -0.5 * chi2 - 0.5 * (ndim * _LOG_2PI + logvar)
+    return LoglikeResult(lnl, ndim, chi2)
+
+
+def loglike_fixed(data, data_err, data_mask, models, models_err, models_mask,
+                  *, ignore_model_err=False, dim_prior=True):
+    """Fixed-scale log-likelihood, batched over objects (jitted).
+
+    Reference: `frankenz/pdf.py:27-100` (`_loglike`).
+
+    Parameters have shapes (Nobj, Nfilt) for the data triplet and
+    (Nmodel, Nfilt) for the model triplet; (Nfilt,) data is auto-promoted.
+    Returns a `LoglikeResult` of (Nobj, Nmodel) arrays.
+    """
+    return _loglike_fixed_jit(data, data_err, data_mask, models, models_err,
+                              models_mask, ignore_model_err=ignore_model_err,
+                              dim_prior=dim_prior)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("clean", "ignore_model_err", "dim_prior",
+                                    "return_scale"))
+def _loglike_free_jit(data, data_err, data_mask, models, models_err,
+                      models_mask, *, clean=False, ignore_model_err=False,
+                      dim_prior=True, ltol=1e-3, return_scale=False,
+                      max_iter=100):
+    d, de, dm = _atleast_2d(_f(data), _f(data_err), _f(data_mask))
+    m, me, mm = _f(models), _f(models_err), _f(models_mask)
+    if clean:
+        d, de, dm = clean_data(d, de, dm)
+    dt = jnp.result_type(d.dtype, m.dtype)
+    nobj, nfilt = d.shape
+    nmodel = m.shape[0]
+
+    ndim = dm @ mm.T
+    mask3 = dm[:, None, :] * mm[None, :, :]  # (Nobj, Nmodel, Nfilt)
+
+    def pairwise_var(scale):
+        """tot_var (Nobj, Nmodel, Nfilt) for a given scale (or None)."""
+        de2 = (de * de)[:, None, :]
+        if ignore_model_err:
+            return de2 + jnp.zeros((1, nmodel, nfilt), dt)
+        if scale is None:
+            return de2 + (me * me)[None, :, :]
+        sme = scale[:, :, None] * me[None, :, :]
+        return de2 + sme * sme
+
+    # Frozen numerators (pdf.py:181-183): built once, reused across
+    # iterations.
+    inter_num = mask3 * m[None, :, :] * d[:, None, :]
+    shape_num = mask3 * (m * m)[None, :, :]
+
+    def solve(var):
+        inter_vals = jnp.sum(inter_num / var, axis=-1)
+        shape_vals = jnp.sum(shape_num / var, axis=-1)
+        return inter_vals / shape_vals, shape_vals
+
+    def chi2_lnl(scale, var):
+        resid = d[:, None, :] - scale[:, :, None] * m[None, :, :]
+        chi2 = jnp.sum(mask3 * resid * resid / var, axis=-1)
+        lnl = -0.5 * chi2 - 0.5 * (ndim * _LOG_2PI
+                                   + jnp.sum(jnp.log(var), axis=-1))
+        return chi2, lnl
+
+    var0 = pairwise_var(None)
+    scale, shape_vals = solve(var0)
+    chi2, lnl = chi2_lnl(scale, var0)
+
+    if not ignore_model_err:
+        def cond(state):
+            _, _, _, _, done, it = state
+            return jnp.logical_and(jnp.any(~done), it < max_iter)
+
+        def body(state):
+            lnl_c, scale_c, chi2_c, shape_c, done, it = state
+            var = pairwise_var(scale_c)
+            scale_n, shape_n = solve(var)
+            chi2_n, lnl_n = chi2_lnl(scale_n, var)
+            # Per-object convergence: max over models (pdf.py:219-220).
+            lerr = jnp.max(jnp.abs(lnl_n - lnl_c), axis=1)
+            keep = done[:, None]
+            lnl_o = jnp.where(keep, lnl_c, lnl_n)
+            scale_o = jnp.where(keep, scale_c, scale_n)
+            chi2_o = jnp.where(keep, chi2_c, chi2_n)
+            shape_o = jnp.where(keep, shape_c, shape_n)
+            done_n = done | (lerr <= ltol)
+            return lnl_o, scale_o, chi2_o, shape_o, done_n, it + 1
+
+        state = (lnl, scale, chi2, shape_vals,
+                 jnp.zeros((nobj,), bool), jnp.asarray(0))
+        lnl, scale, chi2, shape_vals, _, _ = jax.lax.while_loop(
+            cond, body, state)
+
+    if dim_prior:
+        lnl = _chi2_dim_logpdf(0.5 * (ndim - 1.0), chi2)
+
+    if return_scale:
+        scale_err = jnp.sqrt(1.0 / shape_vals)
+        return LoglikeResult(lnl, ndim, chi2, scale, scale_err)
+    return LoglikeResult(lnl, ndim, chi2)
+
+
+def loglike_free(data, data_err, data_mask, models, models_err, models_mask,
+                 *, ignore_model_err=False, dim_prior=True, ltol=1e-3,
+                 return_scale=False, max_iter=100):
+    """Free-scale log-likelihood (models rescaled by the ML factor; jitted).
+
+    Reference: `frankenz/pdf.py:103-235` (`_loglike_s`), including the
+    frozen-numerator fixed-point iteration (pdf.py:197-223): the masked
+    numerators ``m*d/var`` and ``m^2/var`` reuse the *initial* products and
+    only the variance is refreshed with the previous scale.  Iteration stops
+    per object once ``max_m |delta lnl|`` <= ltol; converged objects freeze
+    (bit-for-bit with the reference's early exit) while others continue,
+    bounded by `max_iter` (the reference loop is unbounded; 100 covers any
+    practical ltol).
+    """
+    return _loglike_free_jit(data, data_err, data_mask, models, models_err,
+                             models_mask, ignore_model_err=ignore_model_err,
+                             dim_prior=dim_prior, ltol=ltol,
+                             return_scale=return_scale, max_iter=max_iter)
+
+
+def clean_data(data, data_err, data_mask):
+    """Mask out non-finite / non-positive-error bands.
+
+    Functional version of the reference's in-place sanitization
+    (pdf.py:310-311): bad bands get value 0, error 1, mask 0.
+    """
+    d, de, dm = _f(data), _f(data_err), _f(data_mask)
+    ok = jnp.isfinite(d) & jnp.isfinite(de) & (de > 0.0)
+    return (jnp.where(ok, d, 0.0), jnp.where(ok, de, 1.0),
+            jnp.where(ok, dm, 0.0))
+
+
+def loglike(data, data_err, data_mask, models, models_err, models_mask,
+            free_scale=False, ignore_model_err=False, dim_prior=True,
+            ltol=1e-4, return_scale=False, **kwargs):
+    """Dispatching wrapper with input sanitization.
+
+    Reference: `frankenz/pdf.py:238-323`.  Note the reference forwards its
+    default ``ltol=1e-4`` to `_loglike_s` (whose own default is 1e-3); we
+    match that here.
+    """
+    if free_scale:
+        return _loglike_free_jit(
+            data, data_err, data_mask, models, models_err, models_mask,
+            clean=True, ignore_model_err=ignore_model_err,
+            dim_prior=dim_prior, ltol=ltol, return_scale=return_scale)
+    return _loglike_fixed_jit(
+        data, data_err, data_mask, models, models_err, models_mask,
+        clean=True, ignore_model_err=ignore_model_err, dim_prior=dim_prior)
+
+
+def logprob(data, data_err, data_mask, models, models_err, models_mask,
+            free_scale=False, ignore_model_err=False, dim_prior=True,
+            ltol=1e-4, return_scale=False, **kwargs):
+    """Flat-prior log-posterior — the fitters' default `lprob_func`.
+
+    Reference: `frankenz/pdf.py:326-411`.  lnprior is identically zero and
+    lnprob aliases lnlike; custom priors are added by passing a different
+    `lprob_func` to the fitters (the reference's de-facto plugin API,
+    SURVEY.md section 2.2).
+    """
+    res = loglike(data, data_err, data_mask, models, models_err, models_mask,
+                  free_scale=free_scale, ignore_model_err=ignore_model_err,
+                  dim_prior=dim_prior, ltol=ltol, return_scale=return_scale)
+    lnprior = jnp.zeros_like(res.lnlike)
+    return LogprobResult(lnprior, res.lnlike, res.lnlike, res.ndim, res.chi2,
+                         res.scale, res.scale_err)

@@ -1,0 +1,155 @@
+"""
+PDF post-processing: resampling and summary statistics.
+
+Reference: `frankenz/pdf.py:855-1074` (`pdfs_resample`, `pdfs_summarize`).
+The reference loops over objects for quantiles/confidence/risk
+(pdf.py:993-1001, 1044-1068); here everything is vmapped `jnp.interp` and
+the risk map is a single (Nobj, Ngrid) @ (Ngrid, Ngrid) MXU matmul.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["pdfs_resample", "pdfs_summarize", "PDFSummary", "PointEstimate"]
+
+
+class PointEstimate(NamedTuple):
+    """A point estimator with its quality metrics, each of shape (Nobj,)."""
+
+    point: jax.Array
+    std: jax.Array
+    conf: jax.Array
+    risk: jax.Array
+
+
+class PDFSummary(NamedTuple):
+    """Full output of `pdfs_summarize`.
+
+    Same content as the reference's 6-tuple (pdf.py:1070-1074): four point
+    estimators (mean / median / mode / risk-minimizing "best") with
+    (std, conf, risk) attached, the 95/68% credible bounds, and a Monte
+    Carlo draw from each PDF.
+    """
+
+    mean: PointEstimate
+    median: PointEstimate
+    mode: PointEstimate
+    best: PointEstimate
+    low95: jax.Array
+    low68: jax.Array
+    high68: jax.Array
+    high95: jax.Array
+    mc: jax.Array
+
+
+def pdfs_resample(pdfs, old_grid, new_grid, renormalize=True, left=0.0,
+                  right=0.0):
+    """Linearly resample PDFs onto a new grid (pdf.py:855-896)."""
+    pdfs = jnp.atleast_2d(jnp.asarray(pdfs))
+    old_grid = jnp.asarray(old_grid)
+    new_grid = jnp.asarray(new_grid)
+    new_pdfs = jax.vmap(
+        lambda p: jnp.interp(new_grid, old_grid, p, left=left, right=right)
+    )(pdfs)
+    if renormalize:
+        new_pdfs = new_pdfs / jnp.sum(new_pdfs, axis=1, keepdims=True)
+    return new_pdfs
+
+
+def _default_photoz_kern_grid(pgrid):
+    """Photo-z loss argument grid (z_true - z_guess)/((1+z_true)*0.15).
+
+    Reference default (pdf.py:1004-1011); rows index "truth", columns
+    "guess".
+    """
+    ptrue = pgrid[:, None]
+    pguess = pgrid[None, :]
+    return (ptrue - pguess) / ((1.0 + ptrue) * 0.15)
+
+
+def _loss_kernel(pkern, pkern_grid):
+    """Evaluate the loss kernel over the grid (pdf.py:1012-1023)."""
+    if pkern == "tophat":
+        return (jnp.square(pkern_grid) < 1.0).astype(pkern_grid.dtype)
+    if pkern == "gaussian":
+        return jnp.exp(-0.5 * jnp.square(pkern_grid))
+    if pkern == "lorentz":
+        return 1.0 / (1.0 + jnp.square(pkern_grid))
+    if callable(pkern):
+        return pkern(pkern_grid)
+    raise ValueError("unknown loss kernel: {!r}".format(pkern))
+
+
+def pdfs_summarize(pdfs, pgrid, renormalize=True, rng=None, pkern="lorentz",
+                   pkern_grid=None, wconf_func=None):
+    """Compute point estimators + quality metrics for a batch of PDFs.
+
+    Reference: `frankenz/pdf.py:899-1074`.  Differences in surface only:
+    the Monte Carlo draw takes a JAX PRNG key (`rng`) instead of a NumPy
+    RandomState, and results come back in a `PDFSummary` NamedTuple whose
+    field order matches the reference tuple.
+
+    Point estimators: mean (L2), median (L1), mode (L0), and "best"
+    (minimizing the expected loss under `pkern`, default the photo-z
+    Lorentzian with dispersion 0.15).  Each carries std (second moment
+    about the point), conf (PDF mass within +/- wconf_func(point), default
+    (1+point)*0.03), and risk (expected loss at the point).
+    """
+    pdfs = jnp.atleast_2d(jnp.asarray(pdfs))
+    pgrid = jnp.asarray(pgrid)
+    nobj, ngrid = pdfs.shape
+    if renormalize:
+        pdfs = pdfs / jnp.sum(pdfs, axis=1, keepdims=True)
+
+    pmean = pdfs @ pgrid
+    pmode = pgrid[jnp.argmax(pdfs, axis=1)]
+
+    cdfs = jnp.cumsum(pdfs, axis=1)
+    if rng is None:
+        rng = jax.random.key(0)
+    u = jax.random.uniform(rng, (nobj,), dtype=pdfs.dtype)
+
+    def quantiles(cdf, ui):
+        qs = jnp.array([0.025, 0.16, 0.5, 0.84, 0.975])
+        qv = jnp.interp(qs, cdf, pgrid)
+        mc = jnp.interp(ui, cdf, pgrid)
+        return qv, mc
+
+    qvals, pmc = jax.vmap(quantiles)(cdfs, u)
+    plow2, plow1, pmed, phigh1, phigh2 = (qvals[:, k] for k in range(5))
+
+    # Risk map: expected loss of guessing column g when truth follows the
+    # PDF — a single MXU contraction (pdf.py:1024-1025).
+    if pkern_grid is None:
+        pkern_grid = _default_photoz_kern_grid(pgrid)
+    kernel = _loss_kernel(pkern, jnp.asarray(pkern_grid))
+    prisk = pdfs @ (1.0 - kernel)
+    pbest = pgrid[jnp.argmin(prisk, axis=1)]
+
+    def point_std(point):
+        sqdev = jnp.square(pgrid[None, :] - point[:, None])
+        return jnp.sqrt(jnp.sum(sqdev * pdfs, axis=1))
+
+    if wconf_func is None:
+        def wconf_func(point):
+            return (1.0 + point) * 0.03
+
+    def point_conf(point):
+        width = wconf_func(point)
+        lo = jax.vmap(jnp.interp, (0, None, 0))(point - width, pgrid, cdfs)
+        hi = jax.vmap(jnp.interp, (0, None, 0))(point + width, pgrid, cdfs)
+        return hi - lo
+
+    def point_risk(point):
+        return jax.vmap(jnp.interp, (0, None, 0))(point, pgrid, prisk)
+
+    def estimate(point):
+        return PointEstimate(point, point_std(point), point_conf(point),
+                             point_risk(point))
+
+    return PDFSummary(estimate(pmean), estimate(pmed), estimate(pmode),
+                      estimate(pbest), plow2, plow1, phigh1, phigh2, pmc)
