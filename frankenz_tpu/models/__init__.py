@@ -1,1 +1,7 @@
-"""Placeholder — populated in later milestones."""
+"""Fitters: BruteForce, NearestNeighbors, manifold networks (SOM / GNG).
+
+TPU-native rebuild of the reference's fitter layer (L4 in SURVEY.md:
+bruteforce.py, knn.py, networks.py).
+"""
+
+from .bruteforce import BruteForce  # noqa: F401

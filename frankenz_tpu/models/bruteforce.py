@@ -1,0 +1,312 @@
+"""
+BruteForce fitter: every model against every datum, fused fit->PDF on TPU.
+
+Reference: `frankenz/bruteforce.py` (class BruteForce, fit/predict/
+fit_predict at :66/:207/:374).  The reference loops over objects in Python,
+storing seven (Ndata, Nmodel) float64 grids; at target scale (1M x 100K)
+that is 5.6 TB — impossible.  Here the whole pipeline is batched and
+fused:
+
+  object batch --(lprob_func)--> (B, M) log-posteriors
+              --max/logsumexp--> GOF metrics (lmap, levid)
+              --exp/threshold--> posterior weights
+              --@ G ----------> (B, Ngrid) label PDFs   [MXU matmul]
+
+so the (B, M) grid lives only in HBM for one batch at a time, and the
+full (Ndata, Nmodel) grids are materialized (as host NumPy, float32) only
+when `save_fits=True` — the API keeps the reference's saved-fit state
+(`fit_lnprior/fit_lnlike/fit_lnprob/fit_Ndim/fit_chi2/fit_scale/
+fit_scale_err`) but the default fused path streams past it.
+
+`lprob_func` keeps the reference's plugin contract (SURVEY.md section
+2.2) in batched form: a traceable callable
+
+    lprob_func(data, data_err, data_mask, models, models_err, models_mask,
+               *args, **kwargs)
+      -> (lnprior, lnlike, lnprob, Ndim, chi2[, scale, scale_err])
+
+over (B, Nfilt) x (M, Nfilt) -> (B, M) arrays (default
+`frankenz_tpu.ops.logprob`).  It must be jit-traceable; it is compiled
+once per batch shape.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import kde as _kde
+from ..ops import likelihood as _like
+from ..utils.progress import progress_iter
+
+__all__ = ["BruteForce"]
+
+
+def _batch_slices(n, batch_size):
+    """Static-shape batching: every batch has exactly `batch_size` rows;
+    the last is padded (caller slices the valid region)."""
+    for start in range(0, n, batch_size):
+        yield start, min(batch_size, n - start)
+
+
+def _pad_rows(arr, batch_size):
+    pad = batch_size - arr.shape[0]
+    if pad <= 0:
+        return arr
+    return np.concatenate([arr, np.zeros((pad,) + arr.shape[1:],
+                                         arr.dtype)], axis=0)
+
+
+def default_batch_size(nmodel, budget_elems=1 << 26):
+    """Object-batch size keeping the (B, M) grid near `budget_elems`."""
+    b = max(64, int(budget_elems // max(nmodel, 1)))
+    return int(min(1 << 14, 1 << (b.bit_length() - 1)))
+
+
+class BruteForce:
+    """Brute-force photo-z fitter over a fixed model set.
+
+    Parameters
+    ----------
+    models, models_err, models_mask : array_like of shape (Nmodel, Nfilt)
+        Model photometry, errors, and 0/1 observation mask (kept on device).
+    """
+
+    def __init__(self, models, models_err, models_mask):
+        self.models = jnp.asarray(models)
+        self.models_err = jnp.asarray(models_err)
+        self.models_mask = jnp.asarray(models_mask)
+        self.NMODEL, self.NDIM = self.models.shape
+        self.NDATA = None
+        self.fit_lnprior = None
+        self.fit_lnlike = None
+        self.fit_lnprob = None
+        self.fit_Ndim = None
+        self.fit_chi2 = None
+        self.fit_scale = None
+        self.fit_scale_err = None
+
+    # ------------------------------------------------------------------
+    # internals
+    # ------------------------------------------------------------------
+
+    def _lprob_step(self, lprob_func, lprob_args, lprob_kwargs):
+        """Jitted batched lprob evaluation returning the 7-field tuple."""
+        if lprob_func is None:
+            lprob_func = _like.logprob
+        lprob_args = lprob_args or ()
+        lprob_kwargs = lprob_kwargs or {}
+
+        @jax.jit
+        def step(d, de, dm, m, me, mm):
+            res = lprob_func(d, de, dm, m, me, mm, *lprob_args,
+                             **lprob_kwargs)
+            lnprior, lnlike, lnprob, ndim, chi2 = res[:5]
+            scale = res[5] if len(res) > 5 else None
+            scale_err = res[6] if len(res) > 6 else None
+            return lnprior, lnlike, lnprob, ndim, chi2, scale, scale_err
+
+        return step
+
+    def _alloc_fits(self, ndata, track_scale):
+        m = self.NMODEL
+        self.NDATA = ndata
+        self.fit_lnprior = np.zeros((ndata, m), np.float32)
+        self.fit_lnlike = np.zeros((ndata, m), np.float32)
+        self.fit_lnprob = np.zeros((ndata, m), np.float32)
+        self.fit_Ndim = np.zeros((ndata, m), np.int32)
+        self.fit_chi2 = np.zeros((ndata, m), np.float32)
+        if track_scale:
+            self.fit_scale = np.ones((ndata, m), np.float32)
+            self.fit_scale_err = np.zeros((ndata, m), np.float32)
+        else:
+            self.fit_scale = None
+            self.fit_scale_err = None
+
+    def _store_fits(self, i0, n, res):
+        lnprior, lnlike, lnprob, ndim, chi2, scale, scale_err = res
+        sl = slice(i0, i0 + n)
+        self.fit_lnprior[sl] = np.asarray(lnprior[:n], np.float32)
+        self.fit_lnlike[sl] = np.asarray(lnlike[:n], np.float32)
+        self.fit_lnprob[sl] = np.asarray(lnprob[:n], np.float32)
+        self.fit_Ndim[sl] = np.asarray(ndim[:n], np.int32)
+        self.fit_chi2[sl] = np.asarray(chi2[:n], np.float32)
+        if scale is not None and self.fit_scale is not None:
+            self.fit_scale[sl] = np.asarray(scale[:n], np.float32)
+        if scale_err is not None and self.fit_scale_err is not None:
+            self.fit_scale_err[sl] = np.asarray(scale_err[:n], np.float32)
+
+    def _kernel_G(self, model_labels, model_label_errs, label_dict,
+                  label_grid):
+        """(Nmodel, Ngrid) row-normalized kernel matrix + the grid."""
+        if label_dict is not None:
+            y_idx, y_std_idx = label_dict.fit(jnp.asarray(model_labels),
+                                              jnp.asarray(model_label_errs))
+            G = _kde.kernel_matrix_dict(label_dict, y_idx, y_std_idx)
+            return G, jnp.asarray(label_dict.grid)
+        if label_grid is None:
+            raise ValueError("`label_dict` or `label_grid` must be "
+                             "specified.")
+        grid = jnp.asarray(label_grid)
+        G = _kde.kernel_matrix(jnp.asarray(model_labels),
+                               jnp.asarray(model_label_errs), grid)
+        return G, grid
+
+    # ------------------------------------------------------------------
+    # public API (mirrors the reference surface)
+    # ------------------------------------------------------------------
+
+    def fit(self, data, data_err, data_mask, lprob_func=None,
+            lprob_args=None, lprob_kwargs=None, track_scale=False,
+            verbose=True, batch_size=None):
+        """Fit all models to all data; store the full posterior grids.
+
+        Reference: `bruteforce.py:66-125`.  Stores the seven saved-fit
+        arrays as host NumPy float32 (the reference uses float64; float32
+        halves the 7*Ndata*Nmodel footprint and is far beyond the 1e-3
+        weight-threshold resolution any downstream consumer uses).
+        """
+        data = np.atleast_2d(np.asarray(data))
+        data_err = np.atleast_2d(np.asarray(data_err))
+        data_mask = np.atleast_2d(np.asarray(data_mask))
+        ndata = data.shape[0]
+        if batch_size is None:
+            batch_size = default_batch_size(self.NMODEL)
+        step = self._lprob_step(lprob_func, lprob_args, lprob_kwargs)
+        self._alloc_fits(ndata, track_scale)
+
+        for i0, n in progress_iter(_batch_slices(ndata, batch_size),
+                                   total=ndata, label="Fitting object",
+                                   sizes=True, verbose=verbose):
+            d = _pad_rows(data[i0:i0 + n], batch_size)
+            de = _pad_rows(data_err[i0:i0 + n], batch_size)
+            dm = _pad_rows(data_mask[i0:i0 + n], batch_size)
+            res = step(d, de, dm, self.models, self.models_err,
+                       self.models_mask)
+            self._store_fits(i0, n, res)
+        return self
+
+    def predict(self, model_labels, model_label_errs, label_dict=None,
+                label_grid=None, logwt=None, kde_args=None, kde_kwargs=None,
+                return_gof=False, verbose=True, batch_size=None,
+                wt_thresh=1e-3, cdf_thresh=2e-4):
+        """Turn stored (or provided) log-weights into per-object label PDFs.
+
+        Reference: `bruteforce.py:207-372`.  The KDE stack is a weights @
+        kernel-matrix contraction; each PDF is normalized to sum 1.
+        `kde_args`/`kde_kwargs` accept `wt_thresh`/`cdf_thresh` overrides
+        for compatibility.
+        """
+        if logwt is None:
+            logwt = self.fit_lnprob
+        if logwt is None:
+            raise ValueError("Fits have not been computed and weights have "
+                             "not been provided.")
+        kde_kwargs = kde_kwargs or {}
+        wt_thresh = kde_kwargs.get("wt_thresh", wt_thresh)
+        cdf_thresh = kde_kwargs.get("cdf_thresh", cdf_thresh)
+        G, grid = self._kernel_G(model_labels, model_label_errs, label_dict,
+                                 label_grid)
+        logwt = np.atleast_2d(np.asarray(logwt))
+        ndata = logwt.shape[0]
+        if batch_size is None:
+            batch_size = default_batch_size(self.NMODEL)
+
+        @jax.jit
+        def stack(lwt, G):
+            lmap = jnp.max(lwt, axis=1)
+            levid = jax.scipy.special.logsumexp(lwt, axis=1)
+            wt = jnp.exp(lwt - levid[:, None])
+            pdf = _kde.kde_stack(wt, G, wt_thresh, cdf_thresh)
+            norm = jnp.sum(pdf, axis=1, keepdims=True)
+            pdf = jnp.where(norm > 0, pdf / jnp.where(norm > 0, norm, 1.0),
+                            0.0)
+            return pdf, lmap, levid
+
+        ngrid = G.shape[1]
+        pdfs = np.zeros((ndata, ngrid), np.float32)
+        lmap = np.zeros(ndata, np.float32)
+        levid = np.zeros(ndata, np.float32)
+        for i0, n in progress_iter(_batch_slices(ndata, batch_size),
+                                   total=ndata, label="Generating PDF",
+                                   sizes=True, verbose=verbose):
+            lwt = _pad_rows(logwt[i0:i0 + n].astype(np.float32), batch_size)
+            pdf_b, lmap_b, levid_b = stack(lwt, G)
+            pdfs[i0:i0 + n] = np.asarray(pdf_b[:n])
+            lmap[i0:i0 + n] = np.asarray(lmap_b[:n])
+            levid[i0:i0 + n] = np.asarray(levid_b[:n])
+
+        if return_gof:
+            return pdfs, (lmap, levid)
+        return pdfs
+
+    def fit_predict(self, data, data_err, data_mask, model_labels,
+                    model_label_errs, lprob_func=None, label_dict=None,
+                    label_grid=None, kde_args=None, kde_kwargs=None,
+                    lprob_args=None, lprob_kwargs=None, return_gof=False,
+                    track_scale=False, verbose=True, save_fits=False,
+                    batch_size=None, wt_thresh=1e-3, cdf_thresh=2e-4):
+        """Fused fit + predict: posteriors -> weights -> PDFs in one pass.
+
+        Reference: `bruteforce.py:374-631`.  Unlike the reference (which
+        defaults `save_fits=True`), the fused path defaults to *not*
+        materializing the (Ndata, Nmodel) grids — at the 1M x 100K target
+        that difference is 2.8 TB vs 0.  The (B, M) batch grid never
+        leaves the device; only PDFs and GOF metrics stream back.
+        """
+        data = np.atleast_2d(np.asarray(data))
+        data_err = np.atleast_2d(np.asarray(data_err))
+        data_mask = np.atleast_2d(np.asarray(data_mask))
+        ndata = data.shape[0]
+        kde_kwargs = kde_kwargs or {}
+        wt_thresh = kde_kwargs.get("wt_thresh", wt_thresh)
+        cdf_thresh = kde_kwargs.get("cdf_thresh", cdf_thresh)
+        if batch_size is None:
+            batch_size = default_batch_size(self.NMODEL)
+        G, grid = self._kernel_G(model_labels, model_label_errs, label_dict,
+                                 label_grid)
+        if lprob_func is None:
+            lprob_func = _like.logprob
+        lprob_args = lprob_args or ()
+        lprob_kwargs = lprob_kwargs or {}
+
+        @jax.jit
+        def fused(d, de, dm, m, me, mm, G):
+            res = lprob_func(d, de, dm, m, me, mm, *lprob_args,
+                             **lprob_kwargs)
+            lnprob = res[2]
+            lmap = jnp.max(lnprob, axis=1)
+            levid = jax.scipy.special.logsumexp(lnprob, axis=1)
+            wt = jnp.exp(lnprob - levid[:, None])
+            pdf = _kde.kde_stack(wt, G, wt_thresh, cdf_thresh)
+            norm = jnp.sum(pdf, axis=1, keepdims=True)
+            pdf = jnp.where(norm > 0, pdf / jnp.where(norm > 0, norm, 1.0),
+                            0.0)
+            return pdf, lmap, levid, res
+
+        if save_fits:
+            self._alloc_fits(ndata, track_scale)
+        ngrid = G.shape[1]
+        pdfs = np.zeros((ndata, ngrid), np.float32)
+        lmap = np.zeros(ndata, np.float32)
+        levid = np.zeros(ndata, np.float32)
+        for i0, n in progress_iter(_batch_slices(ndata, batch_size),
+                                   total=ndata, label="Fitting object",
+                                   sizes=True, verbose=verbose):
+            d = _pad_rows(data[i0:i0 + n], batch_size)
+            de = _pad_rows(data_err[i0:i0 + n], batch_size)
+            dm = _pad_rows(data_mask[i0:i0 + n], batch_size)
+            pdf_b, lmap_b, levid_b, res = fused(
+                d, de, dm, self.models, self.models_err, self.models_mask, G)
+            pdfs[i0:i0 + n] = np.asarray(pdf_b[:n])
+            lmap[i0:i0 + n] = np.asarray(lmap_b[:n])
+            levid[i0:i0 + n] = np.asarray(levid_b[:n])
+            if save_fits:
+                full = res[:5] + ((res[5] if len(res) > 5 else None),
+                                  (res[6] if len(res) > 6 else None))
+                self._store_fits(i0, n, full)
+
+        if return_gof:
+            return pdfs, (lmap, levid)
+        return pdfs

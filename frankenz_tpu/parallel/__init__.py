@@ -1,1 +1,11 @@
-"""Placeholder — populated in later milestones."""
+"""Mesh construction and sharded drivers (pure data parallel over objects)."""
+
+from .mesh import (  # noqa: F401
+    make_mesh,
+    make_mesh_2d,
+    replicate,
+    shard_objects,
+    sharded_fit_predict_step,
+    sharded_logprob,
+    stacked_nz,
+)

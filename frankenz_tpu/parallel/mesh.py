@@ -1,0 +1,143 @@
+"""
+Device-mesh construction and sharded execution of the fit pipelines.
+
+The reference has no distributed backend at all (SURVEY.md section 5): its
+longest computations run single-threaded.  The TPU-native scaling story is
+pure data parallelism over *objects* — each object's posterior and PDF is
+independent, so the natural layout is a 1-D mesh with objects sharded and
+the model set + kernel matrix replicated in every chip's HBM (100K models
+x 30 filters is ~12 MB; replication is free at that scale).  Zero
+cross-chip communication in the fit path; collectives appear only in
+final reductions (stacked N(z) sums, population-sampler overlaps), which
+ride ICI as single `psum`s.
+
+For model sets too large to replicate (>>10M models), `shard_models=True`
+shards the model axis as well and log-space reductions (`logsumexp` over
+the model axis) become `psum`-style collectives over the model axis — the
+blockwise-streaming analogue of ring attention (SURVEY.md section 5,
+"long-context").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["make_mesh", "shard_objects", "replicate", "sharded_logprob",
+           "sharded_fit_predict_step"]
+
+OBJ_AXIS = "objects"
+MODEL_AXIS = "models"
+
+
+def make_mesh(n_devices=None, devices=None):
+    """1-D mesh over `objects` using the first `n_devices` devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (OBJ_AXIS,))
+
+
+def make_mesh_2d(n_obj, n_model, devices=None):
+    """2-D (objects, models) mesh for sharded-model-set operation."""
+    if devices is None:
+        devices = jax.devices()
+    devs = np.asarray(devices[:n_obj * n_model]).reshape(n_obj, n_model)
+    return Mesh(devs, (OBJ_AXIS, MODEL_AXIS))
+
+
+def shard_objects(mesh, *arrays):
+    """Place arrays with their leading (object) axis sharded over the mesh."""
+    spec = NamedSharding(mesh, P(OBJ_AXIS))
+    out = tuple(jax.device_put(jnp.asarray(a), spec) for a in arrays)
+    return out[0] if len(out) == 1 else out
+
+
+def replicate(mesh, *arrays):
+    """Place arrays fully replicated over the mesh."""
+    spec = NamedSharding(mesh, P())
+    out = tuple(jax.device_put(jnp.asarray(a), spec) for a in arrays)
+    return out[0] if len(out) == 1 else out
+
+
+def sharded_logprob(mesh, lprob_func=None):
+    """Build a jitted, object-sharded batched lprob evaluator.
+
+    Returns ``f(data, data_err, data_mask, models, models_err,
+    models_mask) -> LogprobResult`` with (Nobj, ...) inputs sharded over
+    the object axis and models replicated.  With objects sharded and no
+    cross-object dependency, XLA partitions this without any collectives.
+    """
+    from ..ops import likelihood as _like
+
+    if lprob_func is None:
+        lprob_func = _like.logprob
+    data_spec = NamedSharding(mesh, P(OBJ_AXIS))
+    model_spec = NamedSharding(mesh, P())
+
+    @jax.jit
+    def f(d, de, dm, m, me, mm):
+        d, de, dm = (jax.lax.with_sharding_constraint(x, data_spec)
+                     for x in (d, de, dm))
+        m, me, mm = (jax.lax.with_sharding_constraint(x, model_spec)
+                     for x in (m, me, mm))
+        return lprob_func(d, de, dm, m, me, mm)
+
+    return f
+
+
+def sharded_fit_predict_step(mesh, lprob_func=None, wt_thresh=1e-3,
+                             cdf_thresh=2e-4):
+    """Build the jitted object-sharded fused fit->PDF step.
+
+    ``f(data, data_err, data_mask, models, models_err, models_mask, G)
+    -> (pdfs, lmap, levid)`` — data sharded over objects, model set and
+    kernel matrix replicated.  The per-shard compute is identical to the
+    single-chip fused step in `models/bruteforce.py`; XLA's SPMD
+    partitioner emits no collectives because every reduction is over the
+    (replicated) model axis.
+    """
+    from ..ops import kde as _kde
+    from ..ops import likelihood as _like
+
+    if lprob_func is None:
+        lprob_func = _like.logprob
+    data_spec = NamedSharding(mesh, P(OBJ_AXIS))
+    rep_spec = NamedSharding(mesh, P())
+
+    @jax.jit
+    def f(d, de, dm, m, me, mm, G):
+        d, de, dm = (jax.lax.with_sharding_constraint(x, data_spec)
+                     for x in (d, de, dm))
+        m, me, mm, G = (jax.lax.with_sharding_constraint(x, rep_spec)
+                        for x in (m, me, mm, G))
+        res = lprob_func(d, de, dm, m, me, mm)
+        lnprob = res[2]
+        lmap = jnp.max(lnprob, axis=1)
+        levid = jax.scipy.special.logsumexp(lnprob, axis=1)
+        wt = jnp.exp(lnprob - levid[:, None])
+        pdf = _kde.kde_stack(wt, G, wt_thresh, cdf_thresh)
+        norm = jnp.sum(pdf, axis=1, keepdims=True)
+        pdf = jnp.where(norm > 0, pdf / jnp.where(norm > 0, norm, 1.0), 0.0)
+        return pdf, lmap, levid
+
+    return f
+
+
+def stacked_nz(mesh, pdfs):
+    """Stacked N(z) over all objects — the one cross-chip reduction.
+
+    Sums per-object PDFs over the sharded object axis; XLA lowers the
+    reduction to a single `psum` over ICI.
+    """
+    spec = NamedSharding(mesh, P(OBJ_AXIS))
+
+    @jax.jit
+    def f(p):
+        p = jax.lax.with_sharding_constraint(p, spec)
+        return jnp.sum(p, axis=0)
+
+    return f(pdfs)

@@ -1,1 +1,3 @@
-"""Placeholder — populated in later milestones."""
+"""Runtime utilities: progress, checkpointing, metrics."""
+
+from .progress import progress_iter  # noqa: F401

@@ -1,0 +1,155 @@
+"""End-to-end BruteForce fitter tests vs an oracle pipeline."""
+
+import numpy as np
+import pytest
+from scipy.special import logsumexp
+
+import _oracle as oracle
+from frankenz_tpu.models import BruteForce
+from frankenz_tpu.ops import PDFDict
+
+RTOL = 1e-5
+
+
+@pytest.fixture(scope="module")
+def problem():
+    rng = np.random.default_rng(7)
+    nmodel, nobj, nfilt = 150, 40, 5
+    zgrid = rng.uniform(0, 3, nmodel)
+    zerr = np.full(nmodel, 0.1)
+    models = rng.uniform(1, 10, (nmodel, nfilt))
+    models_err = 0.1 * models
+    models_mask = np.ones_like(models)
+    truth = rng.integers(0, nmodel, nobj)
+    data = models[truth] + rng.normal(0, 0.3, (nobj, nfilt))
+    data_err = np.full((nobj, nfilt), 0.3)
+    data_mask = np.ones_like(data)
+    return dict(models=models, models_err=models_err,
+                models_mask=models_mask, data=data, data_err=data_err,
+                data_mask=data_mask, zgrid=zgrid, zerr=zerr, truth=truth)
+
+
+def oracle_pdfs(p, grid, wt_thresh=1e-3):
+    """Reference-style pipeline: per-object logprob -> weights -> KDE."""
+    lnl, ndim, chi2 = oracle.loglike(p["data"], p["data_err"],
+                                     p["data_mask"], p["models"],
+                                     p["models_err"], p["models_mask"])
+    pdfs, lmaps, levids = [], [], []
+    for row in lnl:
+        lmap, levid = row.max(), logsumexp(row)
+        wt = np.exp(row - levid)
+        pdf = oracle.gauss_kde_1(p["zgrid"], p["zerr"], grid, wt,
+                                 wt_thresh=wt_thresh)
+        pdfs.append(pdf / pdf.sum())
+        lmaps.append(lmap)
+        levids.append(levid)
+    return np.array(pdfs), np.array(lmaps), np.array(levids), lnl
+
+
+def test_fit_then_predict_matches_oracle(problem):
+    grid = np.linspace(0, 3, 301)
+    bf = BruteForce(problem["models"], problem["models_err"],
+                    problem["models_mask"])
+    bf.fit(problem["data"], problem["data_err"], problem["data_mask"],
+           verbose=False)
+    pdfs, (lmap, levid) = bf.predict(problem["zgrid"], problem["zerr"],
+                                     label_grid=grid, return_gof=True,
+                                     verbose=False)
+    want_pdfs, want_lmap, want_levid, want_lnl = oracle_pdfs(problem, grid)
+    np.testing.assert_allclose(bf.fit_lnprob, want_lnl, rtol=1e-4)
+    np.testing.assert_allclose(lmap, want_lmap, rtol=1e-4)
+    np.testing.assert_allclose(levid, want_levid, rtol=1e-4)
+    np.testing.assert_allclose(pdfs, want_pdfs, rtol=5e-3, atol=1e-6)
+
+
+def test_fused_fit_predict_matches_two_step(problem):
+    grid = np.linspace(0, 3, 301)
+    bf = BruteForce(problem["models"], problem["models_err"],
+                    problem["models_mask"])
+    bf.fit(problem["data"], problem["data_err"], problem["data_mask"],
+           verbose=False)
+    two_step = bf.predict(problem["zgrid"], problem["zerr"],
+                          label_grid=grid, verbose=False)
+    fused = bf.fit_predict(problem["data"], problem["data_err"],
+                           problem["data_mask"], problem["zgrid"],
+                           problem["zerr"], label_grid=grid, verbose=False)
+    np.testing.assert_allclose(fused, two_step, rtol=1e-4, atol=1e-7)
+
+
+def test_fit_predict_with_dict_matches_oracle(problem):
+    grid = np.linspace(0, 3, 301)
+    pd = PDFDict(grid, np.linspace(0.02, 0.3, 60))
+    bf = BruteForce(problem["models"], problem["models_err"],
+                    problem["models_mask"])
+    pdfs = bf.fit_predict(problem["data"], problem["data_err"],
+                          problem["data_mask"], problem["zgrid"],
+                          problem["zerr"], label_dict=pd, verbose=False)
+    # Oracle: quantized dict KDE on exact float64 weights.
+    lnl, _, _ = oracle.loglike(problem["data"], problem["data_err"],
+                               problem["data_mask"], problem["models"],
+                               problem["models_err"],
+                               problem["models_mask"])
+    yi, ei = pd.fit(problem["zgrid"], problem["zerr"])
+    for k in (0, 7, 23):
+        wt = np.exp(lnl[k] - logsumexp(lnl[k]))
+        want = oracle.gauss_kde_dict_1(pd, np.asarray(yi), np.asarray(ei),
+                                       wt)
+        want = want / want.sum()
+        np.testing.assert_allclose(pdfs[k], want, rtol=5e-3, atol=1e-6)
+
+
+def test_save_fits_and_batching(problem):
+    """Odd batch sizes (padding) don't change results; save_fits stores."""
+    grid = np.linspace(0, 3, 301)
+    bf = BruteForce(problem["models"], problem["models_err"],
+                    problem["models_mask"])
+    a = bf.fit_predict(problem["data"], problem["data_err"],
+                       problem["data_mask"], problem["zgrid"],
+                       problem["zerr"], label_grid=grid, verbose=False,
+                       save_fits=True, batch_size=17)
+    assert bf.fit_lnprob.shape == (40, 150)
+    b = BruteForce(problem["models"], problem["models_err"],
+                   problem["models_mask"]).fit_predict(
+        problem["data"], problem["data_err"], problem["data_mask"],
+        problem["zgrid"], problem["zerr"], label_grid=grid, verbose=False,
+        batch_size=64)
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
+
+
+def test_custom_lprob_func(problem):
+    """The lprob plugin hook: add a per-model prior (demo-2 pattern)."""
+    import jax.numpy as jnp
+
+    from frankenz_tpu.ops import logprob
+
+    prior = np.linspace(0.0, 2.0, 150)
+
+    def lprob_with_prior(d, de, dm, m, me, mm):
+        res = logprob(d, de, dm, m, me, mm)
+        lnprior = jnp.broadcast_to(jnp.asarray(prior), res.lnlike.shape)
+        return (lnprior, res.lnlike, res.lnlike + lnprior, res.ndim,
+                res.chi2)
+
+    grid = np.linspace(0, 3, 301)
+    bf = BruteForce(problem["models"], problem["models_err"],
+                    problem["models_mask"])
+    bf.fit(problem["data"], problem["data_err"], problem["data_mask"],
+           lprob_func=lprob_with_prior, verbose=False)
+    np.testing.assert_allclose(bf.fit_lnprob, bf.fit_lnlike + prior,
+                               rtol=1e-5)
+
+
+def test_photoz_recovery(problem):
+    """Statistical check: point estimates recover the true redshifts."""
+    from frankenz_tpu.ops import pdfs_summarize
+
+    grid = np.linspace(0, 3, 301)
+    bf = BruteForce(problem["models"], problem["models_err"],
+                    problem["models_mask"])
+    pdfs = bf.fit_predict(problem["data"], problem["data_err"],
+                          problem["data_mask"], problem["zgrid"],
+                          problem["zerr"], label_grid=grid, verbose=False)
+    s = pdfs_summarize(pdfs, grid)
+    ztrue = problem["zgrid"][problem["truth"]]
+    zhat = np.asarray(s.median.point)
+    assert np.std((zhat - ztrue) / (1 + ztrue)) < 0.2

@@ -1,0 +1,65 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import pytest
+
+from frankenz_tpu.parallel import (make_mesh, replicate, shard_objects,
+                                   sharded_fit_predict_step,
+                                   sharded_logprob, stacked_nz)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert jax.device_count() >= 8, "conftest should provide 8 CPU devices"
+    return make_mesh(8)
+
+
+@pytest.fixture(scope="module")
+def problem():
+    rng = np.random.default_rng(21)
+    nobj, nmodel, nfilt = 64, 50, 5
+    models = rng.uniform(1, 10, (nmodel, nfilt))
+    models_err = 0.1 * models
+    models_mask = np.ones_like(models)
+    data = rng.uniform(1, 10, (nobj, nfilt))
+    data_err = np.full((nobj, nfilt), 0.3)
+    data_mask = np.ones_like(data)
+    return data, data_err, data_mask, models, models_err, models_mask
+
+
+def test_sharded_logprob_matches_single_device(problem, mesh):
+    from frankenz_tpu.ops import logprob
+
+    d, de, dm, m, me, mm = problem
+    want = np.asarray(logprob(d, de, dm, m, me, mm).lnprob)
+    ds, des, dms = shard_objects(mesh, d, de, dm)
+    mr, mer, mmr = replicate(mesh, m, me, mm)
+    got = sharded_logprob(mesh)(ds, des, dms, mr, mer, mmr)
+    np.testing.assert_allclose(np.asarray(got.lnprob), want, rtol=1e-12)
+    # Output really is sharded over objects.
+    assert len(got.lnprob.sharding.device_set) == 8
+
+
+def test_graft_entry_single():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    pdfs = np.asarray(out[0])
+    assert pdfs.shape == (256, 301)
+    np.testing.assert_allclose(pdfs.sum(axis=1), 1.0, atol=1e-4)
+
+
+def test_graft_entry_multichip():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+def test_stacked_nz(problem, mesh):
+    rng = np.random.default_rng(3)
+    pdfs = rng.uniform(size=(64, 33))
+    pdfs /= pdfs.sum(axis=1, keepdims=True)
+    nz = np.asarray(stacked_nz(mesh, shard_objects(mesh, pdfs)))
+    np.testing.assert_allclose(nz, pdfs.sum(axis=0), rtol=1e-10)
