@@ -4,6 +4,6 @@ Reference: `frankenz/fitting.py:25-30` (a pure facade over BruteForce,
 NearestNeighbors, SelfOrganizingMap, GrowingNeuralGas).
 """
 
-from .models import BruteForce  # noqa: F401
+from .models import BruteForce, NearestNeighbors  # noqa: F401
 
-__all__ = ["BruteForce"]
+__all__ = ["BruteForce", "NearestNeighbors"]

@@ -5,3 +5,4 @@ bruteforce.py, knn.py, networks.py).
 """
 
 from .bruteforce import BruteForce  # noqa: F401
+from .knn import NearestNeighbors  # noqa: F401

@@ -1,0 +1,466 @@
+"""
+NearestNeighbors (KMCkNN) fitter: Monte-Carlo ensemble kNN posteriors.
+
+Reference: `frankenz/knn.py` (class NearestNeighbors :33, `_train_kdtrees`
+:158, `_fit` :281, `_predict` :500, `fit_predict` :560).  Algorithm: build
+K Monte-Carlo realizations of the (noisy) models in feature space
+(luptitudes by default), find each datum's k nearest neighbors in every
+realization, take the union of the K*k indices, and evaluate the exact
+posterior only on that union.
+
+TPU redesign (cf. the TPU-KNN approach in PAPERS.md):
+
+* no KDTrees — neighbor search is a brute-force distance matmul
+  ``|y|^2 - 2 y @ Y_k^T + |Y_k|^2`` on the MXU followed by
+  ``jax.lax.top_k``, scanned over the K Monte-Carlo feature ensembles
+  (exact k-NN, no approximation; scipy KDTree is exact too, so results
+  match up to RNG and distance ties);
+* the union/dedupe is a fixed-shape sort-based unique: duplicate slots are
+  detected with a stable argsort, compacted to the front in first-seen
+  order (matching `pandas.unique` semantics, knn.py:368), and masked with
+  the reference's padding values (index -99, lnprob -inf, chi2 +inf,
+  knn.py:344-352);
+* posteriors are evaluated on the gathered (Nobj, K*k) per-object model
+  subsets with a vmapped lprob, and the KDE stacks per-object kernel rows
+  on the fly (`kde_stack_gathered*`) — nothing is ever ragged.
+
+`lp_norm` in {1, 2} and `distance_upper_bound` are supported
+(out-of-bound neighbors become padded slots; the reference would crash
+indexing with scipy's out-of-bound sentinel).  `eps` (approximate tree
+search slack) is accepted for API compatibility and ignored — the search
+here is exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import kde as _kde
+from ..ops import likelihood as _like
+from ..ops import transforms as _tf
+from ..utils.progress import progress_iter
+from .bruteforce import _batch_slices, _pad_rows, default_batch_size
+
+__all__ = ["NearestNeighbors"]
+
+_BIG = np.int32(1 << 30)
+
+
+def _resolve_feature_map(feature_map, fmap_args, fmap_kwargs):
+    if feature_map == "identity":
+        def feature_map(x, xe, *a, **k):
+            return x, xe
+    elif feature_map == "magnitude":
+        feature_map = _tf.magnitude
+    elif feature_map == "luptitude":
+        feature_map = _tf.luptitude
+    elif not callable(feature_map):
+        raise ValueError("The provided feature map is not valid.")
+    return lambda x, xe: feature_map(x, xe, *fmap_args, **fmap_kwargs)
+
+
+class NearestNeighbors:
+    """KMCkNN fitter over a fixed model set.
+
+    Parameters (mirroring knn.py:40-156): `K` Monte-Carlo ensembles
+    (default 25), `feature_map` in {'identity','magnitude','luptitude'} or
+    a callable, `leafsize` accepted-and-ignored (no trees to build).
+    """
+
+    def __init__(self, models, models_err, models_mask, leafsize=50, K=25,
+                 feature_map="luptitude", fmap_args=None, fmap_kwargs=None,
+                 rng=None, seed=None, verbose=True):
+        del leafsize  # KDTree tuning knob; no trees here
+        self.models = jnp.asarray(models)
+        self.models_err = jnp.asarray(models_err)
+        self.models_mask = jnp.asarray(models_mask)
+        self.NMODEL, self.NDIM = self.models.shape
+        self.K = int(K)
+        self.fmap_args = fmap_args or ()
+        self.fmap_kwargs = fmap_kwargs or {}
+        self.feature_map = _resolve_feature_map(feature_map, self.fmap_args,
+                                                self.fmap_kwargs)
+        self.rng = rng if rng is not None else np.random.default_rng(seed)
+
+        self.NDATA = None
+        self.neighbors = None
+        self.Nneighbors = None
+        self.k = None
+        self.fit_lnprior = None
+        self.fit_lnlike = None
+        self.fit_lnprob = None
+        self.fit_Ndim = None
+        self.fit_chi2 = None
+        self.fit_scale = None
+        self.fit_scale_err = None
+
+        # K Monte-Carlo feature ensembles (knn.py:158-188): jitter the
+        # models by their errors, map to feature space, store (K, M, Nf).
+        # All K realizations go through ONE jitted vmapped feature-map
+        # call, and the jitters are drawn from the ORIGINAL host arrays
+        # (reading self.models back from the device costs minutes over a
+        # remote-TPU relay).
+        mods = np.asarray(models, dtype=float)
+        errs = np.asarray(models_err, dtype=float)
+        jits = self.rng.normal(mods[None], errs[None],
+                               (self.K,) + mods.shape).astype(np.float32)
+        fmap = self.feature_map
+
+        @jax.jit
+        def build(j, e):
+            return jax.vmap(lambda x: fmap(x, e)[0])(j)
+
+        self.features = jnp.asarray(
+            build(jnp.asarray(jits), self.models_err), jnp.float32)
+        self.features_sqnorm = jnp.sum(self.features**2, axis=-1)
+        if verbose:
+            import sys
+            sys.stderr.write("{0}/{0} MC feature ensembles constructed\n"
+                             .format(self.K))
+
+    # ------------------------------------------------------------------
+
+    def _search_fn(self, k, lp_norm, dbound):
+        """Jitted (B, Nf) query features -> (B, K*k) indices (+valid)."""
+        K = self.K
+
+        @jax.jit
+        def search(q, feats, feats_sq):
+            # q: (B, Nf) jittered query features.
+            def per_ensemble(carry, ens):
+                Y, Ysq = ens
+                if lp_norm == 2:
+                    d = Ysq[None, :] - 2.0 * (q @ Y.T) \
+                        + jnp.sum(q * q, axis=1, keepdims=True)
+                else:
+                    d = jnp.sum(jnp.abs(q[:, None, :] - Y[None, :, :])
+                                ** lp_norm, axis=-1)
+                neg, idx = jax.lax.top_k(-d, k)
+                ok = -neg <= (dbound ** lp_norm if np.isfinite(dbound)
+                              else jnp.inf)
+                return carry, (idx, ok)
+
+            _, (idx, ok) = jax.lax.scan(per_ensemble, None,
+                                        (feats, feats_sq))
+            # (K, B, k) -> (B, K*k)
+            idx = jnp.moveaxis(idx, 0, 1).reshape(q.shape[0], K * k)
+            ok = jnp.moveaxis(ok, 0, 1).reshape(q.shape[0], K * k)
+
+            # First-seen-order unique (pandas.unique semantics): stable
+            # sort by index; a slot is a duplicate if it equals its
+            # predecessor in sorted order; scatter back, then compact
+            # valid slots to the front by stable sort on the dup flag.
+            order = jnp.argsort(idx, axis=1, stable=True)
+            sorted_idx = jnp.take_along_axis(idx, order, axis=1)
+            dup_sorted = jnp.concatenate(
+                [jnp.zeros((idx.shape[0], 1), bool),
+                 sorted_idx[:, 1:] == sorted_idx[:, :-1]], axis=1)
+            dup = jnp.zeros_like(dup_sorted)
+            dup = jnp.put_along_axis(dup, order, dup_sorted, axis=1,
+                                     inplace=False)
+            invalid = dup | ~ok
+            slot = jnp.arange(K * k, dtype=jnp.int32)[None, :]
+            perm = jnp.argsort(jnp.where(invalid, _BIG + slot, slot),
+                               axis=1, stable=True)
+            cidx = jnp.take_along_axis(idx, perm, axis=1)
+            cvalid = ~jnp.take_along_axis(invalid, perm, axis=1)
+            nidx = jnp.sum(cvalid, axis=1)
+            return jnp.where(cvalid, cidx, -99), cvalid, nidx
+
+        return search
+
+    def _lprob_gathered(self, lprob_func, lprob_args, lprob_kwargs):
+        """Vmapped lprob: each object against its own gathered models."""
+        if lprob_func is None:
+            lprob_func = _like.logprob
+        lprob_args = lprob_args or ()
+        lprob_kwargs = lprob_kwargs or {}
+
+        @jax.jit
+        def run(d, de, dm, idx, valid):
+            safe = jnp.maximum(idx, 0)
+            m = self.models[safe]          # (B, J, Nf)
+            me = self.models_err[safe]
+            mm = self.models_mask[safe]
+
+            def one(x, xe, xm, mj, mej, mmj):
+                res = lprob_func(x[None], xe[None], xm[None], mj, mej, mmj,
+                                 *lprob_args, **lprob_kwargs)
+                return tuple(None if r is None else r[0] for r in
+                             (res[0], res[1], res[2], res[3], res[4],
+                              res[5] if len(res) > 5 else None,
+                              res[6] if len(res) > 6 else None))
+
+            out = jax.vmap(one)(d, de, dm, m, me, mm)
+            lnprior, lnlike, lnprob, ndim, chi2, scale, scale_err = out
+            neg = jnp.float32(-jnp.inf)
+            lnprior = jnp.where(valid, lnprior, neg)
+            lnlike = jnp.where(valid, lnlike, neg)
+            lnprob = jnp.where(valid, lnprob, neg)
+            ndim = jnp.where(valid, ndim, 0)
+            chi2 = jnp.where(valid, chi2, jnp.inf)
+            if scale is not None:
+                scale = jnp.where(valid, scale, 1.0)
+                scale_err = jnp.where(valid, scale_err, 0.0)
+            return lnprior, lnlike, lnprob, ndim, chi2, scale, scale_err
+
+        return run
+
+    def _alloc_fits(self, ndata, k, track_scale):
+        j = self.K * k
+        inf = np.inf
+        self.NDATA = ndata
+        self.k = k
+        self.Nneighbors = np.zeros(ndata, np.int32)
+        self.neighbors = np.full((ndata, j), -99, np.int32)
+        self.fit_lnprior = np.full((ndata, j), -inf, np.float32)
+        self.fit_lnlike = np.full((ndata, j), -inf, np.float32)
+        self.fit_lnprob = np.full((ndata, j), -inf, np.float32)
+        self.fit_Ndim = np.zeros((ndata, j), np.int32)
+        self.fit_chi2 = np.full((ndata, j), inf, np.float32)
+        if track_scale:
+            self.fit_scale = np.ones((ndata, j), np.float32)
+            self.fit_scale_err = np.zeros((ndata, j), np.float32)
+        else:
+            self.fit_scale = None
+            self.fit_scale_err = None
+
+    def _store(self, i0, n, idx, nidx, res):
+        sl = slice(i0, i0 + n)
+        self.neighbors[sl] = np.asarray(idx[:n], np.int32)
+        self.Nneighbors[sl] = np.asarray(nidx[:n], np.int32)
+        lnprior, lnlike, lnprob, ndim, chi2, scale, scale_err = res
+        self.fit_lnprior[sl] = np.asarray(lnprior[:n], np.float32)
+        self.fit_lnlike[sl] = np.asarray(lnlike[:n], np.float32)
+        self.fit_lnprob[sl] = np.asarray(lnprob[:n], np.float32)
+        self.fit_Ndim[sl] = np.asarray(ndim[:n], np.int32)
+        self.fit_chi2[sl] = np.asarray(chi2[:n], np.float32)
+        if scale is not None and self.fit_scale is not None:
+            self.fit_scale[sl] = np.asarray(scale[:n], np.float32)
+            self.fit_scale_err[sl] = np.asarray(scale_err[:n], np.float32)
+
+    def _query_batches(self, data, data_err, data_mask, k, lp_norm, dbound,
+                       batch_size, rng):
+        """Yield (i0, n, idx, valid, nidx, padded data triplet) batches."""
+        ndata = data.shape[0]
+        search = self._search_fn(k, lp_norm, dbound)
+        for i0, n in _batch_slices(ndata, batch_size):
+            d = _pad_rows(data[i0:i0 + n], batch_size)
+            de = _pad_rows(data_err[i0:i0 + n], batch_size)
+            dm = _pad_rows(data_mask[i0:i0 + n], batch_size)
+            # Monte-Carlo jitter of the query (knn.py:358-361).
+            jit = rng.normal(d, np.abs(de))
+            q, _ = self.feature_map(jnp.asarray(jit, jnp.float32),
+                                    jnp.asarray(de, jnp.float32))
+            idx, valid, nidx = search(jnp.asarray(q, jnp.float32),
+                                      self.features, self.features_sqnorm)
+            yield i0, n, d, de, dm, idx, valid, nidx
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+
+    def fit(self, data, data_err, data_mask, lprob_func=None, rng=None,
+            k=20, eps=1e-3, lp_norm=2, distance_upper_bound=np.inf,
+            lprob_args=None, lprob_kwargs=None, track_scale=False,
+            verbose=True, batch_size=1024):
+        """KMCkNN fit: neighbor union + exact posteriors on the union.
+
+        Reference: knn.py:190-388.  Stores `neighbors` / `Nneighbors` and
+        the (Ndata, K*k) padded fit grids.
+        """
+        del eps  # exact search
+        data = np.atleast_2d(np.asarray(data, float))
+        data_err = np.atleast_2d(np.asarray(data_err, float))
+        data_mask = np.atleast_2d(np.asarray(data_mask, float))
+        rng = rng or self.rng
+        ndata = data.shape[0]
+        self._alloc_fits(ndata, k, track_scale)
+        lprob = self._lprob_gathered(lprob_func, lprob_args, lprob_kwargs)
+
+        batches = self._query_batches(data, data_err, data_mask, k, lp_norm,
+                                      distance_upper_bound, batch_size, rng)
+        for i0, n, d, de, dm, idx, valid, nidx in progress_iter(
+                batches, total=ndata, label="Fitting object", sizes=False,
+                verbose=False):
+            res = lprob(jnp.asarray(d), jnp.asarray(de), jnp.asarray(dm),
+                        idx, valid)
+            self._store(i0, n, idx, nidx, res)
+            if verbose:
+                import sys
+                sys.stderr.write("\rFitting object {0}/{1}"
+                                 .format(min(i0 + n, ndata), ndata))
+        if verbose:
+            import sys
+            sys.stderr.write("\n")
+        return self
+
+    def predict(self, model_labels, model_label_errs, label_dict=None,
+                label_grid=None, logwt=None, kde_args=None, kde_kwargs=None,
+                return_gof=False, verbose=True, batch_size=1024,
+                wt_thresh=1e-3, cdf_thresh=2e-4):
+        """PDFs from stored neighbor fits (knn.py:390-558)."""
+        if logwt is None:
+            logwt = self.fit_lnprob
+        if logwt is None:
+            raise ValueError("Fits have not been computed and weights have "
+                             "not been provided.")
+        kde_kwargs = kde_kwargs or {}
+        wt_thresh = kde_kwargs.get("wt_thresh", wt_thresh)
+        cdf_thresh = kde_kwargs.get("cdf_thresh", cdf_thresh)
+        model_labels = np.asarray(model_labels)
+        model_label_errs = np.asarray(model_label_errs)
+        ndata, j = np.shape(logwt)
+
+        pdfs, lmap, levid, grid = self._stack_batches(
+            np.asarray(logwt, np.float32), self.neighbors, model_labels,
+            model_label_errs, label_dict, label_grid, wt_thresh, cdf_thresh,
+            batch_size)
+        if return_gof:
+            return pdfs, (lmap, levid)
+        return pdfs
+
+    def _stack_batches(self, logwt, neighbors, model_labels,
+                       model_label_errs, label_dict, label_grid, wt_thresh,
+                       cdf_thresh, batch_size):
+        if label_dict is None and label_grid is None:
+            raise ValueError("`label_dict` or `label_grid` must be "
+                             "specified.")
+        ndata = logwt.shape[0]
+        if label_dict is not None:
+            full_pos, full_sig = label_dict.fit(
+                jnp.asarray(model_labels), jnp.asarray(model_label_errs))
+            full_pos = np.asarray(full_pos)
+            full_sig = np.asarray(full_sig)
+            ngrid = label_dict.Ngrid
+            grid = np.asarray(label_dict.grid)
+        else:
+            grid = np.asarray(label_grid)
+            ngrid = len(grid)
+
+        @jax.jit
+        def stack_dict_batch(lwt, pos, sig):
+            lmap = jnp.max(lwt, axis=1)
+            levid = jax.scipy.special.logsumexp(lwt, axis=1)
+            wt = jnp.exp(lwt - levid[:, None])
+            wt = _kde.threshold_weights(wt, wt_thresh, cdf_thresh)
+            pdf = _kde.kde_stack_gathered_dict(label_dict, pos, sig, wt)
+            norm = jnp.sum(pdf, axis=1, keepdims=True)
+            return (jnp.where(norm > 0, pdf / jnp.where(norm > 0, norm, 1.),
+                              0.0), lmap, levid)
+
+        @jax.jit
+        def stack_grid_batch(lwt, y, ys):
+            lmap = jnp.max(lwt, axis=1)
+            levid = jax.scipy.special.logsumexp(lwt, axis=1)
+            wt = jnp.exp(lwt - levid[:, None])
+            wt = _kde.threshold_weights(wt, wt_thresh, cdf_thresh)
+            pdf = _kde.kde_stack_gathered(y, ys, wt, grid)
+            norm = jnp.sum(pdf, axis=1, keepdims=True)
+            return (jnp.where(norm > 0, pdf / jnp.where(norm > 0, norm, 1.),
+                              0.0), lmap, levid)
+
+        pdfs = np.zeros((ndata, ngrid), np.float32)
+        lmap = np.zeros(ndata, np.float32)
+        levid = np.zeros(ndata, np.float32)
+        for i0, n in _batch_slices(ndata, batch_size):
+            lwt = _pad_rows(logwt[i0:i0 + n], batch_size)
+            idx = _pad_rows(neighbors[i0:i0 + n], batch_size)
+            safe = np.maximum(idx, 0)
+            if label_dict is not None:
+                out = stack_dict_batch(jnp.asarray(lwt),
+                                       jnp.asarray(full_pos[safe]),
+                                       jnp.asarray(full_sig[safe]))
+            else:
+                out = stack_grid_batch(jnp.asarray(lwt),
+                                       jnp.asarray(model_labels[safe]),
+                                       jnp.asarray(model_label_errs[safe]))
+            pdf_b, lmap_b, levid_b = out
+            pdfs[i0:i0 + n] = np.asarray(pdf_b[:n])
+            lmap[i0:i0 + n] = np.asarray(lmap_b[:n])
+            levid[i0:i0 + n] = np.asarray(levid_b[:n])
+        return pdfs, lmap, levid, grid
+
+    def fit_predict(self, data, data_err, data_mask, model_labels,
+                    model_label_errs, lprob_func=None, label_dict=None,
+                    label_grid=None, kde_args=None, kde_kwargs=None,
+                    lprob_args=None, lprob_kwargs=None, return_gof=False,
+                    track_scale=False, verbose=True, save_fits=False,
+                    rng=None, k=20, eps=1e-3, lp_norm=2,
+                    distance_upper_bound=np.inf, batch_size=1024,
+                    wt_thresh=1e-3, cdf_thresh=2e-4):
+        """Fused KMCkNN fit + PDF prediction (knn.py:560-874)."""
+        del eps
+        data = np.atleast_2d(np.asarray(data, float))
+        data_err = np.atleast_2d(np.asarray(data_err, float))
+        data_mask = np.atleast_2d(np.asarray(data_mask, float))
+        rng = rng or self.rng
+        ndata = data.shape[0]
+        kde_kwargs = kde_kwargs or {}
+        wt_thresh = kde_kwargs.get("wt_thresh", wt_thresh)
+        cdf_thresh = kde_kwargs.get("cdf_thresh", cdf_thresh)
+        if save_fits:
+            self._alloc_fits(ndata, k, track_scale)
+        model_labels = np.asarray(model_labels)
+        model_label_errs = np.asarray(model_label_errs)
+        lprob = self._lprob_gathered(lprob_func, lprob_args, lprob_kwargs)
+
+        if label_dict is not None:
+            full_pos, full_sig = label_dict.fit(
+                jnp.asarray(model_labels), jnp.asarray(model_label_errs))
+            full_pos = jnp.asarray(full_pos)
+            full_sig = jnp.asarray(full_sig)
+            ngrid = label_dict.Ngrid
+        elif label_grid is not None:
+            grid = jnp.asarray(label_grid)
+            ngrid = len(label_grid)
+        else:
+            raise ValueError("`label_dict` or `label_grid` must be "
+                             "specified.")
+
+        @jax.jit
+        def fused(d, de, dm, idx, valid):
+            res = lprob(d, de, dm, idx, valid)
+            lnprob = res[2]
+            lmap = jnp.max(lnprob, axis=1)
+            levid = jax.scipy.special.logsumexp(lnprob, axis=1)
+            wt = jnp.exp(lnprob - levid[:, None])
+            wt = _kde.threshold_weights(wt, wt_thresh, cdf_thresh)
+            safe = jnp.maximum(idx, 0)
+            if label_dict is not None:
+                pdf = _kde.kde_stack_gathered_dict(
+                    label_dict, full_pos[safe], full_sig[safe], wt)
+            else:
+                pdf = _kde.kde_stack_gathered(
+                    jnp.asarray(model_labels)[safe],
+                    jnp.asarray(model_label_errs)[safe], wt, grid)
+            norm = jnp.sum(pdf, axis=1, keepdims=True)
+            pdf = jnp.where(norm > 0, pdf / jnp.where(norm > 0, norm, 1.0),
+                            0.0)
+            return pdf, lmap, levid, res
+
+        pdfs = np.zeros((ndata, ngrid), np.float32)
+        lmap = np.zeros(ndata, np.float32)
+        levid = np.zeros(ndata, np.float32)
+        batches = self._query_batches(data, data_err, data_mask, k, lp_norm,
+                                      distance_upper_bound, batch_size, rng)
+        for i0, n, d, de, dm, idx, valid, nidx in batches:
+            pdf_b, lmap_b, levid_b, res = fused(
+                jnp.asarray(d), jnp.asarray(de), jnp.asarray(dm), idx, valid)
+            pdfs[i0:i0 + n] = np.asarray(pdf_b[:n])
+            lmap[i0:i0 + n] = np.asarray(lmap_b[:n])
+            levid[i0:i0 + n] = np.asarray(levid_b[:n])
+            if save_fits:
+                self._store(i0, n, idx, nidx, res)
+            if verbose:
+                import sys
+                sys.stderr.write("\rFitting object {0}/{1}"
+                                 .format(min(i0 + n, ndata), ndata))
+        if verbose:
+            import sys
+            sys.stderr.write("\n")
+        if return_gof:
+            return pdfs, (lmap, levid)
+        return pdfs

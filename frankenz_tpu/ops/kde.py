@@ -58,6 +58,8 @@ __all__ = [
     "kernel_matrix_dict",
     "threshold_weights",
     "kde_stack",
+    "kde_stack_gathered",
+    "kde_stack_gathered_dict",
     "gauss_kde",
     "gauss_kde_dict",
 ]
@@ -255,6 +257,59 @@ def threshold_weights(wts, wt_thresh=1e-3, cdf_thresh=2e-4):
 @jax.jit
 def _matmul(wts, G):
     return wts @ G
+
+
+def kde_stack_gathered_dict(pdfdict, pos, sig, wts):
+    """KDE stack where every object has its OWN label subset (kNN path).
+
+    ``pos``/``sig``/``wts`` have shape (Nobj, J): per-object dictionary
+    positions, sigma indices, and weights (invalid slots: weight 0).
+    Builds each object's J kernel rows on the fly (same gather+mask+
+    renormalize as `kernel_matrix_dict`) and contracts them immediately —
+    einsum('bj,bjg->bg') — so no shared (Nmodel, Ngrid) matrix is needed.
+    Output is unnormalized, like `kde_stack`.
+    """
+    table = jnp.asarray(pdfdict.kernel_table)
+    widths = jnp.asarray(pdfdict.sigma_width, dtype=jnp.int32)
+    return _kde_stack_gathered_jit(table, widths, jnp.asarray(pos, jnp.int32),
+                                   jnp.asarray(sig, jnp.int32),
+                                   jnp.asarray(wts), nx=pdfdict.Ngrid,
+                                   wmax=pdfdict.max_width)
+
+
+@functools.partial(jax.jit, static_argnames=("nx", "wmax"))
+def _kde_stack_gathered_jit(table, widths, pos, sig, wts, *, nx, wmax):
+    cols = jnp.arange(nx, dtype=jnp.int32)
+    off = cols[None, None, :] - pos[..., None]  # (B, J, nx)
+    w = widths[sig][..., None]
+    in_win = jnp.abs(off) <= w
+    gather_col = jnp.clip(off + wmax, 0, 2 * wmax)
+    vals = jnp.take_along_axis(
+        table[sig], gather_col.reshape(sig.shape + (nx,)), axis=-1) * in_win
+    norm = jnp.sum(vals, axis=-1, keepdims=True)
+    rows = jnp.where(norm > 0.0, vals / jnp.where(norm > 0.0, norm, 1.0),
+                     0.0)
+    return jnp.einsum("bj,bjg->bg", wts, rows)
+
+
+@jax.jit
+def _kde_stack_gathered_grid_jit(y, y_std, wts, grid, dx, sig_thresh):
+    rows = jax.vmap(lambda yy, ss: _kernel_matrix_jit(yy, ss, grid, dx,
+                                                      sig_thresh))(y, y_std)
+    return jnp.einsum("bj,bjg->bg", wts, rows)
+
+
+def kde_stack_gathered(y, y_std, wts, grid, dx=None, sig_thresh=5.0):
+    """Grid (non-dict) variant of `kde_stack_gathered_dict`.
+
+    ``y``/``y_std``/``wts``: (Nobj, J) per-object label subsets + weights.
+    """
+    grid = jnp.asarray(grid)
+    if dx is None:
+        dx = grid[1] - grid[0]
+    return _kde_stack_gathered_grid_jit(jnp.asarray(y), jnp.asarray(y_std),
+                                        jnp.asarray(wts), grid, dx,
+                                        sig_thresh)
 
 
 def kde_stack(weights, G, wt_thresh=1e-3, cdf_thresh=2e-4):
