@@ -4,6 +4,12 @@ Reference: `frankenz/fitting.py:25-30` (a pure facade over BruteForce,
 NearestNeighbors, SelfOrganizingMap, GrowingNeuralGas).
 """
 
-from .models import BruteForce, NearestNeighbors  # noqa: F401
+from .models import (  # noqa: F401
+    BruteForce,
+    GrowingNeuralGas,
+    NearestNeighbors,
+    SelfOrganizingMap,
+)
 
-__all__ = ["BruteForce", "NearestNeighbors"]
+__all__ = ["BruteForce", "NearestNeighbors", "SelfOrganizingMap",
+           "GrowingNeuralGas"]

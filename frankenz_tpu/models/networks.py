@@ -1,0 +1,967 @@
+"""
+Manifold fitters: shared `_Network` machinery + SelfOrganizingMap +
+GrowingNeuralGas.
+
+Reference: `frankenz/networks.py` (`_Network` :121, learning/neighborhood
+functions :38-118, `SelfOrganizingMap` :1490, `GrowingNeuralGas` :1870).
+
+A network compresses a large model set onto Nnode << Nmodel nodes: models
+are soft-assigned to nodes (`populate_network`), each node carries a
+label PDF of its members, and new data are fit against nodes first —
+either stopping there (`nodes_only=True`, the "cell-conditioned photo-z"
+mode) or refining with exact posteriors on the union of member models.
+
+TPU-first structural redesign (the reference uses ragged Python lists, a
+`networkx` graph, and per-object/per-step Python loops):
+
+* `populate_network` is a single batched pass: (Nmodel, Nnode) node
+  log-posteriors per model batch on the MXU; memberships come back as a
+  thresholded mask and are compacted host-side into fixed-capacity padded
+  member tables (Nnode, max_members) with the kNN padding conventions.
+* node PDFs (`get_pdfs`) stack each node's member kernels with the same
+  gathered-KDE kernel as the kNN fitter; the density scaling by
+  exp(levid) (networks.py:495-496) is preserved.
+* `fit`/`predict` with `nodes_only=True` is fully dense: thresholded node
+  weights (Nobj, Nocc) -> `pdfs = wts @ node_pdfs` — one matmul.
+  With `nodes_only=False`, per-object unions of member indices are built
+  with fixed caps (`max_sel_nodes` selected nodes, `max_neighbors` union
+  size) and sort-based dedupe — the reference's unbounded ragged unions
+  (networks.py:908-919) become static shapes; caps are recorded and a
+  too-small cap raises rather than silently truncating.
+* SOM training (networks.py:1682-1867) is one `lax.scan` over
+  niter*nbatch steps with the node table resident on device; BMU search
+  is an argmax over the node log-posterior vector; neighborhood and
+  learning-rate schedules are traced jnp functions.
+* GNG training (networks.py:2037-2260) replaces the dynamic
+  `networkx.Graph` with fixed-capacity dense state — node table
+  (max_nodes, Nfilt), per-node error vector, alive mask, and an edge-age
+  matrix (max_nodes, max_nodes; -1 = no edge) — inside one `lax.scan`
+  with masked insert/prune writes.
+
+NOTE: the reference's `__all__` exports a nonexistent `lprob_train`
+(networks.py:33-35, a dangling name) — deliberately not reproduced.
+
+RNG: training draws use JAX counter-based PRNG keys (seeded), so streams
+are distribution-equivalent, not bitwise-equal, to the reference's global
+NumPy state (SURVEY.md section 7, "RNG parity").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import kde as _kde
+from ..ops import likelihood as _like
+from .bruteforce import _batch_slices, _pad_rows
+
+__all__ = ["SelfOrganizingMap", "GrowingNeuralGas", "_Network",
+           "learn_linear", "learn_geometric", "learn_harmonic",
+           "neighbor_gauss", "neighbor_lorentz"]
+
+
+# ----------------------------------------------------------------------
+# Learning-rate schedules and neighborhood kernels (networks.py:38-118)
+# ----------------------------------------------------------------------
+
+def learn_linear(t, start=0.5, end=0.1, **kwargs):
+    """Linear interpolation from `start` to `end` over t in [0, 1]."""
+    return (1.0 - t) * start + t * end
+
+
+def learn_geometric(t, start=0.5, end=0.1, **kwargs):
+    """Geometric (log-linear) interpolation from `start` to `end`."""
+    return jnp.exp((1.0 - t) * jnp.log(start) + t * jnp.log(end))
+
+
+def learn_harmonic(t, start=0.5, end=0.1, **kwargs):
+    """Weighted harmonic mean of `start` and `end`."""
+    return 1.0 / ((1.0 - t) / start + t / end)
+
+
+_LEARN = {"linear": learn_linear, "geometric": learn_geometric,
+          "harmonic": learn_harmonic}
+
+
+def neighbor_gauss(t, pos, positions, nside, start=0.7, end=0.02,
+                   rate="harmonic", **kwargs):
+    """Gaussian lattice neighborhood with annealed width sigma(t)*nside."""
+    learn = _LEARN[rate] if isinstance(rate, str) else rate
+    if nside is None:
+        nside = jnp.sqrt(len(positions))
+    sqdist = jnp.sum((pos - positions) ** 2, axis=1)
+    sigma = learn(t, start=start, end=end) * nside
+    return jnp.exp(-0.5 * sqdist / sigma**2), sigma
+
+
+def neighbor_lorentz(t, pos, positions, nside, start=0.7, end=0.02,
+                     rate="harmonic", **kwargs):
+    """Lorentzian lattice neighborhood with annealed width."""
+    learn = _LEARN[rate] if isinstance(rate, str) else rate
+    sqdist = jnp.sum((pos - positions) ** 2, axis=1)
+    sigma = learn(t, start=start, end=end) * nside
+    return sigma**2 / (sqdist + sigma**2), sigma
+
+
+def _threshold_sel(lnprob, wt_thresh, cdf_thresh):
+    """Boolean selection mask over the last axis (networks.py:323-332)."""
+    if wt_thresh is None and cdf_thresh is None:
+        return jnp.ones(lnprob.shape, bool)
+    if wt_thresh is not None:
+        cut = jnp.log(wt_thresh) + jnp.max(lnprob, axis=-1, keepdims=True)
+        return lnprob > cut
+    prob = jnp.exp(lnprob
+                   - jax.scipy.special.logsumexp(lnprob, axis=-1,
+                                                 keepdims=True))
+    order = jnp.argsort(prob, axis=-1)
+    cdf = jnp.cumsum(jnp.take_along_axis(prob, order, axis=-1), axis=-1)
+    keep_sorted = cdf <= (1.0 - cdf_thresh)
+    keep = jnp.zeros_like(keep_sorted)
+    return jnp.put_along_axis(keep, order, keep_sorted, axis=-1,
+                              inplace=False)
+
+
+class _Network:
+    """Shared node-network machinery (reference `_Network`, networks.py:121).
+
+    Subclasses set `self.nodes` (Nnode, Nfilt) and `self.nodes_pos`
+    (Nnode, Nproj) in `train_network`; everything else lives here.
+    """
+
+    def __init__(self, models, models_err, models_mask):
+        self.models = jnp.asarray(models)
+        self.models_err = jnp.asarray(models_err)
+        self.models_mask = jnp.asarray(models_mask)
+        # Host copies (device readback over a remote-TPU relay is slow).
+        self._models_np = np.asarray(models, dtype=float)
+        self._models_err_np = np.asarray(models_err, dtype=float)
+        self._models_mask_np = np.asarray(models_mask, dtype=float)
+        self.NMODEL, self.NDIM = self.models.shape
+        self.models_lmap = np.full(self.NMODEL, -np.inf)
+        self.models_levid = np.full(self.NMODEL, -np.inf)
+
+        self.nodes = None
+        self.nodes_pos = None
+        self.NNODE = None
+        self.NPROJ = None
+
+        # Padded membership tables (built by populate_network).
+        self.nodes_idxs = None        # (Nnode, maxm) int32, -99 pad
+        self.nodes_logwts = None      # (Nnode, maxm) float32, -inf pad
+        self.nodes_scales = None      # (Nnode, maxm) float32, 1 pad
+        self.nodes_scales_err = None  # (Nnode, maxm) float32, 0 pad
+        self.nodes_bmus = None        # (Nnode, maxb) int32, -99 pad
+        self.nodes_Nmatch = None      # (Nnode,) int32
+        self.nodes_Nbmu = None        # (Nnode,) int32
+        self.nodes_only = None
+
+        # Fit state (dense / padded, see fit()).
+        self.NDATA = None
+        self.neighbors = None
+        self.Nneighbors = None
+        self.fit_lnprior = None
+        self.fit_lnlike = None
+        self.fit_lnprob = None
+        self.fit_Ndim = None
+        self.fit_chi2 = None
+        self.fit_scale = None
+        self.fit_scale_err = None
+
+        self.lpnet_func = None
+        self.lpnet_args = ()
+        self.lpnet_kwargs = None
+
+    # ------------------------------------------------------------------
+    # populate
+    # ------------------------------------------------------------------
+
+    def populate_network(self, lpnet_func=None, wt_thresh=1e-3,
+                         cdf_thresh=2e-4, lpnet_args=None,
+                         lpnet_kwargs=None, track_scale=True, verbose=True,
+                         batch_size=1024):
+        """Soft-assign every model to its matching nodes.
+
+        Reference: networks.py:175-356.  One batched pass: per model batch
+        the (B, Nnode) node log-posteriors (default free-scale,
+        error-free), BMU by argmax, thresholded memberships, per-model
+        normalized log-weights, and scales.  Results land in the padded
+        member tables.
+        """
+        del verbose
+        if lpnet_func is None:
+            lpnet_func = _like.logprob
+        lpnet_args = lpnet_args or ()
+        if lpnet_kwargs is None:
+            lpnet_kwargs = {"free_scale": True, "ignore_model_err": True,
+                            "return_scale": True}
+        self.lpnet_func = lpnet_func
+        self.lpnet_args = lpnet_args
+        self.lpnet_kwargs = lpnet_kwargs
+
+        nodes = jnp.asarray(self.nodes)
+        ye = jnp.zeros_like(nodes)
+        ym = jnp.ones_like(nodes)
+        nnode = nodes.shape[0]
+
+        @jax.jit
+        def batch(x, xe, xm):
+            res = lpnet_func(x, xe, xm, nodes, ye, ym, *lpnet_args,
+                             **lpnet_kwargs)
+            lnp = res[2]
+            bmu = jnp.argmax(lnp, axis=1)
+            sel = _threshold_sel(lnp, wt_thresh, cdf_thresh)
+            masked = jnp.where(sel, lnp, -jnp.inf)
+            lmap = jnp.max(masked, axis=1)
+            levid = jax.scipy.special.logsumexp(masked, axis=1)
+            logwts = masked - levid[:, None]
+            if track_scale and len(res) > 5 and res[5] is not None:
+                scales, serr = res[5], res[6]
+            else:
+                scales = jnp.ones_like(lnp)
+                serr = jnp.zeros_like(lnp)
+            return sel, logwts, bmu, lmap, levid, scales, serr
+
+        mods = self._models_np
+        errs = self._models_err_np
+        mask = self._models_mask_np
+
+        rows, cols, lws, scs, ses = [], [], [], [], []
+        bmus = np.zeros(self.NMODEL, np.int64)
+        for i0, n in _batch_slices(self.NMODEL, batch_size):
+            x = _pad_rows(mods[i0:i0 + n], batch_size)
+            xe = _pad_rows(errs[i0:i0 + n], batch_size)
+            xm = _pad_rows(mask[i0:i0 + n], batch_size)
+            sel, logwts, bmu, lmap, levid, scales, serr = batch(
+                jnp.asarray(x), jnp.asarray(xe), jnp.asarray(xm))
+            sel = np.asarray(sel[:n])
+            r, c = np.nonzero(sel)
+            rows.append(r + i0)
+            cols.append(c)
+            lws.append(np.asarray(logwts[:n])[r, c])
+            scs.append(np.asarray(scales[:n])[r, c])
+            ses.append(np.asarray(serr[:n])[r, c])
+            bmus[i0:i0 + n] = np.asarray(bmu[:n])
+            self.models_lmap[i0:i0 + n] = np.asarray(lmap[:n])
+            self.models_levid[i0:i0 + n] = np.asarray(levid[:n])
+
+        model_idx = np.concatenate(rows)
+        node_idx = np.concatenate(cols)
+        logwt = np.concatenate(lws)
+        scale = np.concatenate(scs)
+        serr = np.concatenate(ses)
+
+        # Compact into padded per-node tables, preserving model order.
+        self.nodes_Nmatch = np.bincount(node_idx,
+                                        minlength=nnode).astype(np.int32)
+        maxm = max(int(self.nodes_Nmatch.max()), 1)
+        self.nodes_idxs = np.full((nnode, maxm), -99, np.int32)
+        self.nodes_logwts = np.full((nnode, maxm), -np.inf, np.float32)
+        self.nodes_scales = np.ones((nnode, maxm), np.float32)
+        self.nodes_scales_err = np.zeros((nnode, maxm), np.float32)
+        order = np.argsort(node_idx, kind="stable")
+        slot = np.zeros(len(node_idx), np.int64)
+        sorted_nodes = node_idx[order]
+        # Position within each node's run (stable sort keeps model order).
+        starts = np.searchsorted(sorted_nodes, np.arange(nnode))
+        slot = np.arange(len(node_idx)) - starts[sorted_nodes]
+        self.nodes_idxs[sorted_nodes, slot] = model_idx[order]
+        self.nodes_logwts[sorted_nodes, slot] = logwt[order]
+        self.nodes_scales[sorted_nodes, slot] = scale[order]
+        self.nodes_scales_err[sorted_nodes, slot] = serr[order]
+
+        self.nodes_Nbmu = np.bincount(bmus,
+                                      minlength=nnode).astype(np.int32)
+        maxb = max(int(self.nodes_Nbmu.max()), 1)
+        self.nodes_bmus = np.full((nnode, maxb), -99, np.int32)
+        order_b = np.argsort(bmus, kind="stable")
+        sorted_b = bmus[order_b]
+        starts_b = np.searchsorted(sorted_b, np.arange(nnode))
+        slot_b = np.arange(self.NMODEL) - starts_b[sorted_b]
+        self.nodes_bmus[sorted_b, slot_b] = order_b.astype(np.int32)
+        return self
+
+    # ------------------------------------------------------------------
+    # node access / node PDFs
+    # ------------------------------------------------------------------
+
+    def get_node(self, idx=None, pos=None, discrete=False):
+        """Quantities for one node (networks.py:358-410).
+
+        Returns (idx, node, node_pos, member_idxs, member_logwts, scales,
+        scale_errs) with the valid member prefix only.
+        """
+        if (idx is None) == (pos is None):
+            raise ValueError("Exactly one of `idx` or `pos` must be given.")
+        if pos is not None:
+            idx = int(np.argmin(((np.asarray(self.nodes_pos)
+                                  - np.asarray(pos)) ** 2).sum(axis=1)))
+        if discrete:
+            n = self.nodes_Nbmu[idx]
+            idxs = self.nodes_bmus[idx, :n]
+            logwts = np.zeros(n)
+            scales = np.ones(n)
+            serr = np.zeros(n)
+        else:
+            n = self.nodes_Nmatch[idx]
+            idxs = self.nodes_idxs[idx, :n]
+            logwts = self.nodes_logwts[idx, :n]
+            scales = self.nodes_scales[idx, :n]
+            serr = self.nodes_scales_err[idx, :n]
+        return (idx, np.asarray(self.nodes)[idx],
+                np.asarray(self.nodes_pos)[idx], idxs, logwts, scales, serr)
+
+    def get_pdfs(self, model_labels, model_label_errs, label_dict=None,
+                 label_grid=None, kde_args=None, kde_kwargs=None,
+                 return_gof=False, discrete=False, verbose=True,
+                 batch_size=256):
+        """Per-node member-stacked label PDFs: (Nnode, Ngrid).
+
+        Reference: networks.py:509-694.  Each node's PDF is the weighted
+        KDE over its members, normalized to 1 and then scaled by
+        exp(levid) to reflect object density (networks.py:495-496); empty
+        nodes get zero PDFs and -inf GOF.
+        """
+        del verbose
+        if label_dict is None and label_grid is None:
+            raise ValueError("`label_dict` or `label_grid` must be "
+                             "specified.")
+        model_labels = np.asarray(model_labels)
+        model_label_errs = np.asarray(model_label_errs)
+        if discrete:
+            idx_tab = self.nodes_bmus
+            counts = self.nodes_Nbmu
+            lw_tab = np.where(idx_tab >= 0, 0.0, -np.inf).astype(np.float32)
+        else:
+            idx_tab = self.nodes_idxs
+            counts = self.nodes_Nmatch
+            lw_tab = self.nodes_logwts
+        nnode, maxm = idx_tab.shape
+
+        if label_dict is not None:
+            fp, fs = label_dict.fit(jnp.asarray(model_labels),
+                                    jnp.asarray(model_label_errs))
+            fp, fs = np.asarray(fp), np.asarray(fs)
+            ngrid = label_dict.Ngrid
+        else:
+            grid = jnp.asarray(label_grid)
+            ngrid = len(label_grid)
+
+        @jax.jit
+        def stack(lwt, a, b):
+            lmap = jnp.max(lwt, axis=1)
+            levid = jax.scipy.special.logsumexp(lwt, axis=1)
+            wt = jnp.exp(lwt - levid[:, None])
+            wt = jnp.where(jnp.isfinite(lwt), wt, 0.0)
+            if label_dict is not None:
+                pdf = _kde.kde_stack_gathered_dict(label_dict, a, b, wt)
+            else:
+                pdf = _kde.kde_stack_gathered(a, b, wt, grid)
+            norm = jnp.sum(pdf, axis=1, keepdims=True)
+            pdf = jnp.where(norm > 0, pdf / jnp.where(norm > 0, norm, 1.0),
+                            0.0)
+            pdf = pdf * jnp.exp(levid)[:, None]  # object-density scaling
+            return pdf, lmap, levid
+
+        pdfs = np.zeros((nnode, ngrid), np.float32)
+        lmap = np.full(nnode, -np.inf, np.float32)
+        levid = np.full(nnode, -np.inf, np.float32)
+        for i0, n in _batch_slices(nnode, batch_size):
+            idx = _pad_rows(idx_tab[i0:i0 + n], batch_size)
+            lwt = _pad_rows(lw_tab[i0:i0 + n], batch_size)
+            safe = np.maximum(idx, 0)
+            if label_dict is not None:
+                a, b = fp[safe], fs[safe]
+            else:
+                a, b = model_labels[safe], model_label_errs[safe]
+            pdf_b, lmap_b, levid_b = stack(jnp.asarray(lwt),
+                                           jnp.asarray(a), jnp.asarray(b))
+            pdfs[i0:i0 + n] = np.asarray(pdf_b[:n])
+            lmap[i0:i0 + n] = np.asarray(lmap_b[:n])
+            levid[i0:i0 + n] = np.asarray(levid_b[:n])
+        empty = counts == 0
+        pdfs[empty] = 0.0
+        lmap[empty] = -np.inf
+        levid[empty] = -np.inf
+        if return_gof:
+            return pdfs, (lmap, levid)
+        return pdfs
+
+    def get_pdf(self, idx, model_labels, model_label_errs, label_dict=None,
+                label_grid=None, kde_args=None, kde_kwargs=None,
+                return_gof=False, discrete=False):
+        """One node's PDF (networks.py:412-507)."""
+        out = self.get_pdfs(model_labels, model_label_errs,
+                            label_dict=label_dict, label_grid=label_grid,
+                            kde_args=kde_args, kde_kwargs=kde_kwargs,
+                            return_gof=return_gof, discrete=discrete,
+                            verbose=False)
+        if return_gof:
+            pdfs, (lmap, levid) = out
+            return pdfs[idx], (lmap[idx], levid[idx])
+        return out[idx]
+
+    # ------------------------------------------------------------------
+    # fit / predict
+    # ------------------------------------------------------------------
+
+    def _occupied(self):
+        sel = np.flatnonzero(self.nodes_Nmatch > 0)
+        return sel
+
+    def fit(self, data, data_err, data_mask, lprob_func=None,
+            nodes_only=False, wt_thresh=1e-3, cdf_thresh=2e-4,
+            lprob_args=None, lprob_kwargs=None, track_scale=False,
+            discrete=False, verbose=True, batch_size=256,
+            max_sel_nodes=24, max_neighbors=4096):
+        """Fit data against the network (networks.py:696-936).
+
+        nodes_only=True: stop at the node fits — `fit_lnprob` is the dense
+        (Ndata, Nocc) thresholded node log-posterior grid over occupied
+        nodes (`self.neighbors` holds the occupied node ids).
+
+        nodes_only=False: per object, union the member models of the
+        thresholded nodes (strongest `max_sel_nodes` nodes; union capped
+        at `max_neighbors`, raising if the cap would truncate) and
+        evaluate `lprob_func` exactly on the union — stored in kNN-style
+        padded grids.
+        """
+        del verbose
+        data = np.atleast_2d(np.asarray(data, float))
+        data_err = np.atleast_2d(np.asarray(data_err, float))
+        data_mask = np.atleast_2d(np.asarray(data_mask, float))
+        ndata = data.shape[0]
+        self.NDATA = ndata
+        self.nodes_only = nodes_only
+        occ = self._occupied()
+        nocc = len(occ)
+        nodes_occ = jnp.asarray(np.asarray(self.nodes)[occ])
+        lpnet_func = self.lpnet_func or _like.logprob
+        lpnet_args = self.lpnet_args or ()
+        lpnet_kwargs = self.lpnet_kwargs or {
+            "free_scale": True, "ignore_model_err": True,
+            "return_scale": True}
+
+        ye = jnp.zeros_like(nodes_occ)
+        ym = jnp.ones_like(nodes_occ)
+
+        @jax.jit
+        def node_fit(x, xe, xm):
+            res = lpnet_func(x, xe, xm, nodes_occ, ye, ym, *lpnet_args,
+                             **lpnet_kwargs)
+            lnp = res[2]
+            sel = _threshold_sel(lnp, wt_thresh, cdf_thresh)
+            return res, sel
+
+        if nodes_only:
+            self.neighbors = occ.astype(np.int32)
+            self.Nneighbors = np.full(ndata, nocc, np.int32)
+            self.fit_lnprior = np.zeros((ndata, nocc), np.float32)
+            self.fit_lnlike = np.zeros((ndata, nocc), np.float32)
+            self.fit_lnprob = np.full((ndata, nocc), -np.inf, np.float32)
+            self.fit_Ndim = np.zeros((ndata, nocc), np.int32)
+            self.fit_chi2 = np.full((ndata, nocc), np.inf, np.float32)
+            if track_scale:
+                self.fit_scale = np.ones((ndata, nocc), np.float32)
+                self.fit_scale_err = np.zeros((ndata, nocc), np.float32)
+            for i0, n in _batch_slices(ndata, batch_size):
+                x = jnp.asarray(_pad_rows(data[i0:i0 + n], batch_size))
+                xe = jnp.asarray(_pad_rows(data_err[i0:i0 + n], batch_size))
+                xm = jnp.asarray(_pad_rows(data_mask[i0:i0 + n],
+                                           batch_size))
+                res, sel = node_fit(x, xe, xm)
+                sel = np.asarray(sel[:n])
+                sl = slice(i0, i0 + n)
+                lnp = np.asarray(res[2][:n], np.float32)
+                self.fit_lnprob[sl] = np.where(sel, lnp, -np.inf)
+                self.fit_lnprior[sl] = np.asarray(res[0][:n], np.float32)
+                self.fit_lnlike[sl] = np.asarray(res[1][:n], np.float32)
+                self.fit_Ndim[sl] = np.asarray(res[3][:n], np.int32)
+                self.fit_chi2[sl] = np.asarray(res[4][:n], np.float32)
+                if track_scale and len(res) > 5 and res[5] is not None:
+                    self.fit_scale[sl] = np.asarray(res[5][:n], np.float32)
+                    self.fit_scale_err[sl] = np.asarray(res[6][:n],
+                                                        np.float32)
+            return self
+
+        # --- exact-union path ---
+        member_tab = self.nodes_bmus if discrete else self.nodes_idxs
+        member_occ = member_tab[occ]  # (Nocc, maxm)
+        maxm = member_occ.shape[1]
+        cap_sel = min(max_sel_nodes, nocc)
+
+        self.neighbors = np.full((ndata, max_neighbors), -99, np.int32)
+        self.Nneighbors = np.zeros(ndata, np.int32)
+        inf = np.inf
+        shape = (ndata, max_neighbors)
+        self.fit_lnprior = np.full(shape, -inf, np.float32)
+        self.fit_lnlike = np.full(shape, -inf, np.float32)
+        self.fit_lnprob = np.full(shape, -inf, np.float32)
+        self.fit_Ndim = np.zeros(shape, np.int32)
+        self.fit_chi2 = np.full(shape, inf, np.float32)
+        if track_scale:
+            self.fit_scale = np.ones(shape, np.float32)
+            self.fit_scale_err = np.zeros(shape, np.float32)
+        else:
+            self.fit_scale = None
+            self.fit_scale_err = None
+
+        members_dev = jnp.asarray(member_occ)
+
+        @jax.jit
+        def gather_union(x, xe, xm):
+            res, sel = node_fit(x, xe, xm)
+            lnp = jnp.where(sel, res[2], -jnp.inf)
+            # Strongest selected nodes, up to cap_sel.
+            top_lnp, top_nodes = jax.lax.top_k(lnp, cap_sel)
+            node_ok = jnp.isfinite(top_lnp)
+            cand = members_dev[top_nodes]  # (B, cap_sel, maxm)
+            cand = jnp.where(node_ok[:, :, None], cand, -99)
+            cand = cand.reshape(x.shape[0], cap_sel * maxm)
+            # Sort-based first-seen unique over candidate slots.
+            invalid = cand < 0
+            order = jnp.argsort(jnp.where(invalid, jnp.int32(1 << 30),
+                                          cand), axis=1, stable=True)
+            sorted_c = jnp.take_along_axis(cand, order, axis=1)
+            dup_sorted = jnp.concatenate(
+                [jnp.zeros((cand.shape[0], 1), bool),
+                 (sorted_c[:, 1:] == sorted_c[:, :-1])
+                 & (sorted_c[:, 1:] >= 0)], axis=1)
+            uniq = jnp.where(dup_sorted | (sorted_c < 0), -99, sorted_c)
+            nuniq = jnp.sum(uniq >= 0, axis=1)
+            # Compact unique entries to the front.
+            perm = jnp.argsort(jnp.where(uniq < 0, jnp.int32(1 << 30), 0)
+                               + jnp.arange(uniq.shape[1])[None, :],
+                               axis=1, stable=True)
+            compact = jnp.take_along_axis(uniq, perm, axis=1)
+            return compact[:, :max_neighbors], nuniq
+
+        if lprob_func is None:
+            lprob_func = _like.logprob
+        lprob_args = lprob_args or ()
+        lprob_kwargs = lprob_kwargs or {}
+
+        @jax.jit
+        def union_lprob(x, xe, xm, idx):
+            valid = idx >= 0
+            safe = jnp.maximum(idx, 0)
+            m = self.models[safe]
+            me = self.models_err[safe]
+            mm = self.models_mask[safe]
+
+            def one(xx, xxe, xxm, mj, mej, mmj):
+                res = lprob_func(xx[None], xxe[None], xxm[None], mj, mej,
+                                 mmj, *lprob_args, **lprob_kwargs)
+                return tuple(None if r is None else r[0] for r in
+                             (res[0], res[1], res[2], res[3], res[4],
+                              res[5] if len(res) > 5 else None,
+                              res[6] if len(res) > 6 else None))
+
+            out = jax.vmap(one)(x, xe, xm, m, me, mm)
+            lnprior, lnlike, lnprob, ndim, chi2, scale, serr = out
+            neg = -jnp.inf
+            lnprior = jnp.where(valid, lnprior, neg)
+            lnlike = jnp.where(valid, lnlike, neg)
+            lnprob = jnp.where(valid, lnprob, neg)
+            ndim = jnp.where(valid, ndim, 0)
+            chi2 = jnp.where(valid, chi2, jnp.inf)
+            if scale is not None:
+                scale = jnp.where(valid, scale, 1.0)
+                serr = jnp.where(valid, serr, 0.0)
+            return lnprior, lnlike, lnprob, ndim, chi2, scale, serr
+
+        for i0, n in _batch_slices(ndata, batch_size):
+            x = jnp.asarray(_pad_rows(data[i0:i0 + n], batch_size))
+            xe = jnp.asarray(_pad_rows(data_err[i0:i0 + n], batch_size))
+            xm = jnp.asarray(_pad_rows(data_mask[i0:i0 + n], batch_size))
+            idx, nuniq = gather_union(x, xe, xm)
+            nu = np.asarray(nuniq[:n])
+            if (nu > max_neighbors).any():
+                raise ValueError(
+                    "neighbor union ({}) exceeds max_neighbors ({}); "
+                    "raise `max_neighbors` or tighten `wt_thresh`"
+                    .format(int(nu.max()), max_neighbors))
+            res = union_lprob(x, xe, xm, idx)
+            sl = slice(i0, i0 + n)
+            self.neighbors[sl] = np.asarray(idx[:n], np.int32)
+            self.Nneighbors[sl] = np.minimum(nu, max_neighbors)
+            self.fit_lnprior[sl] = np.asarray(res[0][:n], np.float32)
+            self.fit_lnlike[sl] = np.asarray(res[1][:n], np.float32)
+            self.fit_lnprob[sl] = np.asarray(res[2][:n], np.float32)
+            self.fit_Ndim[sl] = np.asarray(res[3][:n], np.int32)
+            self.fit_chi2[sl] = np.asarray(res[4][:n], np.float32)
+            if track_scale and res[5] is not None:
+                self.fit_scale[sl] = np.asarray(res[5][:n], np.float32)
+                self.fit_scale_err[sl] = np.asarray(res[6][:n], np.float32)
+        return self
+
+    def predict(self, model_labels, model_label_errs, label_dict=None,
+                label_grid=None, logwt=None, kde_args=None, kde_kwargs=None,
+                return_gof=False, discrete=False, verbose=True,
+                batch_size=256, wt_thresh=1e-3, cdf_thresh=2e-4):
+        """PDF predictions from stored fits (networks.py:938-1128).
+
+        nodes_only fits stack precomputed node PDFs with the node weights
+        (one matmul, networks.py:1113-1115); exact-union fits stack the
+        per-object member kernels like the kNN fitter.
+        """
+        if logwt is None:
+            logwt = self.fit_lnprob
+        if logwt is None:
+            raise ValueError("Fits have not been computed and weights have "
+                             "not been provided.")
+        if label_dict is None and label_grid is None:
+            raise ValueError("`label_dict` or `label_grid` must be "
+                             "specified.")
+        logwt = np.asarray(logwt, np.float32)
+        ndata = logwt.shape[0]
+        model_labels = np.asarray(model_labels)
+        model_label_errs = np.asarray(model_label_errs)
+
+        if self.nodes_only:
+            node_pdfs = self.get_pdfs(model_labels, model_label_errs,
+                                      label_dict=label_dict,
+                                      label_grid=label_grid,
+                                      discrete=discrete, verbose=False)
+            node_pdfs_occ = jnp.asarray(node_pdfs[self.neighbors])
+
+            @jax.jit
+            def stack(lwt):
+                lmap = jnp.max(lwt, axis=1)
+                levid = jax.scipy.special.logsumexp(lwt, axis=1)
+                wt = jnp.exp(lwt - levid[:, None])
+                pdf = wt @ node_pdfs_occ
+                norm = jnp.sum(pdf, axis=1, keepdims=True)
+                pdf = jnp.where(norm > 0,
+                                pdf / jnp.where(norm > 0, norm, 1.0), 0.0)
+                return pdf, lmap, levid
+
+            ngrid = node_pdfs.shape[1]
+            pdfs = np.zeros((ndata, ngrid), np.float32)
+            lmap = np.zeros(ndata, np.float32)
+            levid = np.zeros(ndata, np.float32)
+            for i0, n in _batch_slices(ndata, batch_size):
+                lwt = _pad_rows(logwt[i0:i0 + n], batch_size)
+                pdf_b, lmap_b, levid_b = stack(jnp.asarray(lwt))
+                pdfs[i0:i0 + n] = np.asarray(pdf_b[:n])
+                lmap[i0:i0 + n] = np.asarray(lmap_b[:n])
+                levid[i0:i0 + n] = np.asarray(levid_b[:n])
+            if return_gof:
+                return pdfs, (lmap, levid)
+            return pdfs
+
+        # exact-union path: reuse the kNN gathered stacking
+        from .knn import NearestNeighbors as _NN
+
+        pdfs, lmap, levid, _ = _NN._stack_batches(
+            self, logwt, self.neighbors, model_labels, model_label_errs,
+            label_dict, label_grid, wt_thresh, cdf_thresh, batch_size)
+        if return_gof:
+            return pdfs, (lmap, levid)
+        return pdfs
+
+    def fit_predict(self, data, data_err, data_mask, model_labels,
+                    model_label_errs, lprob_func=None, label_dict=None,
+                    label_grid=None, kde_args=None, kde_kwargs=None,
+                    lprob_args=None, lprob_kwargs=None, return_gof=False,
+                    track_scale=False, discrete=False, nodes_only=False,
+                    verbose=True, save_fits=True, batch_size=256,
+                    wt_thresh=1e-3, cdf_thresh=2e-4, max_sel_nodes=24,
+                    max_neighbors=4096):
+        """fit + predict (networks.py:1130-1487)."""
+        self.fit(data, data_err, data_mask, lprob_func=lprob_func,
+                 nodes_only=nodes_only, wt_thresh=wt_thresh,
+                 cdf_thresh=cdf_thresh, lprob_args=lprob_args,
+                 lprob_kwargs=lprob_kwargs, track_scale=track_scale,
+                 discrete=discrete, verbose=verbose, batch_size=batch_size,
+                 max_sel_nodes=max_sel_nodes, max_neighbors=max_neighbors)
+        return self.predict(model_labels, model_label_errs,
+                            label_dict=label_dict, label_grid=label_grid,
+                            kde_args=kde_args, kde_kwargs=kde_kwargs,
+                            return_gof=return_gof, discrete=discrete,
+                            verbose=verbose, batch_size=batch_size,
+                            wt_thresh=wt_thresh, cdf_thresh=cdf_thresh)
+
+
+class SelfOrganizingMap(_Network):
+    """Classic SOM trained with log-posterior BMU matching.
+
+    Reference: networks.py:1490-1867.  Defaults: 50x50 lattice (nside=50,
+    nproj=2), niter=2000 x nbatch=50 = 100K sequential steps, free-scale
+    error-free color likelihood, harmonic learning rate, Gaussian
+    neighborhood.  Training runs as ONE `lax.scan` on device.
+    """
+
+    def train_network(self, models=None, models_err=None, models_mask=None,
+                      nside=50, nproj=2, nodes_init=None, niter=2000,
+                      nbatch=50, err_kernel=None, lprob_func=None,
+                      learn_func=None, neighbor_func=None, wt_thresh=1e-3,
+                      cdf_thresh=2e-4, rng=None, seed=None,
+                      lprob_args=None, lprob_kwargs=None, track_scale=False,
+                      learn_args=None, learn_kwargs=None, neighbor_args=None,
+                      neighbor_kwargs=None, verbose=True):
+        del verbose
+        if models is None:
+            models = self._models_np
+            models_err = self._models_err_np
+            models_mask = self._models_mask_np
+        models = np.asarray(models, float)
+        models_err = np.asarray(models_err, float)
+        models_mask = np.asarray(models_mask, float)
+        if err_kernel is not None:
+            models_err = np.sqrt(models_err**2 + np.asarray(err_kernel)**2)
+        nmodel = len(models)
+        self.NITER, self.NBATCH = niter, nbatch
+        self.NSIDE = nside
+        self.NNODE, self.NPROJ = nside**nproj, nproj
+
+        if lprob_func is None:
+            lprob_func = _like.logprob
+        lprob_args = lprob_args or ()
+        if lprob_kwargs is None:
+            lprob_kwargs = {"free_scale": True, "ignore_model_err": True}
+            if track_scale:
+                lprob_kwargs["return_scale"] = True
+        learn_fn = learn_func or learn_harmonic
+        learn_kwargs = learn_kwargs or {}
+        learn_args = learn_args or ()
+        neighbor_fn = neighbor_func or neighbor_gauss
+        neighbor_kwargs = neighbor_kwargs or {}
+        neighbor_args = neighbor_args or ()
+
+        # Lattice positions: digit i of the node index in base nside
+        # (networks.py:1804-1810).
+        idxs = np.arange(self.NNODE)
+        pos = np.zeros((self.NNODE, nproj))
+        for i in range(nproj):
+            pos[:, i] = (idxs // nside ** (nproj - 1 - i)) % nside
+        self.nodes_pos = pos
+
+        rng = rng if rng is not None else np.random.default_rng(seed)
+        if nodes_init is None:
+            init = models[rng.choice(nmodel, size=self.NNODE,
+                                     replace=False)]
+        else:
+            init = np.asarray(nodes_init, float)
+
+        nsteps = niter * nbatch
+        draws = rng.integers(0, nmodel, size=nsteps)
+        times = np.linspace(0.0, 1.0, nsteps)
+
+        mods = jnp.asarray(models, jnp.float32)
+        errs = jnp.asarray(models_err, jnp.float32)
+        mask = jnp.asarray(models_mask, jnp.float32)
+        positions = jnp.asarray(pos, jnp.float32)
+
+        @jax.jit
+        def train(nodes0, draws, times):
+            def step(nodes, xs):
+                idx, t = xs
+                x, xe, xm = mods[idx], errs[idx], mask[idx]
+                res = lprob_func(x[None], xe[None], xm[None], nodes,
+                                 jnp.zeros_like(nodes),
+                                 jnp.ones_like(nodes), *lprob_args,
+                                 **lprob_kwargs)
+                lnp = res[2][0]
+                if track_scale:
+                    nodes = nodes * res[5][0][:, None]
+                bmu = jnp.argmax(lnp)
+                rate = learn_fn(t, *learn_args, **learn_kwargs)
+                wt, _sigma = neighbor_fn(t, positions[bmu], positions,
+                                         nside, *neighbor_args,
+                                         **neighbor_kwargs)
+                if wt_thresh is not None:
+                    keep = wt > wt_thresh * jnp.max(wt)
+                else:
+                    prob = wt / jnp.sum(wt)
+                    order = jnp.argsort(wt)
+                    cdf = jnp.cumsum(prob[order])
+                    keep_sorted = cdf <= (1.0 - cdf_thresh)
+                    keep = jnp.zeros_like(keep_sorted)
+                    keep = keep.at[order].set(keep_sorted)
+                update = rate * wt[:, None] * (x[None, :] - nodes)
+                nodes = nodes + jnp.where(keep[:, None], update, 0.0)
+                return nodes, bmu
+
+            nodes, bmus = jax.lax.scan(step, nodes0,
+                                       (jnp.asarray(draws),
+                                        jnp.asarray(times, jnp.float32)))
+            return nodes, bmus
+
+        nodes, _ = train(jnp.asarray(init, jnp.float32), draws, times)
+        self.nodes = np.asarray(jax.device_get(nodes), float)
+        return self
+
+
+class GrowingNeuralGas(_Network):
+    """Growing Neural Gas trained on log-posterior BMU pairs.
+
+    Reference: networks.py:1870-2260.  The dynamic `networkx.Graph`
+    becomes fixed-capacity dense state inside one `lax.scan`:
+
+    * node table (max_nodes, Nfilt) + per-node accumulated error + alive
+      mask; dead slots are masked to -inf in the BMU search;
+    * symmetric edge-age matrix (max_nodes, max_nodes), -1 = no edge;
+    * per step (networks.py:2159-2258): BMU and runner-up by top-2
+      lnprob; BMU moves by learn_best * resid and accumulates chi2[bmu];
+      edge(bmu, bmu2) is created/rejuvenated; BMU's other neighbors move
+      by learn_neighbor * resid and their edges age by 1;
+    * every nbatch steps (including step 0, replicating the reference's
+      `i % nbatch == 0`): edges that reached max_age are pruned, nodes
+      left isolated die, and (below max_nodes) a node is inserted halfway
+      between the max-error node and its max-error neighbor with the
+      parents' errors decayed by (1 - new_err_dec);
+    * all errors decay by (1 - all_err_dec) every step.
+    """
+
+    def train_network(self, models=None, models_err=None, models_mask=None,
+                      niter=5000, nbatch=50, max_nodes=2500, max_age=25,
+                      learn_best=0.2, learn_neighbor=0.006,
+                      new_err_dec=0.5, all_err_dec=0.005, graph_init=None,
+                      err_kernel=None, lprob_func=None, rng=None, seed=None,
+                      lprob_args=None, lprob_kwargs=None, track_scale=False,
+                      verbose=True):
+        del verbose
+        if graph_init is not None:
+            raise NotImplementedError(
+                "graph_init resume is not supported; retrain or checkpoint "
+                "the dense GNG state instead")
+        if models is None:
+            models = self._models_np
+            models_err = self._models_err_np
+            models_mask = self._models_mask_np
+        models = np.asarray(models, float)
+        models_err = np.asarray(models_err, float)
+        models_mask = np.asarray(models_mask, float)
+        if err_kernel is not None:
+            models_err = np.sqrt(models_err**2 + np.asarray(err_kernel)**2)
+        nmodel = len(models)
+        self.NITER, self.NBATCH = niter, nbatch
+
+        if lprob_func is None:
+            lprob_func = _like.logprob
+        lprob_args = lprob_args or ()
+        if lprob_kwargs is None:
+            lprob_kwargs = {"free_scale": True, "ignore_model_err": True}
+            if track_scale:
+                lprob_kwargs["return_scale"] = True
+
+        rng = rng if rng is not None else np.random.default_rng(seed)
+        nsteps = niter * nbatch
+        draws = rng.integers(0, nmodel, size=nsteps)
+        i1, i2 = rng.choice(nmodel, size=2, replace=False)
+
+        N = max_nodes
+        pos0 = np.zeros((N, models.shape[1]), np.float32)
+        pos0[0], pos0[1] = models[i1], models[i2]
+        alive0 = np.zeros(N, bool)
+        alive0[:2] = True
+        ages0 = np.full((N, N), -1, np.int32)
+        ages0[0, 1] = ages0[1, 0] = 0
+
+        mods = jnp.asarray(models, jnp.float32)
+        errs = jnp.asarray(models_err, jnp.float32)
+        mask = jnp.asarray(models_mask, jnp.float32)
+
+        @jax.jit
+        def train(pos0, alive0, ages0, draws):
+            def step(state, xs):
+                pos, err, alive, ages, nalive = state
+                i, idx = xs
+                x, xe, xm = mods[idx], errs[idx], mask[idx]
+                res = lprob_func(x[None], xe[None], xm[None], pos,
+                                 jnp.zeros_like(pos), jnp.ones_like(pos),
+                                 *lprob_args, **lprob_kwargs)
+                lnp = jnp.where(alive, res[2][0], -jnp.inf)
+                chi2 = res[4][0]
+                if track_scale:
+                    pos = jnp.where(alive[:, None],
+                                    pos * res[5][0][:, None], pos)
+                _, top2 = jax.lax.top_k(lnp, 2)
+                bmu, bmu2 = top2[0], top2[1]
+
+                # BMU update.
+                resid = x - pos[bmu]
+                pos = pos.at[bmu].add(learn_best * resid)
+                err = err.at[bmu].add(chi2[bmu])
+
+                # Rejuvenate/create the (bmu, bmu2) edge.
+                ages = ages.at[bmu, bmu2].set(0).at[bmu2, bmu].set(0)
+
+                # Move the BMU's topological neighbors and age its edges.
+                # The reference resets (bmu, bmu2) to 0 and then ages ALL
+                # of bmu's edges (networks.py:2186-2199), so (bmu, bmu2)
+                # ends the step at age 1 — replicated here by aging after
+                # the reset.
+                nbr = ages[bmu] >= 0
+                resid_n = x[None, :] - pos
+                pos = pos + jnp.where(nbr[:, None],
+                                      learn_neighbor * resid_n, 0.0)
+                ages = ages.at[bmu].set(jnp.where(nbr, ages[bmu] + 1, -1))
+                ages = ages.at[:, bmu].set(jnp.where(nbr, ages[:, bmu] + 1,
+                                                     -1))
+
+                def batch_update(args):
+                    pos, err, alive, ages, nalive = args
+                    # Prune overage edges.
+                    ages = jnp.where(ages >= max_age, -1, ages)
+                    deg = jnp.sum(ages >= 0, axis=1)
+                    alive = alive & (deg > 0)
+                    nalive = jnp.sum(alive)
+
+                    # Insert a node at the max-error node if room.
+                    def insert(args):
+                        pos, err, alive, ages, nalive = args
+                        e1 = jnp.argmax(jnp.where(alive, err, -jnp.inf))
+                        nbr_e = ages[e1] >= 0
+                        e2 = jnp.argmax(jnp.where(nbr_e, err, -jnp.inf))
+                        free = jnp.argmin(alive)  # first dead slot
+                        err = err.at[e1].multiply(1.0 - new_err_dec)
+                        err = err.at[e2].multiply(1.0 - new_err_dec)
+                        pos = pos.at[free].set(0.5 * (pos[e1] + pos[e2]))
+                        err = err.at[free].set(err[e1])
+                        alive = alive.at[free].set(True)
+                        ages = ages.at[e1, e2].set(-1).at[e2, e1].set(-1)
+                        ages = ages.at[free, e1].set(0).at[e1, free].set(0)
+                        ages = ages.at[free, e2].set(0).at[e2, free].set(0)
+                        return pos, err, alive, ages, nalive + 1
+
+                    return jax.lax.cond(nalive < N, insert,
+                                        lambda a: a,
+                                        (pos, err, alive, ages, nalive))
+
+                pos, err, alive, ages, nalive = jax.lax.cond(
+                    i % nbatch == 0, batch_update, lambda a: a,
+                    (pos, err, alive, ages, nalive))
+
+                err = err * (1.0 - all_err_dec)
+                return (pos, err, alive, ages, nalive), bmu
+
+            state0 = (pos0, jnp.zeros(N, jnp.float32), alive0, ages0,
+                      jnp.sum(alive0))
+            steps = (jnp.arange(nsteps), jnp.asarray(draws))
+            state, bmus = jax.lax.scan(step, state0, steps)
+            return state
+
+        pos, err, alive, ages, nalive = train(
+            jnp.asarray(pos0), jnp.asarray(alive0), jnp.asarray(ages0),
+            draws)
+        alive_np = np.asarray(alive)
+        sel = np.flatnonzero(alive_np)
+        self.nodes = np.asarray(pos)[sel].astype(float)
+        self.nodes_err = np.asarray(err)[sel].astype(float)
+        full_ages = np.asarray(ages)
+        self.edge_ages = full_ages[np.ix_(sel, sel)]
+        self.NNODE = len(sel)
+        self.NPROJ = self.nodes.shape[1]
+        # GNG has no lattice projection; expose node positions in data
+        # space for plotting (first two feature dims).
+        self.nodes_pos = self.nodes[:, :2] if self.nodes.shape[1] >= 2 \
+            else self.nodes
+        return self
+
+    def edges(self):
+        """(Nedge, 2) array of alive-node edge index pairs (i < j)."""
+        ii, jj = np.nonzero(self.edge_ages >= 0)
+        keep = ii < jj
+        return np.stack([ii[keep], jj[keep]], axis=1)

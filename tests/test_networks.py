@@ -1,0 +1,188 @@
+"""SOM / GNG / _Network tests."""
+
+import numpy as np
+import pytest
+
+from frankenz_tpu.models import (BruteForce, GrowingNeuralGas,
+                                 SelfOrganizingMap, learn_geometric,
+                                 learn_harmonic, learn_linear,
+                                 neighbor_gauss, neighbor_lorentz)
+
+
+def test_learning_schedules():
+    np.testing.assert_allclose(float(learn_linear(0.0)), 0.5)
+    np.testing.assert_allclose(float(learn_linear(1.0)), 0.1)
+    np.testing.assert_allclose(float(learn_geometric(0.5)),
+                               np.exp(0.5 * (np.log(0.5) + np.log(0.1))))
+    np.testing.assert_allclose(float(learn_harmonic(0.5)),
+                               1.0 / (0.5 / 0.5 + 0.5 / 0.1))
+
+
+def test_neighborhood_kernels():
+    pos = np.array([0.0, 0.0])
+    positions = np.array([[0.0, 0.0], [1.0, 0.0], [3.0, 4.0]])
+    wt, sigma = neighbor_gauss(0.0, pos, positions, nside=10)
+    sig = 0.7 * 10
+    want = np.exp(-0.5 * np.array([0.0, 1.0, 25.0]) / sig**2)
+    np.testing.assert_allclose(np.asarray(wt), want, rtol=1e-6)
+    wt, sigma = neighbor_lorentz(1.0, pos, positions, nside=10)
+    sig = 0.02 * 10
+    want = sig**2 / (np.array([0.0, 1.0, 25.0]) + sig**2)
+    np.testing.assert_allclose(np.asarray(wt), want, rtol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def blob_problem():
+    """Models clustered around 4 blobs in 3-band flux space, with a
+    redshift label tied to the blob."""
+    rng = np.random.default_rng(42)
+    centers = np.array([[2.0, 5.0, 8.0], [8.0, 3.0, 2.0],
+                        [5.0, 9.0, 4.0], [9.0, 8.0, 7.0]])
+    zc = np.array([0.3, 1.0, 1.8, 2.6])
+    nper = 100
+    models = np.vstack([c + rng.normal(0, 0.3, (nper, 3)) for c in centers])
+    zlab = np.concatenate([z + rng.normal(0, 0.05, nper) for z in zc])
+    models_err = np.full_like(models, 0.05)
+    models_mask = np.ones_like(models)
+    return models, models_err, models_mask, zlab, centers, zc
+
+
+def _train_som(blob_problem, nside=4):
+    models, me, mm, zlab, centers, zc = blob_problem
+    som = SelfOrganizingMap(models, me, mm)
+    som.train_network(nside=nside, nproj=2, niter=100, nbatch=20, seed=3,
+                      verbose=False)
+    return som
+
+
+def test_som_training_and_lattice(blob_problem):
+    models, me, mm, zlab, centers, zc = blob_problem
+    som = _train_som(blob_problem)
+    assert som.nodes.shape == (16, 3)
+    assert som.NNODE == 16 and som.NPROJ == 2
+    # Lattice positions enumerate the grid.
+    pos = {tuple(p) for p in som.nodes_pos}
+    assert pos == {(float(i), float(j)) for i in range(4) for j in range(4)}
+    # Nodes live near the data manifold (within the blob bounding box).
+    assert som.nodes.min() > models.min() - 1.0
+    assert som.nodes.max() < models.max() + 1.0
+    # Every blob center has a node nearby (free-scale fit: compare colors;
+    # here absolute distance works since scales ~1).
+    for c in centers:
+        d = np.sqrt(((som.nodes - c) ** 2).sum(axis=1)).min()
+        assert d < 2.0
+
+
+def test_populate_and_node_access(blob_problem):
+    models, me, mm, zlab, centers, zc = blob_problem
+    som = _train_som(blob_problem)
+    som.populate_network(verbose=False)
+    assert som.nodes_Nmatch.sum() >= som.NMODEL  # soft assign >= 1 node
+    assert som.nodes_Nbmu.sum() == som.NMODEL   # every model has one BMU
+    assert np.isfinite(som.models_levid).all()
+    # get_node returns consistent members.
+    idx, node, npos, idxs, logwts, scales, serr = som.get_node(idx=0)
+    assert len(idxs) == som.nodes_Nmatch[0]
+    assert np.all(idxs >= 0)
+    # Per-model weights across nodes sum to ~1 (normalized in log space).
+    wts = np.zeros(som.NMODEL)
+    for i in range(som.NNODE):
+        _, _, _, idxs, logwts, _, _ = som.get_node(idx=i)
+        wts[idxs] += np.exp(logwts)
+    np.testing.assert_allclose(wts, 1.0, rtol=1e-4)
+
+
+def test_node_pdfs_density_scaling(blob_problem):
+    models, me, mm, zlab, centers, zc = blob_problem
+    som = _train_som(blob_problem)
+    som.populate_network(verbose=False)
+    grid = np.linspace(0, 3, 151)
+    pdfs, (lmap, levid) = som.get_pdfs(zlab, np.full_like(zlab, 0.05),
+                                       label_grid=grid, return_gof=True,
+                                       verbose=False)
+    assert pdfs.shape == (16, 151)
+    occupied = som.nodes_Nmatch > 0
+    # Node PDFs are scaled by exp(levid): total mass = sum exp(levid).
+    np.testing.assert_allclose(pdfs.sum(axis=1)[occupied],
+                               np.exp(levid[occupied]), rtol=1e-3)
+    assert (pdfs.sum(axis=1)[~occupied] == 0).all()
+
+
+def test_nodes_only_fit_predict(blob_problem):
+    models, me, mm, zlab, centers, zc = blob_problem
+    som = _train_som(blob_problem)
+    som.populate_network(verbose=False)
+    rng = np.random.default_rng(0)
+    truth = rng.integers(0, len(models), 50)
+    data = models[truth] + rng.normal(0, 0.1, (50, 3))
+    derr = np.full_like(data, 0.1)
+    dmask = np.ones_like(data)
+    grid = np.linspace(0, 3, 151)
+    pdfs, (lmap, levid) = som.fit_predict(
+        data, derr, dmask, zlab, np.full_like(zlab, 0.05),
+        label_grid=grid, nodes_only=True, return_gof=True, verbose=False)
+    assert pdfs.shape == (50, 151)
+    np.testing.assert_allclose(pdfs.sum(axis=1), 1.0, atol=1e-4)
+    # Point estimates recover the blob redshifts.
+    zhat = grid[np.argmax(pdfs, axis=1)]
+    ztrue = zlab[truth]
+    assert np.median(np.abs(zhat - ztrue)) < 0.3
+
+
+def test_exact_union_fit_matches_bruteforce(blob_problem):
+    """With generous thresholds the union covers all relevant models, so
+    network fits reduce to brute force."""
+    models, me, mm, zlab, centers, zc = blob_problem
+    som = _train_som(blob_problem)
+    som.populate_network(wt_thresh=1e-6, verbose=False)
+    rng = np.random.default_rng(1)
+    truth = rng.integers(0, len(models), 20)
+    data = models[truth] + rng.normal(0, 0.1, (20, 3))
+    derr = np.full_like(data, 0.1)
+    dmask = np.ones_like(data)
+    grid = np.linspace(0, 3, 151)
+    pdfs_net = som.fit_predict(
+        data, derr, dmask, zlab, np.full_like(zlab, 0.05),
+        label_grid=grid, nodes_only=False, wt_thresh=1e-6, verbose=False,
+        max_sel_nodes=16, max_neighbors=512)
+    bf = BruteForce(models, me, mm)
+    pdfs_bf = bf.fit_predict(data, derr, dmask, zlab,
+                             np.full_like(zlab, 0.05), label_grid=grid,
+                             verbose=False)
+    l1 = np.abs(pdfs_net - pdfs_bf).sum(axis=1)
+    assert np.median(l1) < 0.1
+
+
+def test_union_cap_raises(blob_problem):
+    models, me, mm, zlab, centers, zc = blob_problem
+    som = _train_som(blob_problem)
+    som.populate_network(wt_thresh=1e-6, verbose=False)
+    rng = np.random.default_rng(2)
+    data = models[:8] + rng.normal(0, 0.1, (8, 3))
+    with pytest.raises(ValueError, match="max_neighbors"):
+        som.fit(data, np.full_like(data, 0.1), np.ones_like(data),
+                wt_thresh=1e-6, verbose=False, max_sel_nodes=16,
+                max_neighbors=8)
+
+
+def test_gng_training(blob_problem):
+    models, me, mm, zlab, centers, zc = blob_problem
+    gng = GrowingNeuralGas(models, me, mm)
+    gng.train_network(niter=40, nbatch=25, max_nodes=30, seed=5,
+                      verbose=False)
+    assert 2 < gng.NNODE <= 30
+    assert gng.nodes.shape == (gng.NNODE, 3)
+    # Edges reference alive nodes only and are symmetric by construction.
+    e = gng.edges()
+    assert (e >= 0).all() and (e < gng.NNODE).all()
+    assert len(e) >= 1
+    # Nodes track the data manifold.
+    assert gng.nodes.min() > models.min() - 2.0
+    assert gng.nodes.max() < models.max() + 2.0
+    # The trained GNG supports the full network workflow.
+    gng.populate_network(verbose=False)
+    assert gng.nodes_Nbmu.sum() == gng.NMODEL
+    grid = np.linspace(0, 3, 151)
+    pdfs = gng.get_pdfs(zlab, np.full_like(zlab, 0.05), label_grid=grid,
+                        verbose=False)
+    assert pdfs.shape == (gng.NNODE, 151)
