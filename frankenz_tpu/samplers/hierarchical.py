@@ -1,0 +1,181 @@
+"""
+Hierarchical N(z) sampler: collapsed Gibbs with a Dirichlet hyper-prior.
+
+Reference: `frankenz/samplers.py:311-535` (class `hierarchical_sampler`).
+Model: per-object redshift-bin assignments z_g ~ Categorical(p_g * rho),
+population rho ~ Dirichlet(alpha + counts [+ ref_counts]), optional
+unrepresentative-reference-sample step (samplers.py:503-505, 524-529).
+Inputs must be *likelihoods* (the prior is modeled explicitly).
+
+TPU redesign: each Gibbs sweep is fully vectorized — the per-object
+multinomial loop (samplers.py:519-520, O(Nobs) Python draws per sweep)
+becomes one Gumbel-max categorical over the (Nobs, Nbins) weight matrix
+plus a segment-sum; the Dirichlet and multinomial draws and the
+closed-form log-pmf/pdf evaluations (gammaln-based, replacing
+scipy.stats) all run inside a single `lax.scan` over (Niter x thin)
+sweeps, with optional vmapped parallel chains.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import gammaln, xlogy
+
+__all__ = ["hierarchical_sampler", "multinomial_logpmf", "dirichlet_logpdf"]
+
+
+def multinomial_logpmf(counts, n, p):
+    """Closed-form multinomial log-pmf (replaces scipy.stats.multinomial).
+
+    Matches scipy's convention: support requires sum(counts) == n; zero
+    probabilities with zero counts contribute 0 via xlogy.
+    """
+    counts = jnp.asarray(counts)
+    return (gammaln(n + 1.0) - jnp.sum(gammaln(counts + 1.0), axis=-1)
+            + jnp.sum(xlogy(counts, p), axis=-1))
+
+
+def dirichlet_logpdf(x, alpha):
+    """Closed-form Dirichlet log-pdf (replaces scipy.stats.dirichlet)."""
+    x = jnp.asarray(x)
+    alpha = jnp.asarray(alpha)
+    return (gammaln(jnp.sum(alpha, axis=-1))
+            - jnp.sum(gammaln(alpha), axis=-1)
+            + jnp.sum(xlogy(alpha - 1.0, x), axis=-1))
+
+
+class hierarchical_sampler:
+    """Collapsed Gibbs sampler over (z_g, rho) (samplers.py:311-535).
+
+    Extra capability vs the reference: `nchains` vmapped parallel chains
+    (see `population_sampler` for the results layout).
+    """
+
+    def __init__(self, pdfs):
+        self.pdfs = np.asarray(pdfs)
+        self.samples = []
+        self.samples_lnp = []
+        self._chain_state = None
+
+    def reset(self):
+        """Re-initialize the sampler."""
+        self.samples = []
+        self.samples_lnp = []
+        self._chain_state = None
+
+    @property
+    def results(self):
+        s = np.array(self.samples)
+        lnp = np.array(self.samples_lnp)
+        if s.ndim == 3:
+            s = s.reshape(-1, s.shape[-1])
+            lnp = lnp.reshape(-1)
+        return s, lnp
+
+    @property
+    def results_by_chain(self):
+        s = np.array(self.samples)
+        lnp = np.array(self.samples_lnp)
+        if s.ndim == 2:
+            s = s[:, None, :]
+            lnp = lnp[:, None]
+        return s, lnp
+
+    def run_mcmc(self, Niter, alpha=None, pos_init=None, thin=5,
+                 ref_sample=None, beta=None, rng=None, seed=None,
+                 verbose=True, nchains=1):
+        """Draw `Niter` (thinned) samples; the whole run is one device call.
+
+        Mirrors samplers.py:349-427: flat alpha/beta defaults, resume from
+        the last stored sample, default init = stacked PDFs.
+        """
+        del verbose
+        nobs, nbins = self.pdfs.shape
+        alpha = np.ones(nbins) if alpha is None else np.asarray(alpha, float)
+        beta = np.ones(nbins) if beta is None else np.asarray(beta, float)
+
+        has_ref = ref_sample is not None
+        if has_ref:
+            ref_sample = np.asarray(ref_sample, float)
+            ref_norm = ref_sample + beta
+            ref_norm = ref_norm / ref_norm.sum()
+            nref = float(ref_sample.sum())
+        else:
+            ref_sample = np.zeros(nbins)
+            ref_norm = np.ones(nbins) / nbins
+            nref = 0.0
+
+        if pos_init is None:
+            if self._chain_state is not None:
+                pos0 = self._chain_state
+            elif self.samples:
+                pos0 = np.atleast_2d(np.asarray(self.samples[-1]))
+            else:
+                stack = self.pdfs.sum(axis=0) / self.pdfs.sum()
+                pos0 = np.tile(stack, (nchains, 1))
+        else:
+            pos0 = np.atleast_2d(np.asarray(pos_init, float))
+        if pos0.shape[0] != nchains:
+            pos0 = np.tile(pos0[0], (nchains, 1))
+
+        key = jax.random.key(seed if seed is not None
+                             else (rng.integers(2**31) if rng is not None
+                                   else np.random.default_rng().integers(
+                                       2**31)))
+        pdfs = jnp.asarray(self.pdfs)
+        alpha_j = jnp.asarray(alpha)
+        beta_j = jnp.asarray(beta)
+        ref_j = jnp.asarray(ref_sample)
+        ref_norm_j = jnp.asarray(ref_norm)
+
+        def sweep(carry, key):
+            pos, ref_counts = carry
+            kz, kd, kr = jax.random.split(key, 3)
+            # Per-object categorical draw ~ p_g * rho via Gumbel-max
+            # (samplers.py:519-520's multinomial(1, .) loop, vectorized).
+            logits = jnp.log(pdfs * pos[None, :])
+            g = jax.random.gumbel(kz, logits.shape)
+            zdraw = jnp.argmax(logits + g, axis=1)
+            counts = jnp.zeros(nbins, pos.dtype).at[zdraw].add(1.0)
+            # Population draw (samplers.py:522).
+            pos = jax.random.dirichlet(kd, alpha_j + counts + ref_counts)
+            # Reference-sample draw (samplers.py:524-529).
+            if has_ref:
+                pcounts = ref_j + beta_j + nobs * pos
+                ref_counts = jax.random.multinomial(
+                    kr, nref, pcounts / jnp.sum(pcounts)).astype(pos.dtype)
+                lnpriorref = multinomial_logpmf(ref_counts, nref, ref_norm_j)
+            else:
+                lnpriorref = 0.0
+            lnlike = multinomial_logpmf(counts, float(nobs), pos)
+            lnprior = dirichlet_logpdf(pos, alpha_j + ref_counts)
+            return (pos, ref_counts), lnlike + lnprior + lnpriorref
+
+        def run_one_chain(key, pos0):
+            def outer(carry, key):
+                carry, lnps = jax.lax.scan(sweep, carry,
+                                           jax.random.split(key, thin))
+                pos, _ = carry
+                return carry, (pos, lnps[-1])
+
+            carry0 = (pos0, ref_j if has_ref else jnp.zeros(nbins, pos0.dtype))
+            _, (samples, lnps) = jax.lax.scan(outer, carry0,
+                                              jax.random.split(key, Niter))
+            return samples, lnps
+
+        run = jax.jit(jax.vmap(run_one_chain))
+        samples, lnps = run(jax.random.split(key, nchains),
+                            jnp.asarray(pos0))
+        samples = np.asarray(samples)
+        lnps = np.asarray(lnps)
+        for it in range(Niter):
+            if nchains == 1:
+                self.samples.append(samples[0, it])
+                self.samples_lnp.append(float(lnps[0, it]))
+            else:
+                self.samples.append(samples[:, it, :])
+                self.samples_lnp.append(lnps[:, it])
+        self._chain_state = samples[:, -1, :]
+        return self

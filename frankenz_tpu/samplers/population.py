@@ -1,0 +1,215 @@
+"""
+Population N(z) sampler: MH-in-Gibbs over the simplex of bin heights.
+
+Reference: `frankenz/samplers.py:24-308` (`loglike_nz`, class
+`population_sampler`).  Model: given per-object redshift PDFs p_g on a
+common grid, the population distribution rho maximizes
+``sum_g ln(p_g . rho)``.  Proposals move along random (+1, -1) pair basis
+vectors of the simplex with a step scale set by a numerical gradient, and
+are accepted via ``-Exponential() < delta ln(post)``
+(samplers.py:290-305).
+
+TPU redesign: the entire (Niter x thin x mh_steps) chain runs as ONE
+jitted `lax.scan` on device — the overlap vector (Nobs,) is carried and
+rank-1-updated per proposal (``overlap + z * (pdfs[:,i] - pdfs[:,j])``,
+samplers.py:70-75), so each proposal costs O(Nobs), and `nchains`
+independent chains run vmapped in parallel (the reference is
+single-chain).  PRNG is JAX counter-based; draws are
+distribution-equivalent, not stream-equal, to the reference.
+
+`logprior_nz`, if given, must be jit-traceable: ``logprior_nz(pos) ->
+scalar``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+__all__ = ["loglike_nz", "population_sampler"]
+
+
+def loglike_nz(nz, pdfs, overlap=None, return_overlap=False, pair=None,
+               pair_step=None):
+    """Log-likelihood of a population distribution given per-object PDFs.
+
+    Drop-in for samplers.py:24-80 including the rank-1 pair perturbation
+    and the -inf guard for invalid (negative / non-finite) positions.
+    """
+    nz = jnp.asarray(nz)
+    pdfs = jnp.asarray(pdfs)
+    bad = jnp.any(~jnp.isfinite(nz) | (nz < 0.0))
+    if overlap is None:
+        overlap = pdfs @ nz
+    perturb = 0.0
+    if pair is not None and pair_step is not None:
+        i, j = pair
+        perturb = pair_step * (pdfs[:, i] - pdfs[:, j])
+    ov = overlap + perturb
+    lnlike = jnp.where(bad, -jnp.inf, jnp.sum(jnp.log(ov)))
+    ov = jnp.where(bad, 0.0, ov)
+    if return_overlap:
+        return lnlike, ov
+    return lnlike
+
+
+def _chain_step(pdfs, logprior_nz, mh_steps):
+    """One Gibbs step (random pair + mh_steps MH proposals) as a pure fn."""
+
+    def lnlike_from_overlap(ov):
+        return jnp.sum(jnp.log(ov))
+
+    def step(state, key):
+        pos, overlap, lnpost = state
+        kpair, kmh = jax.random.split(key)
+        nbins = pos.shape[0]
+        # Random unordered pair (i != j), as rstate.choice(replace=False).
+        i, j = jax.random.choice(kpair, nbins, (2,), replace=False)
+        dcol = pdfs[:, i] - pdfs[:, j]
+        t = jnp.zeros_like(pos).at[i].set(1.0).at[j].set(-1.0)
+
+        # Numerical gradient along the pair direction (samplers.py:272-287).
+        vals = jnp.stack([pos[i], pos[j], 1.0 - pos[i], 1.0 - pos[j]])
+        scale = 1e-4 * jnp.min(vals)
+        lnp1 = (lnlike_from_overlap(overlap + (scale / 2.0) * dcol)
+                + logprior_nz(pos + t * (scale / 2.0)))
+        lnp2 = (lnlike_from_overlap(overlap - (scale / 2.0) * dcol)
+                + logprior_nz(pos - t * (scale / 2.0)))
+        grad = (lnp1 - lnp2) / scale
+        gscale = jnp.where(grad != 0.0,
+                           jnp.minimum(jnp.abs(1.0 / grad),
+                                       jnp.abs(scale * 1e4)),
+                           jnp.abs(scale))
+
+        def mh(carry, k):
+            pos, overlap, lnpost = carry
+            kz, ke = jax.random.split(k)
+            z = jax.random.normal(kz) * gscale
+            pos_new = pos + t * z
+            ov_new = overlap + z * dcol
+            bad = jnp.any(pos_new < 0.0)
+            lnpost_new = jnp.where(
+                bad, -jnp.inf,
+                jnp.sum(jnp.log(ov_new)) + logprior_nz(pos_new))
+            accept = -jax.random.exponential(ke) < (lnpost_new - lnpost)
+            pos = jnp.where(accept, pos_new, pos)
+            overlap = jnp.where(accept, ov_new, overlap)
+            lnpost = jnp.where(accept, lnpost_new, lnpost)
+            return (pos, overlap, lnpost), None
+
+        (pos, overlap, lnpost), _ = jax.lax.scan(
+            mh, (pos, overlap, lnpost), jax.random.split(kmh, mh_steps))
+        return (pos, overlap, lnpost), None
+
+    return step
+
+
+class population_sampler:
+    """MH-in-Gibbs sampler over N(z) bin heights (samplers.py:83-308).
+
+    Extra capability vs the reference: `nchains` vmapped parallel chains
+    (results interleave chains: sample s of chain c is row s*nchains+c of
+    `results`; use `results_by_chain` for the (Niter, nchains, Nbins)
+    view).
+    """
+
+    def __init__(self, pdfs):
+        self.pdfs = np.asarray(pdfs)
+        self.samples = []
+        self.samples_lnp = []
+        self._chain_state = None
+
+    def reset(self):
+        """Re-initialize the sampler."""
+        self.samples = []
+        self.samples_lnp = []
+        self._chain_state = None
+
+    @property
+    def results(self):
+        """(samples, lnpost) arrays; multi-chain samples interleaved."""
+        s = np.array(self.samples)
+        lnp = np.array(self.samples_lnp)
+        if s.ndim == 3:  # (Niter, nchains, Nbins) -> interleaved
+            s = s.reshape(-1, s.shape[-1])
+            lnp = lnp.reshape(-1)
+        return s, lnp
+
+    @property
+    def results_by_chain(self):
+        """(Niter, nchains, Nbins) samples + (Niter, nchains) lnpost."""
+        s = np.array(self.samples)
+        lnp = np.array(self.samples_lnp)
+        if s.ndim == 2:
+            s = s[:, None, :]
+            lnp = lnp[:, None]
+        return s, lnp
+
+    def run_mcmc(self, Niter, logprior_nz=None, pos_init=None, thin=400,
+                 mh_steps=3, rng=None, seed=None, verbose=True,
+                 nchains=1, prior_args=(), prior_kwargs=None):
+        """Draw `Niter` (thinned) samples; the whole run is one device call.
+
+        Mirrors samplers.py:118-198 (resume from the last stored sample,
+        default init = stacked PDFs).
+        """
+        del verbose
+        prior_kwargs = prior_kwargs or {}
+        nobs, nbins = self.pdfs.shape
+        if logprior_nz is None:
+            def logprior_nz(pos, *a, **k):
+                return 0.0
+        prior = lambda pos: logprior_nz(pos, *prior_args, **prior_kwargs)
+
+        if pos_init is None:
+            if self._chain_state is not None:
+                pos0 = self._chain_state
+            elif self.samples:
+                pos0 = np.atleast_2d(np.asarray(self.samples[-1]))
+            else:
+                stack = self.pdfs.sum(axis=0) / self.pdfs.sum()
+                pos0 = np.tile(stack, (nchains, 1))
+        else:
+            pos0 = np.atleast_2d(np.asarray(pos_init, float))
+        if pos0.ndim == 1:
+            pos0 = pos0[None, :]
+        if pos0.shape[0] != nchains:
+            pos0 = np.tile(pos0[0], (nchains, 1))
+
+        key = jax.random.key(seed if seed is not None
+                             else (rng.integers(2**31) if rng is not None
+                                   else np.random.default_rng().integers(
+                                       2**31)))
+        pdfs = jnp.asarray(self.pdfs)
+        step = _chain_step(pdfs, prior, mh_steps)
+
+        def run_one_chain(key, pos0):
+            overlap0 = pdfs @ pos0
+            lnpost0 = jnp.sum(jnp.log(overlap0)) + prior(pos0)
+
+            def outer(state, key):
+                state, _ = jax.lax.scan(step, state,
+                                        jax.random.split(key, thin))
+                pos, overlap, lnpost = state
+                return state, (pos, lnpost)
+
+            _, (samples, lnps) = jax.lax.scan(
+                outer, (pos0, overlap0, lnpost0),
+                jax.random.split(key, Niter))
+            return samples, lnps
+
+        run = jax.jit(jax.vmap(run_one_chain))
+        keys = jax.random.split(key, nchains)
+        samples, lnps = run(keys, jnp.asarray(pos0))
+        samples = np.asarray(samples)  # (nchains, Niter, Nbins)
+        lnps = np.asarray(lnps)
+        for it in range(Niter):
+            if nchains == 1:
+                self.samples.append(samples[0, it])
+                self.samples_lnp.append(float(lnps[0, it]))
+            else:
+                self.samples.append(samples[:, it, :])
+                self.samples_lnp.append(lnps[:, it])
+        self._chain_state = samples[:, -1, :]
+        return self

@@ -1,0 +1,147 @@
+"""Sampler known-answer tests: recover a known N(z) from mock PDFs.
+
+Mirrors the reference's demo 5/6 strategy (SURVEY.md section 4): generate
+Gaussian per-object PDFs around redshifts drawn from a known N(z); direct
+stacking is biased, while the population / hierarchical samplers recover
+the truth within credible intervals.
+"""
+
+import numpy as np
+import pytest
+from scipy import stats as sps
+
+from frankenz_tpu.samplers import (dirichlet_logpdf, hierarchical_sampler,
+                                   loglike_nz, multinomial_logpmf,
+                                   population_sampler)
+
+
+@pytest.fixture(scope="module")
+def mock_pdfs():
+    rng = np.random.default_rng(3)
+    nbins, nobs = 20, 400
+    grid = np.arange(nbins)
+    # True N(z): two-bin-wide bump.
+    nz_true = np.exp(-0.5 * ((grid - 7.0) / 2.5) ** 2)
+    nz_true /= nz_true.sum()
+    ztrue = rng.choice(nbins, size=nobs, p=nz_true)
+    # Noisy per-object likelihoods: Gaussian around ztrue +/- noise.
+    # sigma is kept modest so the deconvolution is well-posed (with very
+    # broad kernels the ML N(z) is legitimately spiky/atomic).
+    sig = 0.8
+    centers = ztrue + rng.normal(0, sig, nobs)
+    pdfs = np.exp(-0.5 * ((grid[None, :] - centers[:, None]) / sig) ** 2)
+    pdfs /= pdfs.sum(axis=1, keepdims=True)
+    return pdfs, nz_true, ztrue
+
+
+def test_loglike_nz_matches_reference_math(mock_pdfs):
+    pdfs, nz_true, _ = mock_pdfs
+    got = float(loglike_nz(nz_true, pdfs))
+    want = np.sum(np.log(pdfs @ nz_true))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    # Pair perturbation path.
+    got_p, ov = loglike_nz(nz_true, pdfs, pair=(2, 5), pair_step=1e-3,
+                           return_overlap=True)
+    pert = 1e-3 * (pdfs[:, 2] - pdfs[:, 5])
+    np.testing.assert_allclose(np.asarray(ov), pdfs @ nz_true + pert,
+                               rtol=1e-5)
+    # Negative positions are rejected.
+    bad = nz_true.copy()
+    bad[0] = -0.1
+    assert float(loglike_nz(bad, pdfs)) == -np.inf
+
+
+def test_logpmf_logpdf_match_scipy():
+    rng = np.random.default_rng(0)
+    p = rng.dirichlet(np.ones(6))
+    counts = rng.multinomial(50, p)
+    np.testing.assert_allclose(
+        float(multinomial_logpmf(counts, 50.0, p)),
+        sps.multinomial.logpmf(counts, 50, p), rtol=1e-6)
+    alpha = rng.uniform(0.5, 3.0, 6)
+    x = rng.dirichlet(alpha)
+    np.testing.assert_allclose(
+        float(dirichlet_logpdf(x, alpha)),
+        sps.dirichlet.logpdf(x, alpha), rtol=1e-6)
+
+
+def _smooth(nz, sig=2.0):
+    """Gaussian-smooth a binned N(z) (deconvolution is only identified up
+    to the kernel scale, so comparisons happen in re-convolved space)."""
+    grid = np.arange(nz.shape[-1])
+    K = np.exp(-0.5 * ((grid[None, :] - grid[:, None]) / sig) ** 2)
+    K /= K.sum(axis=1, keepdims=True)
+    return nz @ K
+
+
+def test_population_sampler_recovers_truth(mock_pdfs):
+    pdfs, nz_true, ztrue = mock_pdfs
+    samp = population_sampler(pdfs)
+    samp.run_mcmc(40, thin=150, seed=1, verbose=False)
+    samples, lnps = samp.results
+    assert samples.shape == (40, 20)
+    assert np.isfinite(lnps).all()
+    # Simplex is preserved.
+    np.testing.assert_allclose(samples.sum(axis=1), 1.0, atol=1e-3)
+    assert (samples >= 0).all()
+    post = samples[20:].mean(axis=0)
+    stack = pdfs.sum(axis=0) / pdfs.sum()
+    emp = np.bincount(ztrue, minlength=20) / len(ztrue)
+    # The chain settles at likelihoods comparable to or above the stack's
+    # (with narrow kernels the stack is near-optimal, so allow slack).
+    assert lnps[-1] > np.sum(np.log(pdfs @ stack)) - 5.0
+    # Smoothed posterior mean matches the smoothed empirical N(z) better
+    # than the stack does (the stack is over-dispersed by the kernel).
+    err_post = np.abs(_smooth(post) - _smooth(emp)).sum()
+    err_stack = np.abs(_smooth(stack) - _smooth(emp)).sum()
+    assert err_post < err_stack
+    # First two moments of N(z) recover the empirical ones.
+    grid = np.arange(20)
+    assert abs(post @ grid - emp @ grid) < 0.3
+    # lnpost of the chain states matches direct evaluation.
+    want = np.sum(np.log(pdfs @ samples[-1]))
+    np.testing.assert_allclose(lnps[-1], want, rtol=1e-3)
+
+
+def test_population_sampler_multichain_and_resume(mock_pdfs):
+    pdfs, _, _ = mock_pdfs
+    samp = population_sampler(pdfs)
+    samp.run_mcmc(5, thin=50, seed=2, nchains=4, verbose=False)
+    s, lnp = samp.results_by_chain
+    assert s.shape == (5, 4, 20) and lnp.shape == (5, 4)
+    # Chains differ.
+    assert not np.allclose(s[-1, 0], s[-1, 1])
+    # Resume continues from the stored state.
+    samp.run_mcmc(3, thin=50, seed=3, nchains=4, verbose=False)
+    s2, _ = samp.results_by_chain
+    assert s2.shape == (8, 4, 20)
+
+
+def test_hierarchical_sampler_recovers_truth(mock_pdfs):
+    pdfs, nz_true, ztrue = mock_pdfs
+    samp = hierarchical_sampler(pdfs)
+    samp.run_mcmc(60, thin=5, seed=4, verbose=False)
+    samples, lnps = samp.results
+    assert samples.shape == (60, 20)
+    np.testing.assert_allclose(samples.sum(axis=1), 1.0, atol=1e-3)
+    assert np.isfinite(lnps).all()
+    post = samples[20:].mean(axis=0)
+    emp = np.bincount(ztrue, minlength=20) / len(ztrue)
+    stack = pdfs.sum(axis=0) / pdfs.sum()
+    err_post = np.abs(_smooth(post) - _smooth(emp)).sum()
+    err_stack = np.abs(_smooth(stack) - _smooth(emp)).sum()
+    assert err_post < err_stack
+    grid = np.arange(20)
+    assert abs(post @ grid - emp @ grid) < 0.3
+
+
+def test_hierarchical_with_reference_sample(mock_pdfs):
+    pdfs, nz_true, ztrue = mock_pdfs
+    rng = np.random.default_rng(5)
+    ref = rng.multinomial(200, nz_true).astype(float)
+    samp = hierarchical_sampler(pdfs)
+    samp.run_mcmc(10, thin=5, seed=6, ref_sample=ref, verbose=False)
+    samples, lnps = samp.results
+    assert samples.shape == (10, 20)
+    assert np.isfinite(lnps).all()
+    np.testing.assert_allclose(samples.sum(axis=1), 1.0, atol=1e-3)
