@@ -24,6 +24,7 @@ Layer map (mirrors reference layers; see SURVEY.md):
 
 __version__ = "0.1.0"
 
+from . import config  # noqa: F401
 from . import ops  # noqa: F401
 from . import models  # noqa: F401
 from . import fitting  # noqa: F401

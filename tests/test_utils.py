@@ -1,0 +1,121 @@
+"""Checkpoint / metrics / config / tracing utility tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+from frankenz_tpu import config as fzconfig
+from frankenz_tpu.models import BruteForce, NearestNeighbors, \
+    SelfOrganizingMap
+from frankenz_tpu.samplers import hierarchical_sampler
+from frankenz_tpu.utils import (Metrics, load_state_dict, metrics, restore,
+                                save, state_dict)
+
+
+@pytest.fixture(scope="module")
+def fitted_bf():
+    rng = np.random.default_rng(0)
+    models = rng.uniform(1, 10, (50, 4))
+    bf = BruteForce(models, 0.05 * models, np.ones_like(models))
+    data = models[:10] + rng.normal(0, 0.2, (10, 4))
+    bf.fit(data, np.full_like(data, 0.2), np.ones_like(data),
+           verbose=False)
+    return bf, models
+
+
+def test_bruteforce_checkpoint_roundtrip(tmp_path, fitted_bf):
+    bf, models = fitted_bf
+    path = save(str(tmp_path / "bf_ckpt"), bf, use_orbax=False)
+    bf2 = BruteForce(models, 0.05 * models, np.ones_like(models))
+    restore(path, bf2)
+    np.testing.assert_array_equal(bf2.fit_lnprob, bf.fit_lnprob)
+    np.testing.assert_array_equal(bf2.fit_chi2, bf.fit_chi2)
+    assert bf2.NDATA == 10
+    # Restored state drives predictions identically.
+    grid = np.linspace(0, 3, 51)
+    zlab = np.random.default_rng(1).uniform(0, 3, 50)
+    a = bf.predict(zlab, np.full(50, 0.1), label_grid=grid, verbose=False)
+    b = bf2.predict(zlab, np.full(50, 0.1), label_grid=grid, verbose=False)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path, fitted_bf):
+    pytest.importorskip("orbax.checkpoint")
+    bf, models = fitted_bf
+    path = save(str(tmp_path / "bf_orbax"), bf, use_orbax=True)
+    state = restore(path)
+    np.testing.assert_array_equal(np.asarray(state["fit_lnprob"]),
+                                  bf.fit_lnprob)
+
+
+def test_sampler_checkpoint_resume(tmp_path):
+    rng = np.random.default_rng(2)
+    pdfs = rng.dirichlet(np.ones(10), size=50)
+    s = hierarchical_sampler(pdfs)
+    s.run_mcmc(5, thin=2, seed=1, verbose=False)
+    path = save(str(tmp_path / "chain"), s, use_orbax=False)
+    s2 = hierarchical_sampler(pdfs)
+    restore(path, s2)
+    assert len(s2.samples) == 5
+    np.testing.assert_array_equal(s2._chain_state, s._chain_state)
+    s2.run_mcmc(3, thin=2, seed=2, verbose=False)
+    assert len(s2.samples) == 8
+
+
+def test_som_checkpoint(tmp_path):
+    rng = np.random.default_rng(3)
+    models = rng.uniform(1, 10, (100, 3))
+    som = SelfOrganizingMap(models, 0.05 * models, np.ones_like(models))
+    som.train_network(nside=3, nproj=2, niter=20, nbatch=10, seed=1,
+                      verbose=False)
+    som.populate_network(verbose=False)
+    path = save(str(tmp_path / "som"), som, use_orbax=False)
+    som2 = SelfOrganizingMap(models, 0.05 * models, np.ones_like(models))
+    restore(path, som2)
+    np.testing.assert_array_equal(som2.nodes, som.nodes)
+    np.testing.assert_array_equal(som2.nodes_idxs, som.nodes_idxs)
+    assert som2.NNODE == 9
+    # Restored network can fit immediately.
+    data = models[:5]
+    som2.fit(data, np.full_like(data, 0.1), np.ones_like(data),
+             nodes_only=True, verbose=False)
+    assert som2.fit_lnprob.shape[0] == 5
+
+
+def test_metrics_registry():
+    m = Metrics()
+    with m.timer("fit", items=100, item_counter="pairs"):
+        pass
+    m.count("pairs", 50)
+    assert m.counters["pairs"] == 150
+    assert m.timings["fit"]["n"] == 1
+    assert m.rate("pairs", "fit") > 0
+    snap = m.snapshot()
+    assert "counters" in snap and "timings" in snap
+    m.reset()
+    assert not m.counters
+
+
+def test_configs_splat_into_calls():
+    cfg = fzconfig.KNNConfig()
+    assert cfg.K == 25 and cfg.k == 20
+    cfg2 = cfg.replace(K=5)
+    assert cfg2.K == 5 and cfg.K == 25
+    d = fzconfig.LikelihoodConfig(free_scale=True).asdict()
+    from frankenz_tpu.ops import logprob
+
+    rng = np.random.default_rng(4)
+    m = rng.uniform(1, 10, (20, 4))
+    res = logprob(m[:3], 0.1 * m[:3], np.ones((3, 4)), m, 0.05 * m,
+                  np.ones_like(m), **d)
+    assert res.lnprob.shape == (3, 20)
+
+
+def test_tracing_helpers():
+    from frankenz_tpu.utils import annotate, device_memory
+
+    with annotate("test-phase"):
+        pass
+    mem = device_memory()
+    assert isinstance(mem, dict)
