@@ -34,7 +34,7 @@ def main():
     nmodel = int(os.environ.get("BENCH_NMODEL", 100_000))
     nfilt = int(os.environ.get("BENCH_NFILT", 5))
     ngrid = int(os.environ.get("BENCH_NGRID", 301))
-    batch = int(os.environ.get("BENCH_BATCH", 4096))
+    batch = int(os.environ.get("BENCH_BATCH", 16384))
 
     from frankenz_tpu.ops import PDFDict, kernel_matrix_dict
     from frankenz_tpu.ops import kde as _kde
@@ -58,27 +58,41 @@ def main():
     data_err = np.full((nobj, nfilt), 0.25, f32)
     data_mask = np.ones((nobj, nfilt), f32)
 
+    from frankenz_tpu.ops import fused as _fz
+
     m = jnp.asarray(models)
     me = jnp.asarray(models_err)
     mm = jnp.asarray(models_mask)
     d_all = jnp.asarray(data)
     de_all = jnp.asarray(data_err)
     dm_all = jnp.asarray(data_mask)
+    use_pallas = (_fz.pallas_supported()
+                  and os.environ.get("BENCH_PATH", "pallas") == "pallas")
 
-    @jax.jit
-    def fused(d, de, dm, m, me, mm, G):
-        res = _like.logprob(d, de, dm, m, me, mm)
-        lnprob = res.lnprob
-        lmap = jnp.max(lnprob, axis=1)
-        levid = jax.scipy.special.logsumexp(lnprob, axis=1)
-        wt = jnp.exp(lnprob - levid[:, None])
-        pdf = _kde.kde_stack(wt, G, 1e-3, None)
-        norm = jnp.sum(pdf, axis=1, keepdims=True)
-        pdf = jnp.where(norm > 0, pdf / jnp.where(norm > 0, norm, 1.0), 0.0)
-        return jnp.sum(pdf, axis=0), lmap, levid  # stacked N(z) + GOF
+    if use_pallas:
+        def step(d, de, dm):
+            pdf, lmap, levid = _fz.fused_fit_pdf(
+                d, de, dm, m, me, mm, G, wt_thresh=1e-3, full_mask=True)
+            norm = jnp.sum(pdf, axis=1, keepdims=True)
+            pdf = jnp.where(norm > 0, pdf / jnp.where(norm > 0, norm, 1.0),
+                            0.0)
+            return jnp.sum(pdf, axis=0), lmap, levid
+    else:
+        @jax.jit
+        def step(d, de, dm):
+            res = _like.logprob(d, de, dm, m, me, mm)
+            lnprob = res.lnprob
+            lmap = jnp.max(lnprob, axis=1)
+            levid = jax.scipy.special.logsumexp(lnprob, axis=1)
+            wt = jnp.exp(lnprob - levid[:, None])
+            pdf = _kde.kde_stack(wt, G, 1e-3, None)
+            norm = jnp.sum(pdf, axis=1, keepdims=True)
+            pdf = jnp.where(norm > 0, pdf / jnp.where(norm > 0, norm, 1.0),
+                            0.0)
+            return jnp.sum(pdf, axis=0), lmap, levid
 
     # Warmup / compile on the first batch.
-    out = fused(d_all[:batch], de_all[:batch], dm_all[:batch], m, me, mm, G)
+    out = step(d_all[:batch], de_all[:batch], dm_all[:batch])
     jax.block_until_ready(out)
 
     nbatch = nobj // batch
@@ -86,11 +100,10 @@ def main():
     t0 = time.time()
     for i in range(nbatch):
         s = i * batch
-        nz_b, lmap, levid = fused(
+        nz_b, lmap, levid = step(
             jax.lax.dynamic_slice_in_dim(d_all, s, batch),
             jax.lax.dynamic_slice_in_dim(de_all, s, batch),
-            jax.lax.dynamic_slice_in_dim(dm_all, s, batch),
-            m, me, mm, G)
+            jax.lax.dynamic_slice_in_dim(dm_all, s, batch))
         nz = nz + nz_b
     jax.block_until_ready(nz)
     elapsed = time.time() - t0
@@ -107,6 +120,7 @@ def main():
             "nobj": nbatch * batch, "nmodel": nmodel, "nfilt": nfilt,
             "ngrid": ngrid, "batch": batch, "elapsed_s": round(elapsed, 3),
             "device": str(jax.devices()[0]),
+            "path": "pallas" if use_pallas else "xla",
         },
     }
     print(json.dumps(result))

@@ -36,6 +36,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..ops import fused as _fused
 from ..ops import kde as _kde
 from ..ops import likelihood as _like
 from ..utils.progress import progress_iter
@@ -77,6 +78,10 @@ class BruteForce:
         self.models = jnp.asarray(models)
         self.models_err = jnp.asarray(models_err)
         self.models_mask = jnp.asarray(models_mask)
+        # Full-mask detection for the Pallas fast path, done once on the
+        # host inputs (device readbacks over a remote relay are slow).
+        self._full_mask = bool(np.all(np.asarray(models_mask) == 1)) \
+            if not isinstance(models_mask, jax.Array) else False
         self.NMODEL, self.NDIM = self.models.shape
         self.NDATA = None
         self.fit_lnprior = None
@@ -241,12 +246,28 @@ class BruteForce:
             return pdfs, (lmap, levid)
         return pdfs
 
+    def _fused_eligible(self, lprob_func, lprob_args, lprob_kwargs,
+                        track_scale, save_fits, wt_thresh, cdf_thresh):
+        """The Pallas kernel covers the default fixed-scale pipeline."""
+        if lprob_func is not None or lprob_args or track_scale or save_fits:
+            return False
+        kw = lprob_kwargs or {}
+        if kw.get("free_scale") or kw.get("return_scale"):
+            return False
+        if set(kw) - {"free_scale", "ignore_model_err", "dim_prior",
+                      "return_scale"}:
+            return False
+        if wt_thresh is None and cdf_thresh is not None:
+            return False  # CDF thresholding stays on the XLA path
+        return True
+
     def fit_predict(self, data, data_err, data_mask, model_labels,
                     model_label_errs, lprob_func=None, label_dict=None,
                     label_grid=None, kde_args=None, kde_kwargs=None,
                     lprob_args=None, lprob_kwargs=None, return_gof=False,
                     track_scale=False, verbose=True, save_fits=False,
-                    batch_size=None, wt_thresh=1e-3, cdf_thresh=2e-4):
+                    batch_size=None, wt_thresh=1e-3, cdf_thresh=2e-4,
+                    use_fused=None):
         """Fused fit + predict: posteriors -> weights -> PDFs in one pass.
 
         Reference: `bruteforce.py:374-631`.  Unlike the reference (which
@@ -254,6 +275,11 @@ class BruteForce:
         materializing the (Ndata, Nmodel) grids — at the 1M x 100K target
         that difference is 2.8 TB vs 0.  The (B, M) batch grid never
         leaves the device; only PDFs and GOF metrics stream back.
+
+        On TPU, default fixed-scale configurations automatically run the
+        fused Pallas kernel (`ops.fused.fused_fit_pdf`) — the (B, M) grid
+        then never leaves VMEM; set ``use_fused=False`` to force the XLA
+        path (or True to force the kernel, e.g. interpret mode in tests).
         """
         data = np.atleast_2d(np.asarray(data))
         data_err = np.atleast_2d(np.asarray(data_err))
@@ -266,6 +292,19 @@ class BruteForce:
             batch_size = default_batch_size(self.NMODEL)
         G, grid = self._kernel_G(model_labels, model_label_errs, label_dict,
                                  label_grid)
+        eligible = self._fused_eligible(lprob_func, lprob_args,
+                                        lprob_kwargs, track_scale,
+                                        save_fits, wt_thresh, cdf_thresh)
+        if use_fused is None:
+            use_fused = eligible and _fused.pallas_supported()
+        elif use_fused and not eligible:
+            raise ValueError("use_fused=True requires the default "
+                             "fixed-scale lprob pipeline without "
+                             "save_fits/track_scale")
+        if use_fused:
+            return self._fit_predict_fused(
+                data, data_err, data_mask, G, lprob_kwargs or {},
+                wt_thresh, batch_size, return_gof, verbose)
         if lprob_func is None:
             lprob_func = _like.logprob
         lprob_args = lprob_args or ()
@@ -307,6 +346,39 @@ class BruteForce:
                                   (res[6] if len(res) > 6 else None))
                 self._store_fits(i0, n, full)
 
+        if return_gof:
+            return pdfs, (lmap, levid)
+        return pdfs
+
+    def _fit_predict_fused(self, data, data_err, data_mask, G,
+                           lprob_kwargs, wt_thresh, batch_size, return_gof,
+                           verbose):
+        """Stream object batches through the Pallas fused kernel."""
+        ndata = data.shape[0]
+        ngrid = G.shape[1]
+        dim_prior = lprob_kwargs.get("dim_prior", True)
+        ignore_model_err = lprob_kwargs.get("ignore_model_err", False)
+        full_mask = self._full_mask and bool(np.all(data_mask == 1))
+        G = jnp.asarray(G, jnp.float32)
+        pdfs = np.zeros((ndata, ngrid), np.float32)
+        lmap = np.zeros(ndata, np.float32)
+        levid = np.zeros(ndata, np.float32)
+        for i0, n in progress_iter(_batch_slices(ndata, batch_size),
+                                   total=ndata, label="Fitting object",
+                                   sizes=True, verbose=verbose):
+            d = _pad_rows(data[i0:i0 + n], batch_size)
+            de = _pad_rows(data_err[i0:i0 + n], batch_size)
+            dm = _pad_rows(data_mask[i0:i0 + n], batch_size)
+            pdf_b, lmap_b, levid_b = _fused.fused_fit_pdf(
+                d, de, dm, self.models, self.models_err, self.models_mask,
+                G, dim_prior=dim_prior, ignore_model_err=ignore_model_err,
+                wt_thresh=wt_thresh, full_mask=full_mask)
+            norm = jnp.sum(pdf_b, axis=1, keepdims=True)
+            pdf_b = jnp.where(norm > 0,
+                              pdf_b / jnp.where(norm > 0, norm, 1.0), 0.0)
+            pdfs[i0:i0 + n] = np.asarray(pdf_b[:n])
+            lmap[i0:i0 + n] = np.asarray(lmap_b[:n])
+            levid[i0:i0 + n] = np.asarray(levid_b[:n])
         if return_gof:
             return pdfs, (lmap, levid)
         return pdfs

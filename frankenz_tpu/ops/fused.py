@@ -1,0 +1,546 @@
+"""
+Fused Pallas TPU pipeline: chi^2 grid -> log-likelihood -> logsumexp ->
+thresholded posterior weights -> KDE label PDFs.
+
+This is the flagship kernel behind `BruteForce.fit_predict` (reference
+call stack SURVEY.md section 3.1): the reference materializes the full
+(Ndata, Nmodel) grids in host RAM; the XLA fused path materializes a
+(B, M) batch grid in HBM ~5 times (chi2, lnl, weights, ...).  This kernel
+keeps the (TB, TM) tile entirely in VMEM and streams model tiles through
+twice:
+
+  pass A (reduce):   lnl tile -> online max / rescaled sum-exp
+                     => exact lmap, levid per object
+  pass B (stack):    lnl tile recomputed -> wt = exp(lnl - levid),
+                     exact reference thresholding (lnl > ln(wt_thresh) +
+                     lmap), pdf += wt @ G tile on the MXU
+
+HBM traffic per batch is just the model set + kernel matrix (read twice)
+and the (B, Ngrid) output — the (B, M) grid never leaves the chip.  The
+two-pass structure keeps the weight threshold *exact* (a single-pass
+flash-style accumulator would have to threshold against a running max).
+
+Model arrays are passed pre-transposed (F, M) so the per-filter rows
+broadcast against (TB, 1) data columns without in-kernel transposes.
+
+Supports the fixed-scale likelihood (dim_prior on/off, model errors
+on/off) — the default BruteForce configuration and the BASELINE.md
+config-4 benchmark.  Free-scale fits use the XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from scipy.special import gammaln as _sp_gammaln
+
+__all__ = ["fused_fit_pdf", "pallas_supported"]
+
+_LOG_2PI = 1.8378770664093453
+_LOG_2 = 0.6931471805599453
+_NEG_INF = float(np.finfo(np.float32).min)  # finite -inf stand-in
+
+
+def pallas_supported():
+    """True when the default backend can run the Mosaic TPU kernels."""
+    return jax.default_backend() == "tpu"
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def _lnl_tile(d_ref, de_ref, dm_ref, mT_ref, meT_ref, mmT_ref, valid_ref,
+              *, nfilt, dim_prior, ignore_model_err, gl_table, full_mask):
+    """(TB, TM) fixed-scale log-likelihood tile (pdf.py:76-98).
+
+    With ``full_mask`` (host-verified all-ones masks — the common survey
+    case) the mask products, Ndim accumulation, and the per-pair
+    normalization select-chain all disappear: Ndim == Nfilt everywhere.
+    """
+    chi2 = None
+    ndim = None
+    logvar = None
+    for k in range(nfilt):
+        dk = d_ref[:, k:k + 1]          # (TB, 1)
+        dek = de_ref[:, k:k + 1]
+        mk = mT_ref[k:k + 1, :]          # (1, TM)
+        if ignore_model_err:
+            var = dek * dek
+        else:
+            mek = meT_ref[k:k + 1, :]
+            var = dek * dek + mek * mek
+        r = dk - mk
+        if full_mask:
+            term = r * r / var
+        else:
+            mask = dm_ref[:, k:k + 1] * mmT_ref[k:k + 1, :]
+            term = mask * r * r / var
+            ndim = mask if ndim is None else ndim + mask
+        chi2 = term if chi2 is None else chi2 + term
+        if not dim_prior:
+            lv = jnp.log(var)
+            logvar = lv if logvar is None else logvar + lv
+
+    if dim_prior:
+        # lnl = xlogy(a-1, chi2) - chi2/2 - [gammaln(a) + a ln2], with the
+        # normalization gathered from a static table over Ndim = 0..F.
+        if full_mask:
+            a1 = 0.5 * nfilt - 1.0
+            lnl = (a1 * jnp.log(jnp.maximum(chi2, 1e-300)) if a1 != 0.0
+                   else 0.0) - 0.5 * chi2 - gl_table[nfilt]
+        else:
+            a1 = 0.5 * ndim - 1.0
+            safe_log = jnp.log(jnp.maximum(chi2, 1e-300))
+            xl = jnp.where(a1 == 0.0, 0.0, a1 * safe_log)
+            norm = jnp.full_like(chi2, gl_table[0])
+            for nd in range(1, nfilt + 1):
+                norm = jnp.where(ndim == float(nd), gl_table[nd], norm)
+            lnl = xl - 0.5 * chi2 - norm
+    else:
+        nd_term = float(nfilt) if full_mask else ndim
+        lnl = -0.5 * chi2 - 0.5 * (nd_term * _LOG_2PI + logvar)
+    # Clamp to a finite floor: true -inf would poison the online
+    # logsumexp with (-inf) - (-inf) = nan.  Degenerate all-floor rows
+    # are zeroed by the caller.
+    lnl = jnp.maximum(lnl, _NEG_INF)
+    return jnp.where(valid_ref[0:1, :] > 0.0, lnl, _NEG_INF)
+
+
+def _make_reduce_kernel(nfilt, dim_prior, ignore_model_err, gl_table,
+                        full_mask):
+    def kernel(d, de, dm, mT, meT, mmT, valid, lmap_ref, lse_ref):
+        j = pl.program_id(1)
+        nj = pl.num_programs(1)
+        lnl = _lnl_tile(d, de, dm, mT, meT, mmT, valid, nfilt=nfilt,
+                        dim_prior=dim_prior,
+                        ignore_model_err=ignore_model_err,
+                        gl_table=gl_table, full_mask=full_mask)
+        t_max = jnp.max(lnl, axis=1, keepdims=True)   # (TB, 1)
+
+        @pl.when(j == 0)
+        def _():
+            lmap_ref[:, :] = jnp.full_like(t_max, _NEG_INF)
+            lse_ref[:, :] = jnp.zeros_like(t_max)
+
+        rm = lmap_ref[:, :]
+        s = lse_ref[:, :]
+        new_m = jnp.maximum(rm, t_max)
+        # Rescale the running sum and add this tile's mass.
+        tile_sum = jnp.sum(jnp.exp(lnl - new_m), axis=1, keepdims=True)
+        s = s * jnp.exp(rm - new_m) + tile_sum
+        lmap_ref[:, :] = new_m
+        lse_ref[:, :] = s
+
+        @pl.when(j == nj - 1)
+        def _():
+            lse_ref[:, :] = jnp.log(lse_ref[:, :]) + lmap_ref[:, :]
+
+    return kernel
+
+
+def _make_stack_kernel(nfilt, dim_prior, ignore_model_err, gl_table,
+                       log_wt_thresh, full_mask):
+    def kernel(d, de, dm, mT, meT, mmT, valid, G, lmap, levid, pdf_ref):
+        j = pl.program_id(1)
+        lnl = _lnl_tile(d, de, dm, mT, meT, mmT, valid, nfilt=nfilt,
+                        dim_prior=dim_prior,
+                        ignore_model_err=ignore_model_err,
+                        gl_table=gl_table, full_mask=full_mask)
+        wt = jnp.exp(lnl - levid[:, :])
+        if log_wt_thresh is not None:
+            wt = jnp.where(lnl > log_wt_thresh + lmap[:, :], wt, 0.0)
+
+        @pl.when(j == 0)
+        def _():
+            pdf_ref[:, :] = jnp.zeros_like(pdf_ref)
+
+        pdf_ref[:, :] += jnp.dot(wt, G[:, :],
+                                 preferred_element_type=jnp.float32)
+
+    return kernel
+
+
+def _make_onepass_kernel(nfilt, dim_prior, ignore_model_err, gl_table,
+                         full_mask):
+    """Single-pass flash-style kernel (no weight threshold): carries a
+    running max, rescaled sum-exp, AND a rescaled (TB, Gp) PDF
+    accumulator; pdf_out = sum_j exp(lnl_j - rm_final) @ G_j, which the
+    caller normalizes (identical post-normalization to exp(lnl - levid)
+    weights)."""
+
+    def kernel(d, de, dm, mT, meT, mmT, valid, G, pdf_ref, lmap_ref,
+               lse_ref):
+        j = pl.program_id(1)
+        nj = pl.num_programs(1)
+        lnl = _lnl_tile(d, de, dm, mT, meT, mmT, valid, nfilt=nfilt,
+                        dim_prior=dim_prior,
+                        ignore_model_err=ignore_model_err,
+                        gl_table=gl_table, full_mask=full_mask)
+        t_max = jnp.max(lnl, axis=1, keepdims=True)
+
+        @pl.when(j == 0)
+        def _():
+            lmap_ref[:, :] = jnp.full_like(t_max, _NEG_INF)
+            lse_ref[:, :] = jnp.zeros_like(t_max)
+            pdf_ref[:, :] = jnp.zeros_like(pdf_ref)
+
+        rm = lmap_ref[:, :]
+        new_m = jnp.maximum(rm, t_max)
+        alpha = jnp.exp(rm - new_m)  # (TB, 1)
+        w = jnp.exp(lnl - new_m)
+        lse_ref[:, :] = lse_ref[:, :] * alpha + jnp.sum(w, axis=1,
+                                                        keepdims=True)
+        pdf_ref[:, :] = pdf_ref[:, :] * alpha + jnp.dot(
+            w, G[:, :], preferred_element_type=jnp.float32)
+        lmap_ref[:, :] = new_m
+
+        @pl.when(j == nj - 1)
+        def _():
+            lse_ref[:, :] = jnp.log(lse_ref[:, :]) + lmap_ref[:, :]
+
+    return kernel
+
+
+def _chi2_tile_fullmask(d_ref, de_ref, mT_ref, meT_ref, *, nfilt,
+                        ignore_model_err):
+    """(TB, TM) chi^2 tile with all-ones masks."""
+    chi2 = None
+    for k in range(nfilt):
+        dk = d_ref[:, k:k + 1]
+        dek = de_ref[:, k:k + 1]
+        mk = mT_ref[k:k + 1, :]
+        if ignore_model_err:
+            var = dek * dek
+        else:
+            mek = meT_ref[k:k + 1, :]
+            var = dek * dek + mek * mek
+        r = dk - mk
+        term = r * r / var
+        chi2 = term if chi2 is None else chi2 + term
+    return chi2
+
+
+_CHI2_CLAMP = 30000.0  # exp(-15000) == 0 in every float format
+
+
+def _half_pow(x, a1):
+    """x**a1 for half-integer a1 via binary exponentiation + sqrt (no
+    log/pow transcendentals).  Returns None when a1 == 0 (x^0 == 1)."""
+    if a1 == 0.0:
+        return None
+    a = abs(a1)
+    n = int(a)
+    out = None
+    base, e = x, n
+    while e:
+        if e & 1:
+            out = base if out is None else out * base
+        e >>= 1
+        if e:
+            base = base * base
+    if a != n:  # trailing 0.5
+        s = jnp.sqrt(x)
+        out = s if out is None else out * s
+    return 1.0 / out if a1 < 0 else out
+
+
+def _make_chi2max_kernel(nfilt, ignore_model_err, c0):
+    """Pass A (full-mask, dim-prior): transcendental-free tracking of the
+    chi^2 values bracketing c0 = 2*a1, where the unimodal lnl(chi2)
+    peaks — lmap is recovered from them on the host side."""
+
+    def kernel(d, de, mT, meT, below_ref, above_ref):
+        j = pl.program_id(1)
+        chi2 = jnp.minimum(
+            _chi2_tile_fullmask(d, de, mT, meT, nfilt=nfilt,
+                                ignore_model_err=ignore_model_err),
+            _CHI2_CLAMP)
+
+        @pl.when(j == 0)
+        def _():
+            below_ref[:, :] = jnp.full((below_ref.shape[0], 1), -1.0,
+                                       jnp.float32)
+            above_ref[:, :] = jnp.full((above_ref.shape[0], 1), jnp.inf,
+                                       jnp.float32)
+
+        lo = jnp.where(chi2 < c0, chi2, -1.0)
+        hi = jnp.where(chi2 >= c0, chi2, jnp.inf)
+        below_ref[:, :] = jnp.maximum(below_ref[:, :],
+                                      jnp.max(lo, axis=1, keepdims=True))
+        above_ref[:, :] = jnp.minimum(above_ref[:, :],
+                                      jnp.min(hi, axis=1, keepdims=True))
+
+    return kernel
+
+
+def _make_chi2stack_kernel(nfilt, ignore_model_err, a1, log_wt_thresh):
+    """Pass B (full-mask, dim-prior): w = chi2^a1 * exp(-chi2/2 - shift),
+    shift = lmap + gammaln-norm — one exp + one sqrt per pair, no log.
+    Accumulates pdf += w @ G and s += sum(w); levid = log(s) + lmap."""
+
+    wthr = None if log_wt_thresh is None else float(np.exp(log_wt_thresh))
+
+    def kernel(d, de, mT, meT, G, shift, pdf_ref, s_ref):
+        j = pl.program_id(1)
+        chi2 = jnp.minimum(
+            _chi2_tile_fullmask(d, de, mT, meT, nfilt=nfilt,
+                                ignore_model_err=ignore_model_err),
+            _CHI2_CLAMP)
+        pw = _half_pow(chi2, a1)
+        e = jnp.exp(-0.5 * chi2 - shift[:, :])
+        w = e if pw is None else pw * e
+
+        @pl.when(j == 0)
+        def _():
+            pdf_ref[:, :] = jnp.zeros_like(pdf_ref)
+            s_ref[:, :] = jnp.zeros_like(s_ref)
+
+        # levid is the UN-thresholded logsumexp (bruteforce.py:359-360);
+        # the threshold only gates which kernels get stacked.
+        s_ref[:, :] += jnp.sum(w, axis=1, keepdims=True)
+        if wthr is not None:
+            # w = exp(lnl - lmap), so the reference cut
+            # lnl > ln(wt_thresh) + lmap is exactly w > wt_thresh.
+            w = jnp.where(w > wthr, w, 0.0)
+        pdf_ref[:, :] += jnp.dot(w, G[:, :],
+                                 preferred_element_type=jnp.float32)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ignore_model_err", "wt_thresh", "tb", "tm",
+                     "interpret"))
+def _fused_call_fullmask_dimprior(d, de, mT, meT, G, *, ignore_model_err,
+                                  wt_thresh, tb, tm, interpret):
+    """Specialized full-mask + dim-prior pipeline (see kernels above)."""
+    B, F = d.shape
+    M = mT.shape[1]
+    Gp = G.shape[1]
+    nb, nm = B // tb, M // tm
+    a1 = 0.5 * F - 1.0
+    c0 = 2.0 * a1
+    norm = float(_sp_gammaln(0.5 * F) + _LOG_2 * 0.5 * F)
+
+    data_spec = pl.BlockSpec((tb, F), lambda i, j: (i, 0))
+    model_spec = pl.BlockSpec((F, tm), lambda i, j: (0, j))
+    stat_spec = pl.BlockSpec((tb, 1), lambda i, j: (i, 0))
+    params = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "arbitrary"))
+
+    below, above = pl.pallas_call(
+        _make_chi2max_kernel(F, ignore_model_err, c0),
+        grid=(nb, nm),
+        in_specs=[data_spec, data_spec, model_spec, model_spec],
+        out_specs=(stat_spec, stat_spec),
+        out_shape=(jax.ShapeDtypeStruct((B, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((B, 1), jnp.float32)),
+        compiler_params=params,
+        interpret=interpret,
+    )(d, de, mT, meT)
+
+    def lnl_of(c):
+        safe = jnp.maximum(c, 1e-300)
+        return (a1 * jnp.log(safe) if a1 != 0.0 else 0.0) - 0.5 * c - norm
+
+    lmap = jnp.maximum(jnp.where(below >= 0.0, lnl_of(below), -jnp.inf),
+                       jnp.where(jnp.isfinite(above), lnl_of(above),
+                                 -jnp.inf))  # (B, 1)
+    shift = lmap + norm
+    log_thresh = None if wt_thresh is None else float(np.log(wt_thresh))
+
+    pdf, s = pl.pallas_call(
+        _make_chi2stack_kernel(F, ignore_model_err, a1, log_thresh),
+        grid=(nb, nm),
+        in_specs=[data_spec, data_spec, model_spec, model_spec,
+                  pl.BlockSpec((tm, Gp), lambda i, j: (j, 0)), stat_spec],
+        out_specs=(pl.BlockSpec((tb, Gp), lambda i, j: (i, 0)), stat_spec),
+        out_shape=(jax.ShapeDtypeStruct((B, Gp), jnp.float32),
+                   jax.ShapeDtypeStruct((B, 1), jnp.float32)),
+        compiler_params=params,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * M * (Gp + 4 * F),
+            bytes_accessed=(M * Gp + 2 * M * F) * 8 + B * Gp * 4,
+            transcendentals=B * M),
+        interpret=interpret,
+    )(d, de, mT, meT, G, shift)
+
+    # pdf is in exp(lnl - lmap) scale; convert to the exp(lnl - levid)
+    # convention; all-zero-weight rows (insane outliers past the chi2
+    # clamp) degrade gracefully to zero PDFs.
+    levid = jnp.where(s > 0, jnp.log(jnp.maximum(s, 1e-300)) + lmap,
+                      -jnp.inf)
+    pdf = jnp.where(s > 0, pdf * jnp.exp(lmap - levid), 0.0)
+    return pdf, lmap[:, 0], levid[:, 0]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dim_prior", "ignore_model_err", "wt_thresh", "tb",
+                     "tm", "interpret", "full_mask"))
+def _fused_call(d, de, dm, mT, meT, mmT, valid, G, *, dim_prior,
+                ignore_model_err, wt_thresh, tb, tm, interpret,
+                full_mask=False):
+    if full_mask and dim_prior:
+        return _fused_call_fullmask_dimprior(
+            d, de, mT, meT, G, ignore_model_err=ignore_model_err,
+            wt_thresh=wt_thresh, tb=tb, tm=tm, interpret=interpret)
+
+    B, F = d.shape
+    M = mT.shape[1]
+    Gp = G.shape[1]
+    nb, nm = B // tb, M // tm
+    gl_table = tuple(float(_sp_gammaln(0.5 * k) + _LOG_2 * 0.5 * k)
+                     if k > 0 else float("inf") for k in range(F + 1))
+
+    data_spec = pl.BlockSpec((tb, F), lambda i, j: (i, 0))
+    model_spec = pl.BlockSpec((F, tm), lambda i, j: (0, j))
+    valid_spec = pl.BlockSpec((1, tm), lambda i, j: (0, j))
+    stat_spec = pl.BlockSpec((tb, 1), lambda i, j: (i, 0))
+
+    G_spec = pl.BlockSpec((tm, Gp), lambda i, j: (j, 0))
+    pdf_spec = pl.BlockSpec((tb, Gp), lambda i, j: (i, 0))
+    params = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "arbitrary"))
+    cost = pl.CostEstimate(
+        flops=2 * B * M * (Gp + 4 * F),
+        bytes_accessed=(M * Gp + 3 * M * F) * 4 + B * Gp * 4,
+        transcendentals=2 * B * M)
+
+    if wt_thresh is None:
+        # Single pass: flash-style rescaled PDF accumulator.
+        onepass = _make_onepass_kernel(F, dim_prior, ignore_model_err,
+                                       gl_table, full_mask)
+        pdf, lmap, levid = pl.pallas_call(
+            onepass,
+            grid=(nb, nm),
+            in_specs=[data_spec, data_spec, data_spec, model_spec,
+                      model_spec, model_spec, valid_spec, G_spec],
+            out_specs=(pdf_spec, stat_spec, stat_spec),
+            out_shape=(jax.ShapeDtypeStruct((B, Gp), jnp.float32),
+                       jax.ShapeDtypeStruct((B, 1), jnp.float32),
+                       jax.ShapeDtypeStruct((B, 1), jnp.float32)),
+            compiler_params=params,
+            cost_estimate=cost,
+            interpret=interpret,
+        )(d, de, dm, mT, meT, mmT, valid, G)
+        # One-pass accumulator is relative to the running max; convert to
+        # the exp(lnl - levid) convention here.
+        pdf = pdf * jnp.exp(lmap - levid)
+        return pdf, lmap[:, 0], levid[:, 0]
+
+    reduce_kernel = _make_reduce_kernel(F, dim_prior, ignore_model_err,
+                                        gl_table, full_mask)
+    lmap, levid = pl.pallas_call(
+        reduce_kernel,
+        grid=(nb, nm),
+        in_specs=[data_spec, data_spec, data_spec, model_spec, model_spec,
+                  model_spec, valid_spec],
+        out_specs=(stat_spec, stat_spec),
+        out_shape=(jax.ShapeDtypeStruct((B, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((B, 1), jnp.float32)),
+        compiler_params=params,
+        interpret=interpret,
+    )(d, de, dm, mT, meT, mmT, valid)
+
+    log_thresh = float(np.log(wt_thresh))
+    stack_kernel = _make_stack_kernel(F, dim_prior, ignore_model_err,
+                                      gl_table, log_thresh, full_mask)
+    pdf = pl.pallas_call(
+        stack_kernel,
+        grid=(nb, nm),
+        in_specs=[data_spec, data_spec, data_spec, model_spec, model_spec,
+                  model_spec, valid_spec, G_spec, stat_spec, stat_spec],
+        out_specs=pdf_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Gp), jnp.float32),
+        compiler_params=params,
+        cost_estimate=cost,
+        interpret=interpret,
+    )(d, de, dm, mT, meT, mmT, valid, G, lmap, levid)
+
+    return pdf, lmap[:, 0], levid[:, 0]
+
+
+def fused_fit_pdf(data, data_err, data_mask, models, models_err,
+                  models_mask, G, *, dim_prior=True, ignore_model_err=False,
+                  wt_thresh=1e-3, tb=256, tm=512, interpret=None,
+                  full_mask=None):
+    """Fused fit->PDF for one object batch.
+
+    Parameters mirror `ops.logprob` + a row-normalized kernel matrix `G`
+    (Nmodel, Ngrid).  Returns (pdf, lmap, levid): unnormalized stacked
+    PDFs (Nobj, Ngrid) and the GOF metrics.  Results match the XLA path
+    (logprob -> logsumexp -> threshold_weights -> kde_stack) to float32
+    roundoff; the caller normalizes PDFs.
+
+    Shapes are padded internally: objects to `tb`, models to `tm` (padded
+    models get lnl = -inf and zero kernel rows), grid columns to 128
+    lanes.  `interpret=None` auto-selects interpreter mode off-TPU.
+    """
+    if interpret is None:
+        interpret = not pallas_supported()
+    # Host-side full-mask detection (skips all mask/Ndim work in-kernel);
+    # only attempted on host arrays — device round-trips are expensive.
+    # Callers that know can pass `full_mask` explicitly.
+    if full_mask is None:
+        full_mask = False
+        if isinstance(data_mask, np.ndarray) and isinstance(models_mask,
+                                                            np.ndarray):
+            full_mask = bool(np.all(data_mask == 1)
+                             and np.all(models_mask == 1))
+    d = jnp.asarray(data, jnp.float32)
+    de = jnp.asarray(data_err, jnp.float32)
+    dm = jnp.asarray(data_mask, jnp.float32)
+    m = jnp.asarray(models, jnp.float32)
+    me = jnp.asarray(models_err, jnp.float32)
+    mm = jnp.asarray(models_mask, jnp.float32)
+    G = jnp.asarray(G, jnp.float32)
+
+    B, F = d.shape
+    M, Ngrid = G.shape[0], G.shape[1]
+    tb = min(tb, _round_up(B, 8))
+    tm = min(tm, _round_up(M, 128))
+    Bp = _round_up(B, tb)
+    Mp = _round_up(M, tm)
+    Gp = _round_up(Ngrid, 128)
+
+    if Bp != B:
+        pad = Bp - B
+        d = jnp.pad(d, ((0, pad), (0, 0)))
+        de = jnp.pad(de, ((0, pad), (0, 0)), constant_values=1.0)
+        dm = jnp.pad(dm, ((0, pad), (0, 0)))
+    valid = jnp.ones((1, M), jnp.float32)
+    if Mp != M:
+        pad = Mp - M
+        # Sentinel 1e15 pad values drive padded models' chi2 past the
+        # clamp in the full-mask path (weights identically 0); the
+        # general path masks them via `valid` regardless.
+        m = jnp.pad(m, ((0, pad), (0, 0)), constant_values=1e15)
+        me = jnp.pad(me, ((0, pad), (0, 0)), constant_values=1.0)
+        mm = jnp.pad(mm, ((0, pad), (0, 0)))
+        valid = jnp.pad(valid, ((0, 0), (0, pad)))
+    if Gp != Ngrid:
+        G = jnp.pad(G, ((0, 0), (0, Gp - Ngrid)))
+    if Mp != M:
+        G = jnp.pad(G, ((0, Mp - M), (0, 0)))
+
+    pdf, lmap, levid = _fused_call(
+        d, de, dm, m.T, me.T, mm.T, valid, G, dim_prior=dim_prior,
+        ignore_model_err=ignore_model_err, wt_thresh=wt_thresh, tb=tb,
+        tm=tm, interpret=bool(interpret), full_mask=full_mask)
+    pdf, lmap, levid = pdf[:B, :Ngrid], lmap[:B], levid[:B]
+    # Degenerate rows (every model at the -inf floor) -> zero PDF, -inf
+    # GOF, matching the XLA path's handling of all-masked objects.
+    ok = lmap > _NEG_INF / 2
+    pdf = jnp.where(ok[:, None], pdf, 0.0)
+    lmap = jnp.where(ok, lmap, -jnp.inf)
+    levid = jnp.where(ok, levid, -jnp.inf)
+    return pdf, lmap, levid

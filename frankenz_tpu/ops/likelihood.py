@@ -103,13 +103,28 @@ def _f(x):
     return jnp.asarray(x, dtype=jnp.result_type(jnp.asarray(x).dtype, jnp.float32))
 
 
-def _chi2_dim_logpdf(a, chi2):
+def _chi2_dim_logpdf(a, chi2, max_ndim=None):
     """logpdf of the chi^2 distribution with dof 2*a evaluated at chi2.
 
     Matches the reference's dimensionality prior (pdf.py:90-93):
     ``xlogy(a - 1, chi2) - chi2/2 - gammaln(a) - a*log(2)``.
+
+    When `max_ndim` is given, ``2*a`` is known to take integer-or-
+    half-integer values in [-1, max_ndim], so the expensive
+    ``gammaln(a) + a*log2`` term is evaluated once per possible value
+    and gathered — on a (Nobj, Nmodel) grid this replaces ~1e9 gammaln
+    calls with a (2*max_ndim+3)-entry table lookup.
     """
-    return xlogy(a - 1.0, chi2) - 0.5 * chi2 - gammaln(a) - _LOG_2 * a
+    if max_ndim is None:
+        norm = gammaln(a) + _LOG_2 * a
+    else:
+        # Possible 2a values: -1, -0.5, 0, ..., max_ndim in half steps
+        # (fixed scale: 2a = Ndim; free scale: 2a = Ndim - 1).
+        twoa = jnp.arange(-2, 2 * max_ndim + 1) * 0.5
+        table = gammaln(0.5 * twoa) + _LOG_2 * 0.5 * twoa
+        idx = jnp.round(4.0 * a + 2.0).astype(jnp.int32)
+        norm = table[jnp.clip(idx, 0, table.shape[0] - 1)]
+    return xlogy(a - 1.0, chi2) - 0.5 * chi2 - norm
 
 
 def _filter_reduce(d, de, dm, m, me, mm, *, ignore_model_err, need_logvar,
@@ -168,7 +183,7 @@ def _loglike_fixed_jit(data, data_err, data_mask, models, models_err,
         d, de, dm, m, me, mm,
         ignore_model_err=ignore_model_err, need_logvar=not dim_prior)
     if dim_prior:
-        lnl = _chi2_dim_logpdf(0.5 * ndim, chi2)
+        lnl = _chi2_dim_logpdf(0.5 * ndim, chi2, max_ndim=d.shape[1])
     else:
         lnl = -0.5 * chi2 - 0.5 * (ndim * _LOG_2PI + logvar)
     return LoglikeResult(lnl, ndim, chi2)
@@ -264,7 +279,8 @@ def _loglike_free_jit(data, data_err, data_mask, models, models_err,
             cond, body, state)
 
     if dim_prior:
-        lnl = _chi2_dim_logpdf(0.5 * (ndim - 1.0), chi2)
+        lnl = _chi2_dim_logpdf(0.5 * (ndim - 1.0), chi2,
+                               max_ndim=d.shape[1])
 
     if return_scale:
         scale_err = jnp.sqrt(1.0 / shape_vals)

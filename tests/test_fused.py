@@ -1,0 +1,150 @@
+"""Fused Pallas pipeline vs the XLA path (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from frankenz_tpu.ops import kde as K
+from frankenz_tpu.ops import likelihood as L
+from frankenz_tpu.ops.fused import fused_fit_pdf
+
+
+def xla_reference(d, de, dm, m, me, mm, G, dim_prior=True,
+                  ignore_model_err=False, wt_thresh=1e-3):
+    res = L.loglike_fixed(
+        jnp.asarray(d, jnp.float32), jnp.asarray(de, jnp.float32),
+        jnp.asarray(dm, jnp.float32), jnp.asarray(m, jnp.float32),
+        jnp.asarray(me, jnp.float32), jnp.asarray(mm, jnp.float32),
+        dim_prior=dim_prior, ignore_model_err=ignore_model_err)
+    lnp = res.lnlike
+    lmap = jnp.max(lnp, axis=1)
+    levid = jax.scipy.special.logsumexp(lnp, axis=1)
+    wt = jnp.exp(lnp - levid[:, None])
+    wt = K.threshold_weights(wt, wt_thresh, None) if wt_thresh else wt
+    pdf = wt @ jnp.asarray(G, jnp.float32)
+    return (np.asarray(pdf), np.asarray(lmap), np.asarray(levid))
+
+
+@pytest.fixture(scope="module")
+def problem():
+    rng = np.random.default_rng(17)
+    B, M, F, Ngrid = 24, 300, 5, 101
+    m = rng.uniform(1, 10, (M, F)).astype(np.float32)
+    me = (0.05 * m).astype(np.float32)
+    mm = (rng.uniform(size=(M, F)) > 0.1).astype(np.float32)
+    mm[:, :2] = 1.0
+    truth = rng.integers(0, M, B)
+    d = (m[truth] + rng.normal(0, 0.3, (B, F))).astype(np.float32)
+    de = np.full((B, F), 0.3, np.float32)
+    dm = (rng.uniform(size=(B, F)) > 0.1).astype(np.float32)
+    dm[:, :2] = 1.0
+    G = np.asarray(K.kernel_matrix(
+        rng.uniform(0, 3, M), np.full(M, 0.1), np.linspace(0, 3, Ngrid)),
+        np.float32)
+    return d, de, dm, m, me, mm, G
+
+
+@pytest.mark.parametrize("dim_prior", [True, False])
+@pytest.mark.parametrize("ignore_model_err", [False, True])
+def test_fused_matches_xla(problem, dim_prior, ignore_model_err):
+    d, de, dm, m, me, mm, G = problem
+    pdf, lmap, levid = fused_fit_pdf(
+        d, de, dm, m, me, mm, G, dim_prior=dim_prior,
+        ignore_model_err=ignore_model_err, tb=8, tm=128, interpret=True)
+    want_pdf, want_lmap, want_levid = xla_reference(
+        d, de, dm, m, me, mm, G, dim_prior=dim_prior,
+        ignore_model_err=ignore_model_err)
+    np.testing.assert_allclose(np.asarray(lmap), want_lmap, rtol=2e-5,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(levid), want_levid, rtol=2e-5,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pdf), want_pdf, rtol=1e-3,
+                               atol=1e-5)
+
+
+def test_fused_padding_edges(problem):
+    """Non-multiple B/M/Ngrid exercise all padding paths."""
+    d, de, dm, m, me, mm, G = problem
+    pdf, lmap, levid = fused_fit_pdf(
+        d[:19], de[:19], dm[:19], m[:251], me[:251], mm[:251], G[:251, :77],
+        tb=8, tm=128, interpret=True)
+    want_pdf, want_lmap, want_levid = xla_reference(
+        d[:19], de[:19], dm[:19], m[:251], me[:251], mm[:251], G[:251, :77])
+    assert pdf.shape == (19, 77)
+    np.testing.assert_allclose(np.asarray(levid), want_levid, rtol=2e-5,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pdf), want_pdf, rtol=1e-3,
+                               atol=1e-5)
+
+
+def test_fused_no_threshold(problem):
+    d, de, dm, m, me, mm, G = problem
+    pdf, _, _ = fused_fit_pdf(d, de, dm, m, me, mm, G, wt_thresh=None,
+                              tb=8, tm=128, interpret=True)
+    want_pdf, _, _ = xla_reference(d, de, dm, m, me, mm, G, wt_thresh=None)
+    np.testing.assert_allclose(np.asarray(pdf), want_pdf, rtol=1e-3,
+                               atol=1e-5)
+
+
+@pytest.mark.parametrize("wt_thresh", [1e-3, None])
+@pytest.mark.parametrize("nfilt", [2, 5, 8])
+def test_fused_fullmask_fast_path(nfilt, wt_thresh):
+    """All-ones masks engage the no-log chi2-domain kernels; results must
+    still match the XLA path (including the padding sentinels)."""
+    rng = np.random.default_rng(23)
+    B, M, Ngrid = 24, 300, 101
+    m = rng.uniform(1, 10, (M, nfilt)).astype(np.float32)
+    me = (0.05 * m).astype(np.float32)
+    mm = np.ones((M, nfilt), np.float32)
+    d = (m[rng.integers(0, M, B)]
+         + rng.normal(0, 0.3, (B, nfilt))).astype(np.float32)
+    de = np.full((B, nfilt), 0.3, np.float32)
+    dm = np.ones((B, nfilt), np.float32)
+    G = np.asarray(K.kernel_matrix(
+        rng.uniform(0, 3, M), np.full(M, 0.1), np.linspace(0, 3, Ngrid)),
+        np.float32)
+    pdf, lmap, levid = fused_fit_pdf(d, de, dm, m, me, mm, G, tb=8,
+                                     tm=128, wt_thresh=wt_thresh,
+                                     interpret=True)
+    want_pdf, want_lmap, want_levid = xla_reference(
+        d, de, dm, m, me, mm, G, wt_thresh=wt_thresh)
+    np.testing.assert_allclose(np.asarray(lmap), want_lmap, rtol=2e-5,
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(levid), want_levid, rtol=2e-5,
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(pdf), want_pdf, rtol=2e-3,
+                               atol=2e-5)
+
+
+def test_bruteforce_fused_dispatch(problem):
+    """BruteForce.fit_predict(use_fused=True) == XLA path."""
+    from frankenz_tpu.models import BruteForce
+
+    d, de, dm, m, me, mm, G = problem
+    rng = np.random.default_rng(0)
+    zlab = rng.uniform(0, 3, m.shape[0])
+    zerr = np.full(m.shape[0], 0.1)
+    grid = np.linspace(0, 3, 101)
+    bf = BruteForce(m, me, mm)
+    a = bf.fit_predict(d, de, dm, zlab, zerr, label_grid=grid,
+                       verbose=False, use_fused=True)
+    b = bf.fit_predict(d, de, dm, zlab, zerr, label_grid=grid,
+                       verbose=False, use_fused=False)
+    np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-5)
+    # Ineligible configs refuse rather than silently diverge.
+    with pytest.raises(ValueError):
+        bf.fit_predict(d, de, dm, zlab, zerr, label_grid=grid,
+                       verbose=False, use_fused=True,
+                       lprob_kwargs={"free_scale": True})
+
+
+def test_fused_all_masked_object(problem):
+    d, de, dm, m, me, mm, G = problem
+    dm2 = dm.copy()
+    dm2[0] = 0.0
+    pdf, lmap, levid = fused_fit_pdf(d, de, dm2, m, me, mm, G, tb=8,
+                                     tm=128, interpret=True)
+    assert np.asarray(pdf[0]).sum() == 0.0
+    assert np.asarray(lmap)[0] == -np.inf
+    assert np.isfinite(np.asarray(pdf[1:])).all()
