@@ -220,6 +220,35 @@ def _loglike_free_jit(data, data_err, data_mask, models, models_err,
     nmodel = m.shape[0]
 
     ndim = dm @ mm.T
+
+    if ignore_model_err and nobj >= 8:
+        # MXU fast path: with datum-only variance every reduction over the
+        # filter axis factorizes into matmuls (gated on batch size:
+        # single-datum-inside-scan workloads like GNG training run faster
+        # on the elementwise path) —
+        #   inter = sum_f mask m d / s^2 = (dm d/s^2) @ (mm m)^T
+        #   shape = sum_f mask m^2 / s^2 = (dm /s^2)  @ (mm m^2)^T
+        #   chi2  = sum_f mask d^2/s^2 - inter^2/shape   (ML identity)
+        # Exact in real arithmetic; in float32 the chi2 subtraction can
+        # cancel for very-high-SNR data (error ~1e-7 * sum(d/s)^2) — the
+        # elementwise path is retained for model-error configurations and
+        # float64 runs bit-match the reference.
+        inv_var = dm / (de * de)
+        inter = (d * inv_var) @ (mm * m).T
+        shape_vals = inv_var @ (mm * m * m).T
+        A = (d * d * inv_var) @ mm.T
+        scale = inter / shape_vals
+        chi2 = A - inter * scale  # = A - inter^2/shape
+        logvar = jnp.sum(jnp.log(de * de), axis=1, keepdims=True)
+        lnl = -0.5 * chi2 - 0.5 * (ndim * _LOG_2PI + logvar)
+        if dim_prior:
+            lnl = _chi2_dim_logpdf(0.5 * (ndim - 1.0), chi2,
+                                   max_ndim=d.shape[1])
+        if return_scale:
+            return LoglikeResult(lnl, ndim, chi2, scale,
+                                 jnp.sqrt(1.0 / shape_vals))
+        return LoglikeResult(lnl, ndim, chi2)
+
     mask3 = dm[:, None, :] * mm[None, :, :]  # (Nobj, Nmodel, Nfilt)
 
     def pairwise_var(scale):
