@@ -406,7 +406,15 @@ class _Network:
     # ------------------------------------------------------------------
 
     def _occupied(self):
+        if self.nodes_Nmatch is None:
+            raise RuntimeError("populate_network() must run before fit()")
         sel = np.flatnonzero(self.nodes_Nmatch > 0)
+        if len(sel) == 0:
+            raise RuntimeError(
+                "no occupied nodes — populate_network found no finite "
+                "model-node fits (zero model errors with the default "
+                "free-scale likelihood give 0/0 variances; pass nonzero "
+                "models_err)")
         return sel
 
     def fit(self, data, data_err, data_mask, lprob_func=None,

@@ -103,7 +103,11 @@ class BPZPrior:
         return cls._instance
 
     def _m_weights(self, m):
-        m = np.clip(np.asarray(m, dtype=float), _MBOUNDS[0], _MBOUNDS[1])
+        # Non-finite magnitudes (e.g. negative noisy fluxes) clip to the
+        # faint bound rather than poisoning the integer cast below.
+        m = np.nan_to_num(np.asarray(m, dtype=float), nan=_MBOUNDS[1],
+                          posinf=_MBOUNDS[1], neginf=_MBOUNDS[0])
+        m = np.clip(m, _MBOUNDS[0], _MBOUNDS[1])
         x = (m - _MBOUNDS[0]) / (self.mgrid[1] - self.mgrid[0])
         i0 = np.clip(np.floor(x).astype(int), 0, _MGRID_N - 2)
         return i0, x - i0
