@@ -353,22 +353,32 @@ class BruteForce:
     def _fit_predict_fused(self, data, data_err, data_mask, G,
                            lprob_kwargs, wt_thresh, batch_size, return_gof,
                            verbose):
-        """Stream object batches through the Pallas fused kernel."""
+        """Stream object batches through the Pallas fused kernel.
+
+        The whole catalog is uploaded once, batches are sliced on device,
+        and results stay on device until one bulk readback — JAX's async
+        dispatch then pipelines every batch (per-batch host readbacks
+        would serialize compute with tunnel round-trips).
+        """
         ndata = data.shape[0]
-        ngrid = G.shape[1]
         dim_prior = lprob_kwargs.get("dim_prior", True)
         ignore_model_err = lprob_kwargs.get("ignore_model_err", False)
         full_mask = self._full_mask and bool(np.all(data_mask == 1))
         G = jnp.asarray(G, jnp.float32)
-        pdfs = np.zeros((ndata, ngrid), np.float32)
-        lmap = np.zeros(ndata, np.float32)
-        levid = np.zeros(ndata, np.float32)
+        pad = (-ndata) % batch_size
+        d_all = jnp.asarray(np.pad(data, ((0, pad), (0, 0))), jnp.float32)
+        de_all = jnp.asarray(np.pad(data_err, ((0, pad), (0, 0)),
+                                    constant_values=1.0), jnp.float32)
+        dm_all = jnp.asarray(np.pad(data_mask, ((0, pad), (0, 0))),
+                             jnp.float32)
+
+        parts = []
         for i0, n in progress_iter(_batch_slices(ndata, batch_size),
                                    total=ndata, label="Fitting object",
                                    sizes=True, verbose=verbose):
-            d = _pad_rows(data[i0:i0 + n], batch_size)
-            de = _pad_rows(data_err[i0:i0 + n], batch_size)
-            dm = _pad_rows(data_mask[i0:i0 + n], batch_size)
+            d = jax.lax.dynamic_slice_in_dim(d_all, i0, batch_size)
+            de = jax.lax.dynamic_slice_in_dim(de_all, i0, batch_size)
+            dm = jax.lax.dynamic_slice_in_dim(dm_all, i0, batch_size)
             pdf_b, lmap_b, levid_b = _fused.fused_fit_pdf(
                 d, de, dm, self.models, self.models_err, self.models_mask,
                 G, dim_prior=dim_prior, ignore_model_err=ignore_model_err,
@@ -376,9 +386,12 @@ class BruteForce:
             norm = jnp.sum(pdf_b, axis=1, keepdims=True)
             pdf_b = jnp.where(norm > 0,
                               pdf_b / jnp.where(norm > 0, norm, 1.0), 0.0)
-            pdfs[i0:i0 + n] = np.asarray(pdf_b[:n])
-            lmap[i0:i0 + n] = np.asarray(lmap_b[:n])
-            levid[i0:i0 + n] = np.asarray(levid_b[:n])
+            parts.append((pdf_b, lmap_b, levid_b))
+
+        parts = jax.device_get(parts)
+        pdfs = np.concatenate([p[0] for p in parts])[:ndata]
+        lmap = np.concatenate([p[1] for p in parts])[:ndata]
+        levid = np.concatenate([p[2] for p in parts])[:ndata]
         if return_gof:
             return pdfs, (lmap, levid)
         return pdfs
