@@ -3,7 +3,9 @@
 from .mesh import (  # noqa: F401
     make_mesh,
     make_mesh_2d,
+    model_sharded_fit_predict_step,
     replicate,
+    shard_models,
     shard_objects,
     sharded_fit_predict_step,
     sharded_logprob,

@@ -25,8 +25,10 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "shard_objects", "replicate", "sharded_logprob",
-           "sharded_fit_predict_step"]
+__all__ = ["make_mesh", "make_mesh_2d", "shard_objects",
+           "shard_models", "replicate", "sharded_logprob",
+           "sharded_fit_predict_step",
+           "model_sharded_fit_predict_step", "stacked_nz"]
 
 OBJ_AXIS = "objects"
 MODEL_AXIS = "models"
@@ -125,6 +127,63 @@ def sharded_fit_predict_step(mesh, lprob_func=None, wt_thresh=1e-3,
         return pdf, lmap, levid
 
     return f
+
+
+def model_sharded_fit_predict_step(mesh, wt_thresh=1e-3, dim_prior=True,
+                                   ignore_model_err=False):
+    """Fused fit->PDF step with BOTH objects and models sharded (2-D mesh).
+
+    For model sets too large to replicate in one chip's HBM (>>10M
+    models), the model axis shards over `MODEL_AXIS` and the blockwise
+    pattern of ring attention applies to chi^2/logsumexp instead of
+    softmax*V (SURVEY.md section 5, "long-context analogue"):
+
+      * each chip computes its local (B_shard, M_shard) log-posterior
+        block against its resident model shard;
+      * the exact global lmap/levid come from a `psum`-style max / log-
+        sum-exp over the model axis (one collective each);
+      * each chip contracts its thresholded local weights with its LOCAL
+        kernel-matrix shard and a final `psum` over the model axis sums
+        the partial PDFs.
+
+    Built with `jax.shard_map`; data enters sharded (objects on
+    OBJ_AXIS, models/G on MODEL_AXIS).
+    """
+    from ..ops import likelihood as _like
+
+    def local_step(d, de, dm, m, me, mm, G):
+        res = _like.logprob(d, de, dm, m, me, mm, dim_prior=dim_prior,
+                            ignore_model_err=ignore_model_err)
+        lnp = res.lnprob
+        # Global GOF metrics over the sharded model axis.
+        lmap = jax.lax.pmax(jnp.max(lnp, axis=1), MODEL_AXIS)
+        local_sum = jnp.sum(jnp.exp(lnp - lmap[:, None]), axis=1)
+        levid = jnp.log(jax.lax.psum(local_sum, MODEL_AXIS)) + lmap
+        wt = jnp.exp(lnp - levid[:, None])
+        if wt_thresh is not None:
+            keep = lnp > jnp.log(wt_thresh) + lmap[:, None]
+            wt = jnp.where(keep, wt, 0.0)
+        pdf = jax.lax.psum(wt @ G, MODEL_AXIS)
+        norm = jnp.sum(pdf, axis=1, keepdims=True)
+        pdf = jnp.where(norm > 0, pdf / jnp.where(norm > 0, norm, 1.0),
+                        0.0)
+        return pdf, lmap, levid
+
+    data_spec = P(OBJ_AXIS, None)
+    model_spec = P(MODEL_AXIS, None)
+    return jax.jit(jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(data_spec, data_spec, data_spec, model_spec, model_spec,
+                  model_spec, model_spec),
+        out_specs=(P(OBJ_AXIS, None), P(OBJ_AXIS), P(OBJ_AXIS))))
+
+
+def shard_models(mesh, *arrays):
+    """Place arrays with their leading (model) axis sharded over the
+    2-D mesh's model axis (replicated over the object axis)."""
+    spec = NamedSharding(mesh, P(MODEL_AXIS))
+    out = tuple(jax.device_put(jnp.asarray(a), spec) for a in arrays)
+    return out[0] if len(out) == 1 else out
 
 
 def stacked_nz(mesh, pdfs):

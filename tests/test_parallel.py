@@ -57,6 +57,48 @@ def test_graft_entry_multichip():
     ge.dryrun_multichip(8)
 
 
+def test_model_sharded_step_matches_replicated(problem):
+    """2-D (objects x models) mesh: sharding the model axis reproduces
+    the replicated-model results (logsumexp/threshold collectives)."""
+    import jax.numpy as jnp
+
+    from frankenz_tpu.ops import kde as K
+    from frankenz_tpu.ops import likelihood as L
+    from frankenz_tpu.parallel import (make_mesh_2d,
+                                       model_sharded_fit_predict_step)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    d, de, dm, m, me, mm = problem
+    rng = np.random.default_rng(5)
+    G = np.asarray(K.kernel_matrix(rng.uniform(0, 3, m.shape[0]),
+                                   np.full(m.shape[0], 0.1),
+                                   np.linspace(0, 3, 64)))
+    # Pad models to a multiple of the model-axis size (2).
+    mesh2 = make_mesh_2d(4, 2)
+    step = model_sharded_fit_predict_step(mesh2)
+    ds = jax.device_put(d, NamedSharding(mesh2, P("objects")))
+    des = jax.device_put(de, NamedSharding(mesh2, P("objects")))
+    dms = jax.device_put(dm, NamedSharding(mesh2, P("objects")))
+    ms, mes, mms, Gs = (jax.device_put(x, NamedSharding(mesh2, P("models")))
+                        for x in (m, me, mm, G))
+    pdf, lmap, levid = step(ds, des, dms, ms, mes, mms, Gs)
+
+    res = L.logprob(d, de, dm, m, me, mm)
+    lnp = res.lnprob
+    want_lmap = jnp.max(lnp, axis=1)
+    want_levid = jax.scipy.special.logsumexp(lnp, axis=1)
+    wt = K.threshold_weights(jnp.exp(lnp - want_levid[:, None]), 1e-3,
+                             None)
+    want_pdf = wt @ jnp.asarray(G)
+    want_pdf = want_pdf / want_pdf.sum(axis=1, keepdims=True)
+    np.testing.assert_allclose(np.asarray(lmap), np.asarray(want_lmap),
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(levid), np.asarray(want_levid),
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(pdf), np.asarray(want_pdf),
+                               rtol=1e-8, atol=1e-12)
+
+
 def test_stacked_nz(problem, mesh):
     rng = np.random.default_rng(3)
     pdfs = rng.uniform(size=(64, 33))
