@@ -252,8 +252,10 @@ class BruteForce:
         if lprob_func is not None or lprob_args or track_scale or save_fits:
             return False
         kw = lprob_kwargs or {}
-        if kw.get("free_scale") or kw.get("return_scale"):
+        if kw.get("return_scale"):
             return False
+        if kw.get("free_scale") and not kw.get("ignore_model_err"):
+            return False  # scale iteration stays on the XLA path
         if set(kw) - {"free_scale", "ignore_model_err", "dim_prior",
                       "return_scale"}:
             return False
@@ -363,6 +365,7 @@ class BruteForce:
         ndata = data.shape[0]
         dim_prior = lprob_kwargs.get("dim_prior", True)
         ignore_model_err = lprob_kwargs.get("ignore_model_err", False)
+        free_scale = lprob_kwargs.get("free_scale", False)
         full_mask = self._full_mask and bool(np.all(data_mask == 1))
         G = jnp.asarray(G, jnp.float32)
         pad = (-ndata) % batch_size
@@ -382,7 +385,8 @@ class BruteForce:
             pdf_b, lmap_b, levid_b = _fused.fused_fit_pdf(
                 d, de, dm, self.models, self.models_err, self.models_mask,
                 G, dim_prior=dim_prior, ignore_model_err=ignore_model_err,
-                wt_thresh=wt_thresh, full_mask=full_mask)
+                free_scale=free_scale, wt_thresh=wt_thresh,
+                full_mask=full_mask)
             norm = jnp.sum(pdf_b, axis=1, keepdims=True)
             pdf_b = jnp.where(norm > 0,
                               pdf_b / jnp.where(norm > 0, norm, 1.0), 0.0)

@@ -57,20 +57,49 @@ def _round_up(x, m):
 
 
 def _lnl_tile(d_ref, de_ref, dm_ref, mT_ref, meT_ref, mmT_ref, valid_ref,
-              *, nfilt, dim_prior, ignore_model_err, gl_table, full_mask):
-    """(TB, TM) fixed-scale log-likelihood tile (pdf.py:76-98).
+              *, nfilt, dim_prior, ignore_model_err, gl_table, full_mask,
+              free_scale=False):
+    """(TB, TM) log-likelihood tile (pdf.py:76-98 / :170-194).
 
     With ``full_mask`` (host-verified all-ones masks — the common survey
     case) the mask products, Ndim accumulation, and the per-pair
     normalization select-chain all disappear: Ndim == Nfilt everywhere.
+
+    With ``free_scale`` (requires ``ignore_model_err``; pdf.py:180-194 —
+    no iteration with datum-only variance) the ML scale factor is solved
+    in-tile: inter/shape/d^2 sums accumulate over filters with per-datum
+    reciprocal variances (one divide per (TB, 1) column instead of per
+    pair), and chi2 = sum d^2/s^2 - inter^2/shape by the ML identity.
     """
     chi2 = None
     ndim = None
     logvar = None
+    inter = None
+    shape = None
     for k in range(nfilt):
         dk = d_ref[:, k:k + 1]          # (TB, 1)
         dek = de_ref[:, k:k + 1]
         mk = mT_ref[k:k + 1, :]          # (1, TM)
+        if free_scale:
+            iv = 1.0 / (dek * dek)       # (TB, 1): one divide per column
+            if full_mask:
+                mask = None
+                it = (dk * iv) * mk
+                sh = iv * (mk * mk)
+                aa = dk * dk * iv        # (TB, 1)
+            else:
+                mask = dm_ref[:, k:k + 1] * mmT_ref[k:k + 1, :]
+                it = mask * ((dk * iv) * mk)
+                sh = mask * (iv * (mk * mk))
+                aa = mask * (dk * dk * iv)
+                ndim = mask if ndim is None else ndim + mask
+            inter = it if inter is None else inter + it
+            shape = sh if shape is None else shape + sh
+            chi2 = aa if chi2 is None else chi2 + aa  # holds A for now
+            if not dim_prior:
+                lv = jnp.log(dek * dek)
+                logvar = lv if logvar is None else logvar + lv
+            continue
         if ignore_model_err:
             var = dek * dek
         else:
@@ -88,20 +117,34 @@ def _lnl_tile(d_ref, de_ref, dm_ref, mT_ref, meT_ref, mmT_ref, valid_ref,
             lv = jnp.log(var)
             logvar = lv if logvar is None else logvar + lv
 
+    if free_scale:
+        # chi2 currently holds A = sum mask d^2/s^2; apply the ML identity.
+        chi2 = chi2 - inter * (inter / shape)
+        dof_shift = 1.0  # dof = Ndim - 1 (pdf.py:228)
+    else:
+        dof_shift = 0.0
+
     if dim_prior:
         # lnl = xlogy(a-1, chi2) - chi2/2 - [gammaln(a) + a ln2], with the
-        # normalization gathered from a static table over Ndim = 0..F.
+        # normalization gathered from a static table over 2a = Ndim (- 1
+        # for free scale, pdf.py:228); gl_table[k] holds the value for
+        # 2a = k, with gl_table[0] = +inf (gammaln(0)).
+        shift = int(dof_shift)
+
+        def tab(nd):
+            return gl_table[nd - shift] if nd - shift >= 0 else float("inf")
+
         if full_mask:
-            a1 = 0.5 * nfilt - 1.0
+            a1 = 0.5 * (nfilt - dof_shift) - 1.0
             lnl = (a1 * jnp.log(jnp.maximum(chi2, 1e-300)) if a1 != 0.0
-                   else 0.0) - 0.5 * chi2 - gl_table[nfilt]
+                   else 0.0) - 0.5 * chi2 - tab(nfilt)
         else:
-            a1 = 0.5 * ndim - 1.0
+            a1 = 0.5 * (ndim - dof_shift) - 1.0
             safe_log = jnp.log(jnp.maximum(chi2, 1e-300))
             xl = jnp.where(a1 == 0.0, 0.0, a1 * safe_log)
-            norm = jnp.full_like(chi2, gl_table[0])
+            norm = jnp.full_like(chi2, float("inf"))
             for nd in range(1, nfilt + 1):
-                norm = jnp.where(ndim == float(nd), gl_table[nd], norm)
+                norm = jnp.where(ndim == float(nd), tab(nd), norm)
             lnl = xl - 0.5 * chi2 - norm
     else:
         nd_term = float(nfilt) if full_mask else ndim
@@ -114,14 +157,15 @@ def _lnl_tile(d_ref, de_ref, dm_ref, mT_ref, meT_ref, mmT_ref, valid_ref,
 
 
 def _make_reduce_kernel(nfilt, dim_prior, ignore_model_err, gl_table,
-                        full_mask):
+                        full_mask, free_scale=False):
     def kernel(d, de, dm, mT, meT, mmT, valid, lmap_ref, lse_ref):
         j = pl.program_id(1)
         nj = pl.num_programs(1)
         lnl = _lnl_tile(d, de, dm, mT, meT, mmT, valid, nfilt=nfilt,
                         dim_prior=dim_prior,
                         ignore_model_err=ignore_model_err,
-                        gl_table=gl_table, full_mask=full_mask)
+                        gl_table=gl_table, full_mask=full_mask,
+                        free_scale=free_scale)
         t_max = jnp.max(lnl, axis=1, keepdims=True)   # (TB, 1)
 
         @pl.when(j == 0)
@@ -146,13 +190,14 @@ def _make_reduce_kernel(nfilt, dim_prior, ignore_model_err, gl_table,
 
 
 def _make_stack_kernel(nfilt, dim_prior, ignore_model_err, gl_table,
-                       log_wt_thresh, full_mask):
+                       log_wt_thresh, full_mask, free_scale=False):
     def kernel(d, de, dm, mT, meT, mmT, valid, G, lmap, levid, pdf_ref):
         j = pl.program_id(1)
         lnl = _lnl_tile(d, de, dm, mT, meT, mmT, valid, nfilt=nfilt,
                         dim_prior=dim_prior,
                         ignore_model_err=ignore_model_err,
-                        gl_table=gl_table, full_mask=full_mask)
+                        gl_table=gl_table, full_mask=full_mask,
+                        free_scale=free_scale)
         wt = jnp.exp(lnl - levid[:, :])
         if log_wt_thresh is not None:
             wt = jnp.where(lnl > log_wt_thresh + lmap[:, :], wt, 0.0)
@@ -168,7 +213,7 @@ def _make_stack_kernel(nfilt, dim_prior, ignore_model_err, gl_table,
 
 
 def _make_onepass_kernel(nfilt, dim_prior, ignore_model_err, gl_table,
-                         full_mask):
+                         full_mask, free_scale=False):
     """Single-pass flash-style kernel (no weight threshold): carries a
     running max, rescaled sum-exp, AND a rescaled (TB, Gp) PDF
     accumulator; pdf_out = sum_j exp(lnl_j - rm_final) @ G_j, which the
@@ -182,7 +227,8 @@ def _make_onepass_kernel(nfilt, dim_prior, ignore_model_err, gl_table,
         lnl = _lnl_tile(d, de, dm, mT, meT, mmT, valid, nfilt=nfilt,
                         dim_prior=dim_prior,
                         ignore_model_err=ignore_model_err,
-                        gl_table=gl_table, full_mask=full_mask)
+                        gl_table=gl_table, full_mask=full_mask,
+                        free_scale=free_scale)
         t_max = jnp.max(lnl, axis=1, keepdims=True)
 
         @pl.when(j == 0)
@@ -385,11 +431,11 @@ def _fused_call_fullmask_dimprior(d, de, mT, meT, G, *, ignore_model_err,
 @functools.partial(
     jax.jit,
     static_argnames=("dim_prior", "ignore_model_err", "wt_thresh", "tb",
-                     "tm", "interpret", "full_mask"))
+                     "tm", "interpret", "full_mask", "free_scale"))
 def _fused_call(d, de, dm, mT, meT, mmT, valid, G, *, dim_prior,
                 ignore_model_err, wt_thresh, tb, tm, interpret,
-                full_mask=False):
-    if full_mask and dim_prior:
+                full_mask=False, free_scale=False):
+    if full_mask and dim_prior and not free_scale:
         return _fused_call_fullmask_dimprior(
             d, de, mT, meT, G, ignore_model_err=ignore_model_err,
             wt_thresh=wt_thresh, tb=tb, tm=tm, interpret=interpret)
@@ -418,7 +464,7 @@ def _fused_call(d, de, dm, mT, meT, mmT, valid, G, *, dim_prior,
     if wt_thresh is None:
         # Single pass: flash-style rescaled PDF accumulator.
         onepass = _make_onepass_kernel(F, dim_prior, ignore_model_err,
-                                       gl_table, full_mask)
+                                       gl_table, full_mask, free_scale)
         pdf, lmap, levid = pl.pallas_call(
             onepass,
             grid=(nb, nm),
@@ -438,7 +484,7 @@ def _fused_call(d, de, dm, mT, meT, mmT, valid, G, *, dim_prior,
         return pdf, lmap[:, 0], levid[:, 0]
 
     reduce_kernel = _make_reduce_kernel(F, dim_prior, ignore_model_err,
-                                        gl_table, full_mask)
+                                        gl_table, full_mask, free_scale)
     lmap, levid = pl.pallas_call(
         reduce_kernel,
         grid=(nb, nm),
@@ -453,7 +499,8 @@ def _fused_call(d, de, dm, mT, meT, mmT, valid, G, *, dim_prior,
 
     log_thresh = float(np.log(wt_thresh))
     stack_kernel = _make_stack_kernel(F, dim_prior, ignore_model_err,
-                                      gl_table, log_thresh, full_mask)
+                                      gl_table, log_thresh, full_mask,
+                                      free_scale)
     pdf = pl.pallas_call(
         stack_kernel,
         grid=(nb, nm),
@@ -471,8 +518,12 @@ def _fused_call(d, de, dm, mT, meT, mmT, valid, G, *, dim_prior,
 
 def fused_fit_pdf(data, data_err, data_mask, models, models_err,
                   models_mask, G, *, dim_prior=True, ignore_model_err=False,
-                  wt_thresh=1e-3, tb=256, tm=512, interpret=None,
-                  full_mask=None):
+                  free_scale=False, wt_thresh=1e-3, tb=256, tm=512,
+                  interpret=None, full_mask=None):
+    if free_scale and not ignore_model_err:
+        raise ValueError("the fused kernel supports free_scale only with "
+                         "ignore_model_err=True (no scale iteration); use "
+                         "the XLA path otherwise")
     """Fused fit->PDF for one object batch.
 
     Parameters mirror `ops.logprob` + a row-normalized kernel matrix `G`
@@ -535,7 +586,8 @@ def fused_fit_pdf(data, data_err, data_mask, models, models_err,
     pdf, lmap, levid = _fused_call(
         d, de, dm, m.T, me.T, mm.T, valid, G, dim_prior=dim_prior,
         ignore_model_err=ignore_model_err, wt_thresh=wt_thresh, tb=tb,
-        tm=tm, interpret=bool(interpret), full_mask=full_mask)
+        tm=tm, interpret=bool(interpret), full_mask=full_mask,
+        free_scale=free_scale)
     pdf, lmap, levid = pdf[:B, :Ngrid], lmap[:B], levid[:B]
     # Degenerate rows (every model at the -inf floor) -> zero PDF, -inf
     # GOF, matching the XLA path's handling of all-masked objects.

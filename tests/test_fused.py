@@ -117,6 +117,44 @@ def test_fused_fullmask_fast_path(nfilt, wt_thresh):
                                atol=2e-5)
 
 
+@pytest.mark.parametrize("masked", [False, True])
+@pytest.mark.parametrize("wt_thresh", [1e-3, None])
+def test_fused_free_scale(problem, masked, wt_thresh):
+    """Free-scale error-free fits (the color-likelihood path) in-kernel."""
+    d, de, dm, m, me, mm, G = problem
+    if not masked:
+        dm = np.ones_like(dm)
+        mm = np.ones_like(mm)
+    pdf, lmap, levid = fused_fit_pdf(
+        d, de, dm, m, me, mm, G, free_scale=True, ignore_model_err=True,
+        wt_thresh=wt_thresh, tb=8, tm=128, interpret=True)
+    res = L.loglike_free(
+        jnp.asarray(d, jnp.float32), jnp.asarray(de, jnp.float32),
+        jnp.asarray(dm, jnp.float32), jnp.asarray(m, jnp.float32),
+        jnp.asarray(me, jnp.float32), jnp.asarray(mm, jnp.float32),
+        ignore_model_err=True)
+    lnp = res.lnlike
+    want_lmap = np.asarray(jnp.max(lnp, axis=1))
+    want_levid = np.asarray(jax.scipy.special.logsumexp(lnp, axis=1))
+    wt = jnp.exp(lnp - want_levid[:, None])
+    if wt_thresh:
+        wt = K.threshold_weights(wt, wt_thresh, None)
+    want_pdf = np.asarray(wt @ jnp.asarray(G, jnp.float32))
+    np.testing.assert_allclose(np.asarray(lmap), want_lmap, rtol=1e-4,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(levid), want_levid, rtol=1e-4,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(pdf), want_pdf, rtol=5e-3,
+                               atol=5e-5)
+
+
+def test_fused_free_scale_requires_error_free(problem):
+    d, de, dm, m, me, mm, G = problem
+    with pytest.raises(ValueError, match="free_scale"):
+        fused_fit_pdf(d, de, dm, m, me, mm, G, free_scale=True,
+                      interpret=True)
+
+
 def test_bruteforce_fused_dispatch(problem):
     """BruteForce.fit_predict(use_fused=True) == XLA path."""
     from frankenz_tpu.models import BruteForce
