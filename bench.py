@@ -13,7 +13,17 @@ vs_baseline is measured against the BASELINE.json north-star rate of
 1e10 pair-evals/s (1M x 100K in <10 s on one TPU v5p chip).
 
 Env overrides: BENCH_NOBJ, BENCH_NMODEL, BENCH_NFILT, BENCH_NGRID,
-BENCH_BATCH.
+BENCH_BATCH; BENCH_PATH=xla forces the non-Pallas path.
+
+The other BASELINE.md configs run via BENCH_CONFIG={1,2,3,5} (config 4,
+the primary metric, is the default):
+  1  demo-2 mock: BruteForce 5K x 1K (CPU-runnable)
+  2  KMCkNN: 100K train / 10K test, K=25 ensembles, k=20
+  3  SOM 50x50 + GNG on 100K models; cell-conditioned PDFs for 10K objs
+  5  hierarchical + population MCMC over stacked PDFs
+Each extra config prints its own one-line JSON (no vs_baseline — the
+reference publishes no numbers; BASELINE.md documents its asymptotic
+costs instead).
 """
 
 import json
@@ -27,6 +37,121 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 import jax.numpy as jnp
+
+
+def _emit(metric, value, unit, **detail):
+    print(json.dumps({"metric": metric, "value": float(f"{value:.4g}"),
+                      "unit": unit, "detail": detail}))
+
+
+def config1():
+    """Demo-2 mock: BruteForce 5K x 1K."""
+    from frankenz_tpu.fitting import BruteForce
+
+    rng = np.random.default_rng(0)
+    m = rng.uniform(1, 10, (1000, 5)).astype(np.float32)
+    d = (m[rng.integers(0, 1000, 5000)]
+         + rng.normal(0, 0.3, (5000, 5))).astype(np.float32)
+    de = np.full((5000, 5), 0.3, np.float32)
+    bf = BruteForce(m, np.zeros_like(m), np.ones_like(m))
+    z = rng.uniform(0, 3, 1000)
+    grid = np.linspace(0, 3.2, 321)
+    kw = dict(free_scale=True, ignore_model_err=True)
+    bf.fit_predict(d, de, np.ones_like(d), z, np.full(1000, 0.05),
+                   label_grid=grid, verbose=False, lprob_kwargs=kw)  # warm
+    t0 = time.time()
+    bf.fit_predict(d, de, np.ones_like(d), z, np.full(1000, 0.05),
+                   label_grid=grid, verbose=False, lprob_kwargs=kw)
+    dt = time.time() - t0
+    _emit("config1_bruteforce_5kx1k", 5000 / dt, "obj/s", elapsed_s=dt)
+
+
+def config2():
+    """KMCkNN: 100K train / 10K test."""
+    from frankenz_tpu.fitting import NearestNeighbors
+
+    rng = np.random.default_rng(0)
+    m = rng.uniform(1, 10, (100_000, 5)).astype(np.float32)
+    me = (0.05 * m).astype(np.float32)
+    d = (m[rng.integers(0, 100_000, 10_000)]
+         + rng.normal(0, 0.3, (10_000, 5))).astype(np.float32)
+    de = np.full((10_000, 5), 0.3, np.float32)
+    z = rng.uniform(0, 3, 100_000)
+    grid = np.linspace(0, 3.2, 321)
+    nn = NearestNeighbors(m, me, np.ones_like(m), K=25, seed=1,
+                          verbose=False)
+    nn.fit_predict(d[:1024], de[:1024], np.ones((1024, 5)), z,
+                   np.full(100_000, 0.05), label_grid=grid, k=20,
+                   verbose=False)  # warm
+    t0 = time.time()
+    nn.fit_predict(d, de, np.ones_like(d), z, np.full(100_000, 0.05),
+                   label_grid=grid, k=20, verbose=False)
+    dt = time.time() - t0
+    _emit("config2_kmcknn_100k_10k", 10_000 / dt, "obj/s", elapsed_s=dt,
+          K=25, k=20)
+
+
+def config3():
+    """SOM 50x50 + GNG on 100K models; cell-conditioned PDFs."""
+    from frankenz_tpu.fitting import GrowingNeuralGas, SelfOrganizingMap
+
+    rng = np.random.default_rng(0)
+    m = rng.uniform(1, 10, (100_000, 5)).astype(np.float32)
+    me = (0.05 * m).astype(np.float32)
+    z = rng.uniform(0, 3, 100_000)
+    grid = np.linspace(0, 3.2, 321)
+    som = SelfOrganizingMap(m, me, np.ones_like(m))
+    t0 = time.time()
+    som.train_network(nside=50, nproj=2, niter=2000, nbatch=50, seed=1,
+                      verbose=False)
+    t_train = time.time() - t0
+    t0 = time.time()
+    som.populate_network(verbose=False)
+    t_pop = time.time() - t0
+    d = (m[rng.integers(0, 100_000, 10_000)]
+         + rng.normal(0, 0.3, (10_000, 5))).astype(np.float32)
+    de = np.full((10_000, 5), 0.3, np.float32)
+    t0 = time.time()
+    som.fit_predict(d, de, np.ones_like(d), z, np.full(100_000, 0.05),
+                    label_grid=grid, nodes_only=True, verbose=False,
+                    batch_size=2048)
+    t_fit = time.time() - t0
+    gng = GrowingNeuralGas(m, me, np.ones_like(m))
+    t0 = time.time()
+    gng.train_network(niter=5000, nbatch=50, max_nodes=2500, seed=2,
+                      verbose=False)
+    t_gng = time.time() - t0
+    _emit("config3_som_gng", 10_000 / t_fit, "obj/s",
+          som_train_s=round(t_train, 2), populate_s=round(t_pop, 2),
+          som_fit_s=round(t_fit, 2), gng_train_s=round(t_gng, 2),
+          gng_nodes=int(gng.NNODE))
+
+
+def config5():
+    """Population + hierarchical MCMC over stacked PDFs."""
+    from frankenz_tpu.samplers import hierarchical_sampler, \
+        population_sampler
+
+    rng = np.random.default_rng(0)
+    nbins, nobs = 50, 20_000
+    grid = np.arange(nbins)
+    nz = np.exp(-0.5 * ((grid - 18) / 5.0) ** 2)
+    nz /= nz.sum()
+    zt = rng.choice(nbins, nobs, p=nz)
+    c = zt + rng.normal(0, 1.5, nobs)
+    pdfs = np.exp(-0.5 * ((grid[None] - c[:, None]) / 1.5) ** 2)
+    pdfs /= pdfs.sum(1, keepdims=True)
+    ps = population_sampler(pdfs)
+    t0 = time.time()
+    ps.run_mcmc(100, thin=400, mh_steps=3, seed=0, verbose=False)
+    t_pop = time.time() - t0
+    hs = hierarchical_sampler(pdfs)
+    t0 = time.time()
+    hs.run_mcmc(200, thin=5, seed=0, verbose=False)
+    t_hier = time.time() - t0
+    _emit("config5_samplers", 100 * 400 * 3 / t_pop, "proposals/s",
+          population_s=round(t_pop, 2), hierarchical_s=round(t_hier, 2),
+          nobs=nobs)
 
 
 def main():
@@ -127,4 +252,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    cfg = os.environ.get("BENCH_CONFIG", "4")
+    if cfg == "4":
+        main()
+    else:
+        {"1": config1, "2": config2, "3": config3,
+         "5": config5}[cfg]()

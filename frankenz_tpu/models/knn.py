@@ -122,8 +122,14 @@ class NearestNeighbors:
 
     # ------------------------------------------------------------------
 
-    def _search_fn(self, k, lp_norm, dbound):
-        """Jitted (B, Nf) query features -> (B, K*k) indices (+valid)."""
+    def _search_fn(self, k, lp_norm, dbound, approx=False):
+        """Jitted (B, Nf) query features -> (B, K*k) indices (+valid).
+
+        ``approx=True`` uses `jax.lax.approx_max_k` (the TPU-native
+        approximate top-k; recall ~0.95) instead of the exact sort-based
+        top-k — a good fit here since the K Monte-Carlo ensembles are
+        themselves a stochastic neighborhood approximation.
+        """
         K = self.K
 
         @jax.jit
@@ -137,7 +143,11 @@ class NearestNeighbors:
                 else:
                     d = jnp.sum(jnp.abs(q[:, None, :] - Y[None, :, :])
                                 ** lp_norm, axis=-1)
-                neg, idx = jax.lax.top_k(-d, k)
+                if approx:
+                    neg, idx = jax.lax.approx_max_k(-d, k,
+                                                    recall_target=0.95)
+                else:
+                    neg, idx = jax.lax.top_k(-d, k)
                 ok = -neg <= (dbound ** lp_norm if np.isfinite(dbound)
                               else jnp.inf)
                 return carry, (idx, ok)
@@ -242,10 +252,10 @@ class NearestNeighbors:
             self.fit_scale_err[sl] = np.asarray(scale_err[:n], np.float32)
 
     def _query_batches(self, data, data_err, data_mask, k, lp_norm, dbound,
-                       batch_size, rng):
+                       batch_size, rng, approx=False):
         """Yield (i0, n, idx, valid, nidx, padded data triplet) batches."""
         ndata = data.shape[0]
-        search = self._search_fn(k, lp_norm, dbound)
+        search = self._search_fn(k, lp_norm, dbound, approx=approx)
         for i0, n in _batch_slices(ndata, batch_size):
             d = _pad_rows(data[i0:i0 + n], batch_size)
             de = _pad_rows(data_err[i0:i0 + n], batch_size)
@@ -265,7 +275,7 @@ class NearestNeighbors:
     def fit(self, data, data_err, data_mask, lprob_func=None, rng=None,
             k=20, eps=1e-3, lp_norm=2, distance_upper_bound=np.inf,
             lprob_args=None, lprob_kwargs=None, track_scale=False,
-            verbose=True, batch_size=1024):
+            verbose=True, batch_size=1024, approx=False):
         """KMCkNN fit: neighbor union + exact posteriors on the union.
 
         Reference: knn.py:190-388.  Stores `neighbors` / `Nneighbors` and
@@ -281,7 +291,8 @@ class NearestNeighbors:
         lprob = self._lprob_gathered(lprob_func, lprob_args, lprob_kwargs)
 
         batches = self._query_batches(data, data_err, data_mask, k, lp_norm,
-                                      distance_upper_bound, batch_size, rng)
+                                      distance_upper_bound, batch_size, rng,
+                                      approx=approx)
         for i0, n, d, de, dm, idx, valid, nidx in progress_iter(
                 batches, total=ndata, label="Fitting object", sizes=False,
                 verbose=False):
@@ -390,7 +401,7 @@ class NearestNeighbors:
                     track_scale=False, verbose=True, save_fits=False,
                     rng=None, k=20, eps=1e-3, lp_norm=2,
                     distance_upper_bound=np.inf, batch_size=1024,
-                    wt_thresh=1e-3, cdf_thresh=2e-4):
+                    wt_thresh=1e-3, cdf_thresh=2e-4, approx=False):
         """Fused KMCkNN fit + PDF prediction (knn.py:560-874)."""
         del eps
         data = np.atleast_2d(np.asarray(data, float))
@@ -445,7 +456,8 @@ class NearestNeighbors:
         lmap = np.zeros(ndata, np.float32)
         levid = np.zeros(ndata, np.float32)
         batches = self._query_batches(data, data_err, data_mask, k, lp_norm,
-                                      distance_upper_bound, batch_size, rng)
+                                      distance_upper_bound, batch_size, rng,
+                                      approx=approx)
         for i0, n, d, de, dm, idx, valid, nidx in batches:
             pdf_b, lmap_b, levid_b, res = fused(
                 jnp.asarray(d), jnp.asarray(de), jnp.asarray(dm), idx, valid)

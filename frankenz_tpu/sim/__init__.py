@@ -19,7 +19,9 @@ from .survey import (  # noqa: F401
     TEMPLATE_LIBRARIES,
     MockSurvey,
     draw_mag,
+    draw_redshift_given_type_mag,
     draw_redshifts,
+    draw_type_given_mag,
     draw_types,
     draw_ztm,
     mag_err,

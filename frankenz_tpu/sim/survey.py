@@ -164,6 +164,11 @@ def draw_ztm(pmag_fn, nobj, rng, pm_kwargs=None, prior=None,
     return mags, types, redshifts
 
 
+# Reference API aliases (simulate.py:22-23 names).
+draw_type_given_mag = draw_types
+draw_redshift_given_type_mag = draw_redshifts
+
+
 # ----------------------------------------------------------------------
 # Flux synthesis (vectorized; simulate.py:819-836 / :994-1018)
 # ----------------------------------------------------------------------
