@@ -179,7 +179,7 @@ class _Network:
     def populate_network(self, lpnet_func=None, wt_thresh=1e-3,
                          cdf_thresh=2e-4, lpnet_args=None,
                          lpnet_kwargs=None, track_scale=True, verbose=True,
-                         batch_size=1024):
+                         batch_size=1024, max_nodes_per_model=64):
         """Soft-assign every model to its matching nodes.
 
         Reference: networks.py:175-356.  One batched pass: per model batch
@@ -203,6 +203,11 @@ class _Network:
         ye = jnp.zeros_like(nodes)
         ym = jnp.ones_like(nodes)
         nnode = nodes.shape[0]
+        # On-device compaction: transfer only the top-S thresholded
+        # memberships per model ((B, S) slabs) instead of (B, Nnode)
+        # grids — per-batch fancy-index readbacks over a remote-TPU relay
+        # dominate populate time otherwise.
+        cap = min(int(max_nodes_per_model), nnode)
 
         @jax.jit
         def batch(x, xe, xm):
@@ -211,16 +216,20 @@ class _Network:
             lnp = res[2]
             bmu = jnp.argmax(lnp, axis=1)
             sel = _threshold_sel(lnp, wt_thresh, cdf_thresh)
+            cnt = jnp.sum(sel, axis=1)
             masked = jnp.where(sel, lnp, -jnp.inf)
             lmap = jnp.max(masked, axis=1)
             levid = jax.scipy.special.logsumexp(masked, axis=1)
-            logwts = masked - levid[:, None]
+            top_lw, top_node = jax.lax.top_k(masked, cap)
+            top_lw = top_lw - levid[:, None]
             if track_scale and len(res) > 5 and res[5] is not None:
-                scales, serr = res[5], res[6]
+                top_scale = jnp.take_along_axis(res[5], top_node, axis=1)
+                top_serr = jnp.take_along_axis(res[6], top_node, axis=1)
             else:
-                scales = jnp.ones_like(lnp)
-                serr = jnp.zeros_like(lnp)
-            return sel, logwts, bmu, lmap, levid, scales, serr
+                top_scale = jnp.ones_like(top_lw)
+                top_serr = jnp.zeros_like(top_lw)
+            return cnt, top_lw, top_node, top_scale, top_serr, bmu, lmap, \
+                levid
 
         mods = self._models_np
         errs = self._models_err_np
@@ -228,25 +237,34 @@ class _Network:
 
         rows, cols, lws, scs, ses = [], [], [], [], []
         bmus = np.zeros(self.NMODEL, np.int64)
+        parts = []
         for i0, n in _batch_slices(self.NMODEL, batch_size):
             x = _pad_rows(mods[i0:i0 + n], batch_size)
             xe = _pad_rows(errs[i0:i0 + n], batch_size)
             xm = _pad_rows(mask[i0:i0 + n], batch_size)
-            sel, logwts, bmu, lmap, levid, scales, serr = batch(
-                jnp.asarray(x), jnp.asarray(xe), jnp.asarray(xm))
-            sel = np.asarray(sel[:n])
-            r, c = np.nonzero(sel)
+            parts.append((i0, n, batch(jnp.asarray(x), jnp.asarray(xe),
+                                       jnp.asarray(xm))))
+        for i0, n, part in parts:
+            cnt, top_lw, top_node, top_scale, top_serr, bmu, lmap, levid = \
+                jax.device_get(part)
+            cnt = cnt[:n]
+            if cnt.max() > cap:
+                raise ValueError(
+                    "a model matched {} nodes (> max_nodes_per_model={}); "
+                    "raise the cap or tighten wt_thresh".format(
+                        int(cnt.max()), cap))
+            r, c = np.nonzero(np.arange(cap)[None, :] < cnt[:, None])
             rows.append(r + i0)
-            cols.append(c)
-            lws.append(np.asarray(logwts[:n])[r, c])
-            scs.append(np.asarray(scales[:n])[r, c])
-            ses.append(np.asarray(serr[:n])[r, c])
-            bmus[i0:i0 + n] = np.asarray(bmu[:n])
-            self.models_lmap[i0:i0 + n] = np.asarray(lmap[:n])
-            self.models_levid[i0:i0 + n] = np.asarray(levid[:n])
+            cols.append(top_node[:n][r, c])
+            lws.append(top_lw[:n][r, c])
+            scs.append(top_scale[:n][r, c])
+            ses.append(top_serr[:n][r, c])
+            bmus[i0:i0 + n] = bmu[:n]
+            self.models_lmap[i0:i0 + n] = lmap[:n]
+            self.models_levid[i0:i0 + n] = levid[:n]
 
         model_idx = np.concatenate(rows)
-        node_idx = np.concatenate(cols)
+        node_idx = np.concatenate(cols).astype(np.int64)
         logwt = np.concatenate(lws)
         scale = np.concatenate(scs)
         serr = np.concatenate(ses)

@@ -1,5 +1,10 @@
 """Mesh construction and sharded drivers (pure data parallel over objects)."""
 
+from .io import (  # noqa: F401
+    catalog_batches,
+    catalog_from_process_shards,
+    process_shard_bounds,
+)
 from .mesh import (  # noqa: F401
     make_mesh,
     make_mesh_2d,

@@ -1,0 +1,82 @@
+"""
+Multi-host catalog input sharding.
+
+The reference loads whole catalogs into one process's RAM.  On a
+multi-host TPU slice, each host should load only its object shard and the
+global array is assembled from per-process shards over DCN.  These
+helpers wrap `jax.make_array_from_process_local_data` with the 1-D object
+mesh conventions of `parallel.mesh` (the fit path is pure DP over
+objects, so the only cross-host traffic is the initial shard placement
+and the final reductions).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from .mesh import OBJ_AXIS
+
+__all__ = ["process_shard_bounds", "catalog_from_process_shards",
+           "catalog_batches"]
+
+
+def process_shard_bounds(nobj, process_index=None, process_count=None):
+    """[start, stop) object range this host should load.
+
+    Contiguous block partitioning over `jax.process_count()` hosts; the
+    last host absorbs the remainder.
+    """
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    per = nobj // pc
+    start = pi * per
+    stop = nobj if pi == pc - 1 else start + per
+    return start, stop
+
+
+def catalog_from_process_shards(mesh, local_arrays, nobj):
+    """Assemble global object-sharded arrays from per-host shards.
+
+    `local_arrays` is a pytree of (Nlocal, ...) host arrays holding this
+    process's contiguous object block (see `process_shard_bounds`).
+    Returns the matching pytree of global (nobj, ...) jax.Arrays sharded
+    over the mesh's object axis.  Single-process: a plain device_put.
+    """
+    sharding = NamedSharding(mesh, P(OBJ_AXIS))
+
+    def place(x):
+        x = np.asarray(x)
+        global_shape = (nobj,) + x.shape[1:]
+        if jax.process_count() == 1:
+            return jax.device_put(x, sharding)
+        return jax.make_array_from_process_local_data(sharding, x,
+                                                      global_shape)
+
+    return jax.tree.map(place, local_arrays)
+
+
+def catalog_batches(arrays, batch_size):
+    """Yield aligned object batches from a pytree of (Nobj, ...) arrays.
+
+    Device arrays are sliced with `lax.dynamic_slice_in_dim` (no host
+    round-trip); the final partial batch is padded by wrapping — callers
+    slice the valid prefix.
+    """
+    leaves = jax.tree.leaves(arrays)
+    nobj = leaves[0].shape[0]
+    for start in range(0, nobj, batch_size):
+        n = min(batch_size, nobj - start)
+        s = min(start, max(nobj - batch_size, 0))
+        off = start - s
+
+        def cut(x):
+            if isinstance(x, jax.Array):
+                b = jax.lax.dynamic_slice_in_dim(x, s, min(batch_size,
+                                                           nobj))
+                return b[off:off + n] if off else b[:n]
+            return x[start:start + n]
+
+        yield start, n, jax.tree.map(cut, arrays)

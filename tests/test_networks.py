@@ -165,6 +165,45 @@ def test_union_cap_raises(blob_problem):
                 max_neighbors=8)
 
 
+def test_som_single_step_update_rule():
+    """One SOM step against the hand-computed reference rule
+    (networks.py:1852-1865): nodes += rate * wt * (x - node) on the
+    thresholded neighborhood."""
+    rng = np.random.default_rng(0)
+    models = rng.uniform(1, 10, (16, 3))
+    me = np.full_like(models, 0.1)
+    mm = np.ones_like(models)
+    som = SelfOrganizingMap(models, me, mm)
+    som.train_network(nside=2, nproj=2, niter=1, nbatch=1, seed=5,
+                      verbose=False)
+    # Replay: same init (nodes drawn with the same generator sequence)
+    # and the same single training draw.
+    rng2 = np.random.default_rng(5)
+    init = models[rng2.choice(16, size=4, replace=False)]
+    draw = rng2.integers(0, 16, size=1)[0]
+    x = models[draw]
+    # Free-scale error-free lnprob of x against the 4 initial nodes.
+    iv = 1.0 / me[draw] ** 2
+    inter = (init * (x * iv)).sum(axis=1)
+    shape = (init**2 * iv).sum(axis=1)
+    s = inter / shape
+    chi2 = (((x - s[:, None] * init) ** 2) * iv).sum(axis=1)
+    from scipy.special import gammaln
+
+    a = 0.5 * (3 - 1)
+    lnl = (a - 1) * np.log(chi2) - chi2 / 2 - gammaln(a) - np.log(2) * a
+    bmu = int(np.argmax(lnl))
+    pos = np.array([[0, 0], [0, 1], [1, 0], [1, 1]], float)
+    sqd = ((pos[bmu] - pos) ** 2).sum(axis=1)
+    rate = 1.0 / (1.0 / 0.5 + 0.0)  # learn_harmonic(t=0) = start = 0.5
+    sigma = 0.7 * 2  # neighbor_gauss start * nside at t=0
+    wt = np.exp(-0.5 * sqd / sigma**2)
+    keep = wt > 1e-3 * wt.max()
+    want = init + np.where(keep[:, None], rate * wt[:, None] * (x - init),
+                           0.0)
+    np.testing.assert_allclose(np.asarray(som.nodes), want, rtol=1e-5)
+
+
 def test_gng_training(blob_problem):
     models, me, mm, zlab, centers, zc = blob_problem
     gng = GrowingNeuralGas(models, me, mm)

@@ -99,6 +99,30 @@ def test_model_sharded_step_matches_replicated(problem):
                                rtol=1e-8, atol=1e-12)
 
 
+def test_catalog_io(mesh):
+    from frankenz_tpu.parallel import (catalog_batches,
+                                       catalog_from_process_shards,
+                                       process_shard_bounds)
+
+    # Shard bounds partition [0, nobj) contiguously.
+    bounds = [process_shard_bounds(103, i, 4) for i in range(4)]
+    assert bounds[0][0] == 0 and bounds[-1][1] == 103
+    for (a, b), (c, d) in zip(bounds, bounds[1:]):
+        assert b == c
+    # Single-process assembly places an object-sharded global array.
+    x = np.arange(64 * 3, dtype=np.float32).reshape(64, 3)
+    g = catalog_from_process_shards(mesh, {"phot": x}, 64)
+    assert g["phot"].shape == (64, 3)
+    assert len(g["phot"].sharding.device_set) == 8
+    np.testing.assert_array_equal(np.asarray(g["phot"]), x)
+    # Batch iterator covers everything exactly once (incl. ragged tail).
+    seen = []
+    for start, n, batch in catalog_batches(g, 24):
+        assert batch["phot"].shape[0] == n
+        seen.append(np.asarray(batch["phot"]))
+    np.testing.assert_array_equal(np.concatenate(seen), x)
+
+
 def test_stacked_nz(problem, mesh):
     rng = np.random.default_rng(3)
     pdfs = rng.uniform(size=(64, 33))
