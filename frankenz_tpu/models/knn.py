@@ -33,6 +33,8 @@ here is exact.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -48,6 +50,60 @@ __all__ = ["NearestNeighbors"]
 _BIG = np.int32(1 << 30)
 
 
+@functools.partial(jax.jit, static_argnames=("lprob_spec",))
+def _gathered_lprob_jit(d, de, dm, idx, valid, models, models_err,
+                        models_mask, *, lprob_spec):
+    """Vmapped lprob: each object against its own gathered model subset.
+
+    `lprob_spec` = (lprob_func_or_None, args_tuple, sorted_kwargs_items);
+    static so the global jit cache keys on it.
+    """
+    lprob_func, lprob_args, kw_items = lprob_spec
+    if lprob_func is None:
+        lprob_func = _like.logprob
+    lprob_kwargs = dict(kw_items)
+    safe = jnp.maximum(idx, 0)
+    m = models[safe]          # (B, J, Nf)
+    me = models_err[safe]
+    mm = models_mask[safe]
+
+    def one(x, xe, xm, mj, mej, mmj):
+        res = lprob_func(x[None], xe[None], xm[None], mj, mej, mmj,
+                         *lprob_args, **lprob_kwargs)
+        return tuple(None if r is None else r[0] for r in
+                     (res[0], res[1], res[2], res[3], res[4],
+                      res[5] if len(res) > 5 else None,
+                      res[6] if len(res) > 6 else None))
+
+    out = jax.vmap(one)(d, de, dm, m, me, mm)
+    lnprior, lnlike, lnprob, ndim, chi2, scale, scale_err = out
+    neg = jnp.float32(-jnp.inf)
+    lnprior = jnp.where(valid, lnprior, neg)
+    lnlike = jnp.where(valid, lnlike, neg)
+    lnprob = jnp.where(valid, lnprob, neg)
+    ndim = jnp.where(valid, ndim, 0)
+    chi2 = jnp.where(valid, chi2, jnp.inf)
+    if scale is not None:
+        scale = jnp.where(valid, scale, 1.0)
+        scale_err = jnp.where(valid, scale_err, 0.0)
+    return lnprior, lnlike, lnprob, ndim, chi2, scale, scale_err
+
+
+@jax.jit
+def _gof_weights(lnprob):
+    """(lmap, levid, wt) from a log-weight grid (bruteforce.py:359-360)."""
+    lmap = jnp.max(lnprob, axis=1)
+    levid = jax.scipy.special.logsumexp(lnprob, axis=1)
+    return lmap, levid, jnp.exp(lnprob - levid[:, None])
+
+
+@jax.jit
+def _norm_rows(pdf):
+    """Normalize PDF rows to sum 1 (zero rows stay zero)."""
+    norm = jnp.sum(pdf, axis=1, keepdims=True)
+    return jnp.where(norm > 0, pdf / jnp.where(norm > 0, norm, 1.0), 0.0)
+
+
 def _resolve_feature_map(feature_map, fmap_args, fmap_kwargs):
     if feature_map == "identity":
         def feature_map(x, xe, *a, **k):
@@ -59,6 +115,55 @@ def _resolve_feature_map(feature_map, fmap_args, fmap_kwargs):
     elif not callable(feature_map):
         raise ValueError("The provided feature map is not valid.")
     return lambda x, xe: feature_map(x, xe, *fmap_args, **fmap_kwargs)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("K", "k", "lp_norm", "dbound", "approx"))
+def _search_jit(q, feats, feats_sq, *, K, k, lp_norm, dbound, approx):
+    # q: (B, Nf) jittered query features.
+    def per_ensemble(carry, ens):
+        Y, Ysq = ens
+        if lp_norm == 2:
+            d = Ysq[None, :] - 2.0 * (q @ Y.T) \
+                + jnp.sum(q * q, axis=1, keepdims=True)
+        else:
+            d = jnp.sum(jnp.abs(q[:, None, :] - Y[None, :, :])
+                        ** lp_norm, axis=-1)
+        if approx:
+            neg, idx = jax.lax.approx_max_k(-d, k,
+                                            recall_target=0.95)
+        else:
+            neg, idx = jax.lax.top_k(-d, k)
+        ok = -neg <= (dbound ** lp_norm if np.isfinite(dbound)
+                      else jnp.inf)
+        return carry, (idx, ok)
+
+    _, (idx, ok) = jax.lax.scan(per_ensemble, None,
+                                (feats, feats_sq))
+    # (K, B, k) -> (B, K*k)
+    idx = jnp.moveaxis(idx, 0, 1).reshape(q.shape[0], K * k)
+    ok = jnp.moveaxis(ok, 0, 1).reshape(q.shape[0], K * k)
+
+    # First-seen-order unique (pandas.unique semantics): stable
+    # sort by index; a slot is a duplicate if it equals its
+    # predecessor in sorted order; scatter back, then compact
+    # valid slots to the front by stable sort on the dup flag.
+    order = jnp.argsort(idx, axis=1, stable=True)
+    sorted_idx = jnp.take_along_axis(idx, order, axis=1)
+    dup_sorted = jnp.concatenate(
+        [jnp.zeros((idx.shape[0], 1), bool),
+         sorted_idx[:, 1:] == sorted_idx[:, :-1]], axis=1)
+    dup = jnp.zeros_like(dup_sorted)
+    dup = jnp.put_along_axis(dup, order, dup_sorted, axis=1,
+                             inplace=False)
+    invalid = dup | ~ok
+    slot = jnp.arange(K * k, dtype=jnp.int32)[None, :]
+    perm = jnp.argsort(jnp.where(invalid, _BIG + slot, slot),
+                       axis=1, stable=True)
+    cidx = jnp.take_along_axis(idx, perm, axis=1)
+    cvalid = ~jnp.take_along_axis(invalid, perm, axis=1)
+    nidx = jnp.sum(cvalid, axis=1)
+    return jnp.where(cvalid, cidx, -99), cvalid, nidx
 
 
 class NearestNeighbors:
@@ -123,98 +228,33 @@ class NearestNeighbors:
     # ------------------------------------------------------------------
 
     def _search_fn(self, k, lp_norm, dbound, approx=False):
-        """Jitted (B, Nf) query features -> (B, K*k) indices (+valid).
+        """(B, Nf) query features -> (B, K*k) indices (+valid).
 
         ``approx=True`` uses `jax.lax.approx_max_k` (the TPU-native
         approximate top-k; recall ~0.95) instead of the exact sort-based
         top-k — a good fit here since the K Monte-Carlo ensembles are
         themselves a stochastic neighborhood approximation.
         """
-        K = self.K
+        return functools.partial(_search_jit, K=self.K, k=k,
+                                 lp_norm=lp_norm, dbound=float(dbound),
+                                 approx=approx)
 
-        @jax.jit
-        def search(q, feats, feats_sq):
-            # q: (B, Nf) jittered query features.
-            def per_ensemble(carry, ens):
-                Y, Ysq = ens
-                if lp_norm == 2:
-                    d = Ysq[None, :] - 2.0 * (q @ Y.T) \
-                        + jnp.sum(q * q, axis=1, keepdims=True)
-                else:
-                    d = jnp.sum(jnp.abs(q[:, None, :] - Y[None, :, :])
-                                ** lp_norm, axis=-1)
-                if approx:
-                    neg, idx = jax.lax.approx_max_k(-d, k,
-                                                    recall_target=0.95)
-                else:
-                    neg, idx = jax.lax.top_k(-d, k)
-                ok = -neg <= (dbound ** lp_norm if np.isfinite(dbound)
-                              else jnp.inf)
-                return carry, (idx, ok)
-
-            _, (idx, ok) = jax.lax.scan(per_ensemble, None,
-                                        (feats, feats_sq))
-            # (K, B, k) -> (B, K*k)
-            idx = jnp.moveaxis(idx, 0, 1).reshape(q.shape[0], K * k)
-            ok = jnp.moveaxis(ok, 0, 1).reshape(q.shape[0], K * k)
-
-            # First-seen-order unique (pandas.unique semantics): stable
-            # sort by index; a slot is a duplicate if it equals its
-            # predecessor in sorted order; scatter back, then compact
-            # valid slots to the front by stable sort on the dup flag.
-            order = jnp.argsort(idx, axis=1, stable=True)
-            sorted_idx = jnp.take_along_axis(idx, order, axis=1)
-            dup_sorted = jnp.concatenate(
-                [jnp.zeros((idx.shape[0], 1), bool),
-                 sorted_idx[:, 1:] == sorted_idx[:, :-1]], axis=1)
-            dup = jnp.zeros_like(dup_sorted)
-            dup = jnp.put_along_axis(dup, order, dup_sorted, axis=1,
-                                     inplace=False)
-            invalid = dup | ~ok
-            slot = jnp.arange(K * k, dtype=jnp.int32)[None, :]
-            perm = jnp.argsort(jnp.where(invalid, _BIG + slot, slot),
-                               axis=1, stable=True)
-            cidx = jnp.take_along_axis(idx, perm, axis=1)
-            cvalid = ~jnp.take_along_axis(invalid, perm, axis=1)
-            nidx = jnp.sum(cvalid, axis=1)
-            return jnp.where(cvalid, cidx, -99), cvalid, nidx
-
-        return search
 
     def _lprob_gathered(self, lprob_func, lprob_args, lprob_kwargs):
-        """Vmapped lprob: each object against its own gathered models."""
-        if lprob_func is None:
-            lprob_func = _like.logprob
-        lprob_args = lprob_args or ()
-        lprob_kwargs = lprob_kwargs or {}
+        """Vmapped lprob evaluator bound to this fitter's model set.
 
-        @jax.jit
+        Returns ``run(d, de, dm, idx, valid)``.  The heavy lifting lives
+        in the module-level `_gathered_lprob_jit`, whose jit cache is
+        global — repeated fit calls never recompile.  `lprob_args` /
+        values in `lprob_kwargs` must be hashable (they are static).
+        """
+        spec = (lprob_func, tuple(lprob_args or ()),
+                tuple(sorted((lprob_kwargs or {}).items())))
+
         def run(d, de, dm, idx, valid):
-            safe = jnp.maximum(idx, 0)
-            m = self.models[safe]          # (B, J, Nf)
-            me = self.models_err[safe]
-            mm = self.models_mask[safe]
-
-            def one(x, xe, xm, mj, mej, mmj):
-                res = lprob_func(x[None], xe[None], xm[None], mj, mej, mmj,
-                                 *lprob_args, **lprob_kwargs)
-                return tuple(None if r is None else r[0] for r in
-                             (res[0], res[1], res[2], res[3], res[4],
-                              res[5] if len(res) > 5 else None,
-                              res[6] if len(res) > 6 else None))
-
-            out = jax.vmap(one)(d, de, dm, m, me, mm)
-            lnprior, lnlike, lnprob, ndim, chi2, scale, scale_err = out
-            neg = jnp.float32(-jnp.inf)
-            lnprior = jnp.where(valid, lnprior, neg)
-            lnlike = jnp.where(valid, lnlike, neg)
-            lnprob = jnp.where(valid, lnprob, neg)
-            ndim = jnp.where(valid, ndim, 0)
-            chi2 = jnp.where(valid, chi2, jnp.inf)
-            if scale is not None:
-                scale = jnp.where(valid, scale, 1.0)
-                scale_err = jnp.where(valid, scale_err, 0.0)
-            return lnprior, lnlike, lnprob, ndim, chi2, scale, scale_err
+            return _gathered_lprob_jit(d, de, dm, idx, valid, self.models,
+                                       self.models_err, self.models_mask,
+                                       lprob_spec=spec)
 
         return run
 
@@ -293,16 +333,22 @@ class NearestNeighbors:
         batches = self._query_batches(data, data_err, data_mask, k, lp_norm,
                                       distance_upper_bound, batch_size, rng,
                                       approx=approx)
-        for i0, n, d, de, dm, idx, valid, nidx in progress_iter(
-                batches, total=ndata, label="Fitting object", sizes=False,
-                verbose=False):
+        parts = []
+        for i0, n, d, de, dm, idx, valid, nidx in batches:
             res = lprob(jnp.asarray(d), jnp.asarray(de), jnp.asarray(dm),
                         idx, valid)
-            self._store(i0, n, idx, nidx, res)
+            parts.append((i0, n, idx, nidx, res))
+            if len(parts) >= 128:
+                for j0, jn, jidx, jnidx, jres in jax.device_get(parts):
+                    self._store(j0, jn, jidx, jnidx, jres)
+                parts = []
             if verbose:
                 import sys
                 sys.stderr.write("\rFitting object {0}/{1}"
                                  .format(min(i0 + n, ndata), ndata))
+        # Bulk readback after all batches are dispatched (async pipeline).
+        for i0, n, idx, nidx, res in jax.device_get(parts):
+            self._store(i0, n, idx, nidx, res)
         if verbose:
             import sys
             sys.stderr.write("\n")
@@ -351,27 +397,17 @@ class NearestNeighbors:
             grid = np.asarray(label_grid)
             ngrid = len(grid)
 
-        @jax.jit
         def stack_dict_batch(lwt, pos, sig):
-            lmap = jnp.max(lwt, axis=1)
-            levid = jax.scipy.special.logsumexp(lwt, axis=1)
-            wt = jnp.exp(lwt - levid[:, None])
+            lmap, levid, wt = _gof_weights(lwt)
             wt = _kde.threshold_weights(wt, wt_thresh, cdf_thresh)
             pdf = _kde.kde_stack_gathered_dict(label_dict, pos, sig, wt)
-            norm = jnp.sum(pdf, axis=1, keepdims=True)
-            return (jnp.where(norm > 0, pdf / jnp.where(norm > 0, norm, 1.),
-                              0.0), lmap, levid)
+            return _norm_rows(pdf), lmap, levid
 
-        @jax.jit
         def stack_grid_batch(lwt, y, ys):
-            lmap = jnp.max(lwt, axis=1)
-            levid = jax.scipy.special.logsumexp(lwt, axis=1)
-            wt = jnp.exp(lwt - levid[:, None])
+            lmap, levid, wt = _gof_weights(lwt)
             wt = _kde.threshold_weights(wt, wt_thresh, cdf_thresh)
-            pdf = _kde.kde_stack_gathered(y, ys, wt, grid)
-            norm = jnp.sum(pdf, axis=1, keepdims=True)
-            return (jnp.where(norm > 0, pdf / jnp.where(norm > 0, norm, 1.),
-                              0.0), lmap, levid)
+            pdf = _kde.kde_stack_gathered(y, ys, wt, jnp.asarray(grid))
+            return _norm_rows(pdf), lmap, levid
 
         pdfs = np.zeros((ndata, ngrid), np.float32)
         lmap = np.zeros(ndata, np.float32)
@@ -431,13 +467,16 @@ class NearestNeighbors:
             raise ValueError("`label_dict` or `label_grid` must be "
                              "specified.")
 
-        @jax.jit
+        # Composed from module-level jitted pieces (global jit cache —
+        # repeated fit_predict calls never recompile); the eager glue
+        # between them is a handful of cheap dispatches per batch.
+        labels_j = jnp.asarray(model_labels)
+        label_errs_j = jnp.asarray(model_label_errs)
+
         def fused(d, de, dm, idx, valid):
             res = lprob(d, de, dm, idx, valid)
             lnprob = res[2]
-            lmap = jnp.max(lnprob, axis=1)
-            levid = jax.scipy.special.logsumexp(lnprob, axis=1)
-            wt = jnp.exp(lnprob - levid[:, None])
+            lmap, levid, wt = _gof_weights(lnprob)
             wt = _kde.threshold_weights(wt, wt_thresh, cdf_thresh)
             safe = jnp.maximum(idx, 0)
             if label_dict is not None:
@@ -445,12 +484,8 @@ class NearestNeighbors:
                     label_dict, full_pos[safe], full_sig[safe], wt)
             else:
                 pdf = _kde.kde_stack_gathered(
-                    jnp.asarray(model_labels)[safe],
-                    jnp.asarray(model_label_errs)[safe], wt, grid)
-            norm = jnp.sum(pdf, axis=1, keepdims=True)
-            pdf = jnp.where(norm > 0, pdf / jnp.where(norm > 0, norm, 1.0),
-                            0.0)
-            return pdf, lmap, levid, res
+                    labels_j[safe], label_errs_j[safe], wt, grid)
+            return _norm_rows(pdf), lmap, levid, res
 
         pdfs = np.zeros((ndata, ngrid), np.float32)
         lmap = np.zeros(ndata, np.float32)
@@ -458,18 +493,32 @@ class NearestNeighbors:
         batches = self._query_batches(data, data_err, data_mask, k, lp_norm,
                                       distance_upper_bound, batch_size, rng,
                                       approx=approx)
+        parts = []
         for i0, n, d, de, dm, idx, valid, nidx in batches:
-            pdf_b, lmap_b, levid_b, res = fused(
-                jnp.asarray(d), jnp.asarray(de), jnp.asarray(dm), idx, valid)
-            pdfs[i0:i0 + n] = np.asarray(pdf_b[:n])
-            lmap[i0:i0 + n] = np.asarray(lmap_b[:n])
-            levid[i0:i0 + n] = np.asarray(levid_b[:n])
-            if save_fits:
-                self._store(i0, n, idx, nidx, res)
+            out = fused(jnp.asarray(d), jnp.asarray(de), jnp.asarray(dm),
+                        idx, valid)
+            parts.append((i0, n, idx, nidx, out))
+            if len(parts) >= 128:
+                for j0, jn, jidx, jnidx, jout in jax.device_get(parts):
+                    pdf_b, lmap_b, levid_b, jres = jout
+                    pdfs[j0:j0 + jn] = pdf_b[:jn]
+                    lmap[j0:j0 + jn] = lmap_b[:jn]
+                    levid[j0:j0 + jn] = levid_b[:jn]
+                    if save_fits:
+                        self._store(j0, jn, jidx, jnidx, jres)
+                parts = []
             if verbose:
                 import sys
                 sys.stderr.write("\rFitting object {0}/{1}"
                                  .format(min(i0 + n, ndata), ndata))
+        # Bulk readback after all batches are dispatched (async pipeline).
+        for i0, n, idx, nidx, out in jax.device_get(parts):
+            pdf_b, lmap_b, levid_b, res = out
+            pdfs[i0:i0 + n] = pdf_b[:n]
+            lmap[i0:i0 + n] = lmap_b[:n]
+            levid[i0:i0 + n] = levid_b[:n]
+            if save_fits:
+                self._store(i0, n, idx, nidx, res)
         if verbose:
             import sys
             sys.stderr.write("\n")
