@@ -32,6 +32,8 @@ once per batch shape.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -42,6 +44,33 @@ from ..ops import likelihood as _like
 from ..utils.progress import progress_iter
 
 __all__ = ["BruteForce"]
+
+
+@functools.partial(jax.jit, static_argnames=("lprob_spec",))
+def _bf_lprob_jit(d, de, dm, m, me, mm, *, lprob_spec):
+    """Batched lprob with a static (func, args, kwargs-items) spec so the
+    global jit cache applies across fit calls and fitter instances."""
+    lprob_func, lprob_args, kw_items = lprob_spec
+    if lprob_func is None:
+        lprob_func = _like.logprob
+    res = lprob_func(d, de, dm, m, me, mm, *lprob_args, **dict(kw_items))
+    lnprior, lnlike, lnprob, ndim, chi2 = res[:5]
+    scale = res[5] if len(res) > 5 else None
+    scale_err = res[6] if len(res) > 6 else None
+    return lnprior, lnlike, lnprob, ndim, chi2, scale, scale_err
+
+
+@jax.jit
+def _gof_weights(lnprob):
+    lmap = jnp.max(lnprob, axis=1)
+    levid = jax.scipy.special.logsumexp(lnprob, axis=1)
+    return lmap, levid, jnp.exp(lnprob - levid[:, None])
+
+
+@jax.jit
+def _norm_rows(pdf):
+    norm = jnp.sum(pdf, axis=1, keepdims=True)
+    return jnp.where(norm > 0, pdf / jnp.where(norm > 0, norm, 1.0), 0.0)
 
 
 def _batch_slices(n, batch_size):
@@ -97,20 +126,13 @@ class BruteForce:
     # ------------------------------------------------------------------
 
     def _lprob_step(self, lprob_func, lprob_args, lprob_kwargs):
-        """Jitted batched lprob evaluation returning the 7-field tuple."""
-        if lprob_func is None:
-            lprob_func = _like.logprob
-        lprob_args = lprob_args or ()
-        lprob_kwargs = lprob_kwargs or {}
+        """Batched lprob evaluation returning the 7-field tuple (cached
+        globally via `_bf_lprob_jit`; args/kwargs must be hashable)."""
+        spec = (lprob_func, tuple(lprob_args or ()),
+                tuple(sorted((lprob_kwargs or {}).items())))
 
-        @jax.jit
         def step(d, de, dm, m, me, mm):
-            res = lprob_func(d, de, dm, m, me, mm, *lprob_args,
-                             **lprob_kwargs)
-            lnprior, lnlike, lnprob, ndim, chi2 = res[:5]
-            scale = res[5] if len(res) > 5 else None
-            scale_err = res[6] if len(res) > 6 else None
-            return lnprior, lnlike, lnprob, ndim, chi2, scale, scale_err
+            return _bf_lprob_jit(d, de, dm, m, me, mm, lprob_spec=spec)
 
         return step
 
@@ -218,16 +240,10 @@ class BruteForce:
         if batch_size is None:
             batch_size = default_batch_size(self.NMODEL)
 
-        @jax.jit
         def stack(lwt, G):
-            lmap = jnp.max(lwt, axis=1)
-            levid = jax.scipy.special.logsumexp(lwt, axis=1)
-            wt = jnp.exp(lwt - levid[:, None])
+            lmap, levid, wt = _gof_weights(lwt)
             pdf = _kde.kde_stack(wt, G, wt_thresh, cdf_thresh)
-            norm = jnp.sum(pdf, axis=1, keepdims=True)
-            pdf = jnp.where(norm > 0, pdf / jnp.where(norm > 0, norm, 1.0),
-                            0.0)
-            return pdf, lmap, levid
+            return _norm_rows(pdf), lmap, levid
 
         ngrid = G.shape[1]
         pdfs = np.zeros((ndata, ngrid), np.float32)
@@ -312,19 +328,15 @@ class BruteForce:
         lprob_args = lprob_args or ()
         lprob_kwargs = lprob_kwargs or {}
 
-        @jax.jit
+        spec = (lprob_func if lprob_func is not _like.logprob else None,
+                tuple(lprob_args), tuple(sorted(lprob_kwargs.items())))
+
         def fused(d, de, dm, m, me, mm, G):
-            res = lprob_func(d, de, dm, m, me, mm, *lprob_args,
-                             **lprob_kwargs)
+            res = _bf_lprob_jit(d, de, dm, m, me, mm, lprob_spec=spec)
             lnprob = res[2]
-            lmap = jnp.max(lnprob, axis=1)
-            levid = jax.scipy.special.logsumexp(lnprob, axis=1)
-            wt = jnp.exp(lnprob - levid[:, None])
+            lmap, levid, wt = _gof_weights(lnprob)
             pdf = _kde.kde_stack(wt, G, wt_thresh, cdf_thresh)
-            norm = jnp.sum(pdf, axis=1, keepdims=True)
-            pdf = jnp.where(norm > 0, pdf / jnp.where(norm > 0, norm, 1.0),
-                            0.0)
-            return pdf, lmap, levid, res
+            return _norm_rows(pdf), lmap, levid, res
 
         if save_fits:
             self._alloc_fits(ndata, track_scale)

@@ -18,6 +18,8 @@ sweeps, with optional vmapped parallel chains.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -44,6 +46,54 @@ def dirichlet_logpdf(x, alpha):
     return (gammaln(jnp.sum(alpha, axis=-1))
             - jnp.sum(gammaln(alpha), axis=-1)
             + jnp.sum(xlogy(alpha - 1.0, x), axis=-1))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("nref", "nobs", "thin", "has_ref"))
+def _hier_run(keys, pos0, pdfs, alpha, beta, ref, ref_norm, *, nref, nobs,
+              thin, has_ref):
+    """All chains x all samples in one compiled program (cached globally
+    across run_mcmc calls by the static (nref, nobs, thin, has_ref) key).
+
+    keys: (nchains, Niter) PRNG keys; pos0: (nchains, Nbins).
+    """
+    nbins = pos0.shape[-1]
+
+    def sweep(carry, key):
+        pos, ref_counts = carry
+        kz, kd, kr = jax.random.split(key, 3)
+        # Per-object categorical draw ~ p_g * rho via Gumbel-max
+        # (samplers.py:519-520's multinomial(1, .) loop, vectorized).
+        logits = jnp.log(pdfs * pos[None, :])
+        g = jax.random.gumbel(kz, logits.shape)
+        zdraw = jnp.argmax(logits + g, axis=1)
+        counts = jnp.zeros(nbins, pos.dtype).at[zdraw].add(1.0)
+        # Population draw (samplers.py:522).
+        pos = jax.random.dirichlet(kd, alpha + counts + ref_counts)
+        # Reference-sample draw (samplers.py:524-529).
+        if has_ref:
+            pcounts = ref + beta + nobs * pos
+            ref_counts = jax.random.multinomial(
+                kr, nref, pcounts / jnp.sum(pcounts)).astype(pos.dtype)
+            lnpriorref = multinomial_logpmf(ref_counts, nref, ref_norm)
+        else:
+            lnpriorref = 0.0
+        lnlike = multinomial_logpmf(counts, float(nobs), pos)
+        lnprior = dirichlet_logpdf(pos, alpha + ref_counts)
+        return (pos, ref_counts), lnlike + lnprior + lnpriorref
+
+    def run_one_chain(chain_keys, p0):
+        def outer(carry, key):
+            carry, lnps = jax.lax.scan(sweep, carry,
+                                       jax.random.split(key, thin))
+            pos, _ = carry
+            return carry, (pos, lnps[-1])
+
+        carry0 = (p0, ref if has_ref else jnp.zeros(nbins, p0.dtype))
+        _, (samples, lnps) = jax.lax.scan(outer, carry0, chain_keys)
+        return samples, lnps
+
+    return jax.vmap(run_one_chain)(keys, pos0)
 
 
 class hierarchical_sampler:
@@ -130,44 +180,10 @@ class hierarchical_sampler:
         ref_j = jnp.asarray(ref_sample)
         ref_norm_j = jnp.asarray(ref_norm)
 
-        def sweep(carry, key):
-            pos, ref_counts = carry
-            kz, kd, kr = jax.random.split(key, 3)
-            # Per-object categorical draw ~ p_g * rho via Gumbel-max
-            # (samplers.py:519-520's multinomial(1, .) loop, vectorized).
-            logits = jnp.log(pdfs * pos[None, :])
-            g = jax.random.gumbel(kz, logits.shape)
-            zdraw = jnp.argmax(logits + g, axis=1)
-            counts = jnp.zeros(nbins, pos.dtype).at[zdraw].add(1.0)
-            # Population draw (samplers.py:522).
-            pos = jax.random.dirichlet(kd, alpha_j + counts + ref_counts)
-            # Reference-sample draw (samplers.py:524-529).
-            if has_ref:
-                pcounts = ref_j + beta_j + nobs * pos
-                ref_counts = jax.random.multinomial(
-                    kr, nref, pcounts / jnp.sum(pcounts)).astype(pos.dtype)
-                lnpriorref = multinomial_logpmf(ref_counts, nref, ref_norm_j)
-            else:
-                lnpriorref = 0.0
-            lnlike = multinomial_logpmf(counts, float(nobs), pos)
-            lnprior = dirichlet_logpdf(pos, alpha_j + ref_counts)
-            return (pos, ref_counts), lnlike + lnprior + lnpriorref
-
-        def run_one_chain(key, pos0):
-            def outer(carry, key):
-                carry, lnps = jax.lax.scan(sweep, carry,
-                                           jax.random.split(key, thin))
-                pos, _ = carry
-                return carry, (pos, lnps[-1])
-
-            carry0 = (pos0, ref_j if has_ref else jnp.zeros(nbins, pos0.dtype))
-            _, (samples, lnps) = jax.lax.scan(outer, carry0,
-                                              jax.random.split(key, Niter))
-            return samples, lnps
-
-        run = jax.jit(jax.vmap(run_one_chain))
-        samples, lnps = run(jax.random.split(key, nchains),
-                            jnp.asarray(pos0))
+        keys = jax.random.split(key, (nchains, Niter))
+        samples, lnps = _hier_run(
+            keys, jnp.asarray(pos0), pdfs, alpha_j, beta_j, ref_j,
+            ref_norm_j, nref=nref, nobs=nobs, thin=thin, has_ref=has_ref)
         samples = np.asarray(samples)
         lnps = np.asarray(lnps)
         for it in range(Niter):

@@ -23,6 +23,8 @@ scalar``.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -52,6 +54,37 @@ def loglike_nz(nz, pdfs, overlap=None, return_overlap=False, pair=None,
     if return_overlap:
         return lnlike, ov
     return lnlike
+
+
+def _zero_prior(pos, *args, **kwargs):
+    """Default flat prior (module-level so jit caching keys stably)."""
+    return 0.0
+
+
+@functools.partial(jax.jit, static_argnames=("prior", "thin", "mh_steps"))
+def _pop_run(keys, pos0, pdfs, *, prior, thin, mh_steps):
+    """All chains x all samples in one compiled program, cached globally
+    across run_mcmc calls by the static (prior, thin, mh_steps) key.
+
+    keys: (nchains, Niter) PRNG keys; pos0: (nchains, Nbins).
+    """
+    step = _chain_step(pdfs, prior, mh_steps)
+
+    def run_one_chain(chain_keys, p0):
+        overlap0 = pdfs @ p0
+        lnpost0 = jnp.sum(jnp.log(overlap0)) + prior(p0)
+
+        def outer(state, key):
+            state, _ = jax.lax.scan(step, state,
+                                    jax.random.split(key, thin))
+            pos, overlap, lnpost = state
+            return state, (pos, lnpost)
+
+        _, (samples, lnps) = jax.lax.scan(
+            outer, (p0, overlap0, lnpost0), chain_keys)
+        return samples, lnps
+
+    return jax.vmap(run_one_chain)(keys, pos0)
 
 
 def _chain_step(pdfs, logprior_nz, mh_steps):
@@ -158,9 +191,14 @@ class population_sampler:
         prior_kwargs = prior_kwargs or {}
         nobs, nbins = self.pdfs.shape
         if logprior_nz is None:
-            def logprior_nz(pos, *a, **k):
-                return 0.0
-        prior = lambda pos: logprior_nz(pos, *prior_args, **prior_kwargs)
+            prior = _zero_prior
+        elif prior_args or prior_kwargs:
+            # Closure identity changes per call -> recompile; custom
+            # priors with bound args are expected to be rare.
+            def prior(pos):
+                return logprior_nz(pos, *prior_args, **prior_kwargs)
+        else:
+            prior = logprior_nz
 
         if pos_init is None:
             if self._chain_state is not None:
@@ -182,26 +220,9 @@ class population_sampler:
                                    else np.random.default_rng().integers(
                                        2**31)))
         pdfs = jnp.asarray(self.pdfs)
-        step = _chain_step(pdfs, prior, mh_steps)
-
-        def run_one_chain(key, pos0):
-            overlap0 = pdfs @ pos0
-            lnpost0 = jnp.sum(jnp.log(overlap0)) + prior(pos0)
-
-            def outer(state, key):
-                state, _ = jax.lax.scan(step, state,
-                                        jax.random.split(key, thin))
-                pos, overlap, lnpost = state
-                return state, (pos, lnpost)
-
-            _, (samples, lnps) = jax.lax.scan(
-                outer, (pos0, overlap0, lnpost0),
-                jax.random.split(key, Niter))
-            return samples, lnps
-
-        run = jax.jit(jax.vmap(run_one_chain))
-        keys = jax.random.split(key, nchains)
-        samples, lnps = run(keys, jnp.asarray(pos0))
+        keys = jax.random.split(key, (nchains, Niter))
+        samples, lnps = _pop_run(keys, jnp.asarray(pos0), pdfs,
+                                 prior=prior, thin=thin, mh_steps=mh_steps)
         samples = np.asarray(samples)  # (nchains, Niter, Nbins)
         lnps = np.asarray(lnps)
         for it in range(Niter):
