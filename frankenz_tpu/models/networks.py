@@ -48,6 +48,8 @@ NumPy state (SURVEY.md section 7, "RNG parity").
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -102,6 +104,24 @@ def neighbor_lorentz(t, pos, positions, nside, start=0.7, end=0.02,
     sqdist = jnp.sum((pos - positions) ** 2, axis=1)
     sigma = learn(t, start=start, end=end) * nside
     return sigma**2 / (sqdist + sigma**2), sigma
+
+
+@functools.partial(jax.jit, static_argnames=("lpnet_spec", "wt_thresh",
+                                              "cdf_thresh"))
+def _node_fit_jit(x, xe, xm, nodes_occ, *, lpnet_spec, wt_thresh,
+                  cdf_thresh):
+    """Batched node fit + threshold mask (cached globally by the static
+    (lpnet_func, args, kwargs-items) spec)."""
+    lpnet_func, lpnet_args, kw_items = lpnet_spec
+    if lpnet_func is None:
+        lpnet_func = _like.logprob
+    ye = jnp.zeros_like(nodes_occ)
+    ym = jnp.ones_like(nodes_occ)
+    res = lpnet_func(x, xe, xm, nodes_occ, ye, ym, *lpnet_args,
+                     **dict(kw_items))
+    lnp = res[2]
+    sel = _threshold_sel(lnp, wt_thresh, cdf_thresh)
+    return res, sel
 
 
 def _threshold_sel(lnprob, wt_thresh, cdf_thresh):
@@ -468,16 +488,15 @@ class _Network:
             "free_scale": True, "ignore_model_err": True,
             "return_scale": True}
 
-        ye = jnp.zeros_like(nodes_occ)
-        ym = jnp.ones_like(nodes_occ)
+        lpnet_spec = (None if lpnet_func is _like.logprob else lpnet_func,
+                      tuple(lpnet_args),
+                      tuple(sorted(lpnet_kwargs.items())))
 
-        @jax.jit
         def node_fit(x, xe, xm):
-            res = lpnet_func(x, xe, xm, nodes_occ, ye, ym, *lpnet_args,
-                             **lpnet_kwargs)
-            lnp = res[2]
-            sel = _threshold_sel(lnp, wt_thresh, cdf_thresh)
-            return res, sel
+            return _node_fit_jit(x, xe, xm, nodes_occ,
+                                 lpnet_spec=lpnet_spec,
+                                 wt_thresh=wt_thresh,
+                                 cdf_thresh=cdf_thresh)
 
         if nodes_only:
             self.neighbors = occ.astype(np.int32)
@@ -562,39 +581,16 @@ class _Network:
             compact = jnp.take_along_axis(uniq, perm, axis=1)
             return compact[:, :max_neighbors], nuniq
 
-        if lprob_func is None:
-            lprob_func = _like.logprob
-        lprob_args = lprob_args or ()
-        lprob_kwargs = lprob_kwargs or {}
+        from .knn import _gathered_lprob_jit
 
-        @jax.jit
+        lprob_spec = (lprob_func, tuple(lprob_args or ()),
+                      tuple(sorted((lprob_kwargs or {}).items())))
+
         def union_lprob(x, xe, xm, idx):
-            valid = idx >= 0
-            safe = jnp.maximum(idx, 0)
-            m = self.models[safe]
-            me = self.models_err[safe]
-            mm = self.models_mask[safe]
-
-            def one(xx, xxe, xxm, mj, mej, mmj):
-                res = lprob_func(xx[None], xxe[None], xxm[None], mj, mej,
-                                 mmj, *lprob_args, **lprob_kwargs)
-                return tuple(None if r is None else r[0] for r in
-                             (res[0], res[1], res[2], res[3], res[4],
-                              res[5] if len(res) > 5 else None,
-                              res[6] if len(res) > 6 else None))
-
-            out = jax.vmap(one)(x, xe, xm, m, me, mm)
-            lnprior, lnlike, lnprob, ndim, chi2, scale, serr = out
-            neg = -jnp.inf
-            lnprior = jnp.where(valid, lnprior, neg)
-            lnlike = jnp.where(valid, lnlike, neg)
-            lnprob = jnp.where(valid, lnprob, neg)
-            ndim = jnp.where(valid, ndim, 0)
-            chi2 = jnp.where(valid, chi2, jnp.inf)
-            if scale is not None:
-                scale = jnp.where(valid, scale, 1.0)
-                serr = jnp.where(valid, serr, 0.0)
-            return lnprior, lnlike, lnprob, ndim, chi2, scale, serr
+            return _gathered_lprob_jit(x, xe, xm, idx, idx >= 0,
+                                       self.models, self.models_err,
+                                       self.models_mask,
+                                       lprob_spec=lprob_spec)
 
         for i0, n in _batch_slices(ndata, batch_size):
             x = jnp.asarray(_pad_rows(data[i0:i0 + n], batch_size))
