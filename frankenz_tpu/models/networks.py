@@ -142,6 +142,19 @@ def _threshold_sel(lnprob, wt_thresh, cdf_thresh):
                               inplace=False)
 
 
+@jax.jit
+def _stack_node_pdfs_jit(lwt, node_pdfs_occ):
+    """nodes_only prediction: thresholded node weights @ node PDFs
+    (networks.py:1113-1115), normalized per object."""
+    lmap = jnp.max(lwt, axis=1)
+    levid = jax.scipy.special.logsumexp(lwt, axis=1)
+    wt = jnp.exp(lwt - levid[:, None])
+    pdf = wt @ node_pdfs_occ
+    norm = jnp.sum(pdf, axis=1, keepdims=True)
+    pdf = jnp.where(norm > 0, pdf / jnp.where(norm > 0, norm, 1.0), 0.0)
+    return pdf, lmap, levid
+
+
 class _Network:
     """Shared node-network machinery (reference `_Network`, networks.py:121).
 
@@ -647,16 +660,8 @@ class _Network:
                                       discrete=discrete, verbose=False)
             node_pdfs_occ = jnp.asarray(node_pdfs[self.neighbors])
 
-            @jax.jit
             def stack(lwt):
-                lmap = jnp.max(lwt, axis=1)
-                levid = jax.scipy.special.logsumexp(lwt, axis=1)
-                wt = jnp.exp(lwt - levid[:, None])
-                pdf = wt @ node_pdfs_occ
-                norm = jnp.sum(pdf, axis=1, keepdims=True)
-                pdf = jnp.where(norm > 0,
-                                pdf / jnp.where(norm > 0, norm, 1.0), 0.0)
-                return pdf, lmap, levid
+                return _stack_node_pdfs_jit(lwt, node_pdfs_occ)
 
             ngrid = node_pdfs.shape[1]
             pdfs = np.zeros((ndata, ngrid), np.float32)
