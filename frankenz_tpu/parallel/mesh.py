@@ -35,10 +35,23 @@ MODEL_AXIS = "models"
 
 
 def make_mesh(n_devices=None, devices=None):
-    """1-D mesh over `objects` using the first `n_devices` devices."""
+    """1-D mesh over `objects` using the first `n_devices` devices.
+
+    Raises ValueError (not an opaque reshape crash) when fewer devices
+    exist than requested — e.g. when the caller assumed a virtual CPU
+    mesh but JAX initialized on a 1-chip TPU backend.
+    """
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"make_mesh: requested {n_devices} devices but only "
+                f"{len(devices)} available on platform "
+                f"'{devices[0].platform}'. For a virtual multi-device CPU "
+                f"mesh, force the cpu platform and set XLA_FLAGS="
+                f"--xla_force_host_platform_device_count={n_devices} "
+                f"before JAX initializes.")
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (OBJ_AXIS,))
 
@@ -47,6 +60,14 @@ def make_mesh_2d(n_obj, n_model, devices=None):
     """2-D (objects, models) mesh for sharded-model-set operation."""
     if devices is None:
         devices = jax.devices()
+    if len(devices) < n_obj * n_model:
+        raise ValueError(
+            f"make_mesh_2d: requested {n_obj}x{n_model}="
+            f"{n_obj * n_model} devices but only {len(devices)} available "
+            f"on platform '{devices[0].platform}'. For a virtual "
+            f"multi-device CPU mesh, force the cpu platform and set "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count="
+            f"{n_obj * n_model} before JAX initializes.")
     devs = np.asarray(devices[:n_obj * n_model]).reshape(n_obj, n_model)
     return Mesh(devs, (OBJ_AXIS, MODEL_AXIS))
 
