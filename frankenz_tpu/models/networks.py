@@ -124,6 +124,98 @@ def _node_fit_jit(x, xe, xm, nodes_occ, *, lpnet_spec, wt_thresh,
     return res, sel
 
 
+@functools.partial(jax.jit, static_argnames=("lpnet_spec", "wt_thresh",
+                                              "cdf_thresh", "cap",
+                                              "track_scale"))
+def _populate_batch_jit(x, xe, xm, nodes, *, lpnet_spec, wt_thresh,
+                        cdf_thresh, cap, track_scale):
+    """One populate batch: node log-posteriors, BMU, thresholded top-`cap`
+    memberships (module-level so repeated populate calls never recompile;
+    cached by the static (lpnet_func, args, kwargs-items) spec)."""
+    lpnet_func, lpnet_args, kw_items = lpnet_spec
+    if lpnet_func is None:
+        lpnet_func = _like.logprob
+    ye = jnp.zeros_like(nodes)
+    ym = jnp.ones_like(nodes)
+    res = lpnet_func(x, xe, xm, nodes, ye, ym, *lpnet_args,
+                     **dict(kw_items))
+    lnp = res[2]
+    bmu = jnp.argmax(lnp, axis=1)
+    sel = _threshold_sel(lnp, wt_thresh, cdf_thresh)
+    cnt = jnp.sum(sel, axis=1)
+    masked = jnp.where(sel, lnp, -jnp.inf)
+    lmap = jnp.max(masked, axis=1)
+    levid = jax.scipy.special.logsumexp(masked, axis=1)
+    top_lw, top_node = jax.lax.top_k(masked, cap)
+    top_lw = top_lw - levid[:, None]
+    if track_scale and len(res) > 5 and res[5] is not None:
+        top_scale = jnp.take_along_axis(res[5], top_node, axis=1)
+        top_serr = jnp.take_along_axis(res[6], top_node, axis=1)
+    else:
+        top_scale = jnp.ones_like(top_lw)
+        top_serr = jnp.zeros_like(top_lw)
+    return cnt, top_lw, top_node, top_scale, top_serr, bmu, lmap, levid
+
+
+@jax.jit
+def _node_pdf_weights_jit(lwt):
+    """(lmap, levid, wt) for padded member log-weight rows (-inf pads)."""
+    lmap = jnp.max(lwt, axis=1)
+    levid = jax.scipy.special.logsumexp(lwt, axis=1)
+    wt = jnp.exp(lwt - levid[:, None])
+    wt = jnp.where(jnp.isfinite(lwt), wt, 0.0)
+    return lmap, levid, wt
+
+
+@jax.jit
+def _density_scale_jit(pdf, levid):
+    """Normalize PDF rows, then scale by exp(levid) (networks.py:495-496)."""
+    norm = jnp.sum(pdf, axis=1, keepdims=True)
+    pdf = jnp.where(norm > 0, pdf / jnp.where(norm > 0, norm, 1.0), 0.0)
+    return pdf * jnp.exp(levid)[:, None]
+
+
+@functools.partial(jax.jit, static_argnames=("lpnet_spec", "wt_thresh",
+                                              "cdf_thresh", "cap_sel",
+                                              "max_neighbors"))
+def _gather_union_jit(x, xe, xm, nodes_occ, members, *, lpnet_spec,
+                      wt_thresh, cdf_thresh, cap_sel, max_neighbors):
+    """Exact-union neighbor gather: node fit -> strongest `cap_sel` nodes
+    -> first-seen-unique member union, compacted to `max_neighbors` slots
+    (module-level jit: repeated network fits never recompile)."""
+    res, sel = _node_fit_jit(x, xe, xm, nodes_occ, lpnet_spec=lpnet_spec,
+                             wt_thresh=wt_thresh, cdf_thresh=cdf_thresh)
+    lnp = jnp.where(sel, res[2], -jnp.inf)
+    # Strongest selected nodes, up to cap_sel.
+    top_lnp, top_nodes = jax.lax.top_k(lnp, cap_sel)
+    node_ok = jnp.isfinite(top_lnp)
+    maxm = members.shape[1]
+    cand = members[top_nodes]  # (B, cap_sel, maxm)
+    cand = jnp.where(node_ok[:, :, None], cand, -99)
+    cand = cand.reshape(x.shape[0], cap_sel * maxm)
+    # Sort-based first-seen unique over candidate slots.
+    invalid = cand < 0
+    order = jnp.argsort(jnp.where(invalid, jnp.int32(1 << 30),
+                                  cand), axis=1, stable=True)
+    sorted_c = jnp.take_along_axis(cand, order, axis=1)
+    dup_sorted = jnp.concatenate(
+        [jnp.zeros((cand.shape[0], 1), bool),
+         (sorted_c[:, 1:] == sorted_c[:, :-1])
+         & (sorted_c[:, 1:] >= 0)], axis=1)
+    uniq = jnp.where(dup_sorted | (sorted_c < 0), -99, sorted_c)
+    nuniq = jnp.sum(uniq >= 0, axis=1)
+    # Compact unique entries to the front.
+    perm = jnp.argsort(jnp.where(uniq < 0, jnp.int32(1 << 30), 0)
+                       + jnp.arange(uniq.shape[1])[None, :],
+                       axis=1, stable=True)
+    compact = jnp.take_along_axis(uniq, perm, axis=1)
+    if compact.shape[1] < max_neighbors:  # fewer candidates than slots
+        pad = jnp.full((compact.shape[0],
+                        max_neighbors - compact.shape[1]), -99, jnp.int32)
+        compact = jnp.concatenate([compact, pad], axis=1)
+    return compact[:, :max_neighbors], nuniq
+
+
 def _threshold_sel(lnprob, wt_thresh, cdf_thresh):
     """Boolean selection mask over the last axis (networks.py:323-332)."""
     if wt_thresh is None and cdf_thresh is None:
@@ -233,36 +325,22 @@ class _Network:
         self.lpnet_kwargs = lpnet_kwargs
 
         nodes = jnp.asarray(self.nodes)
-        ye = jnp.zeros_like(nodes)
-        ym = jnp.ones_like(nodes)
         nnode = nodes.shape[0]
         # On-device compaction: transfer only the top-S thresholded
         # memberships per model ((B, S) slabs) instead of (B, Nnode)
         # grids — per-batch fancy-index readbacks over a remote-TPU relay
         # dominate populate time otherwise.
         cap = min(int(max_nodes_per_model), nnode)
+        lpnet_spec = (None if lpnet_func is _like.logprob else lpnet_func,
+                      tuple(lpnet_args),
+                      tuple(sorted(lpnet_kwargs.items())))
 
-        @jax.jit
         def batch(x, xe, xm):
-            res = lpnet_func(x, xe, xm, nodes, ye, ym, *lpnet_args,
-                             **lpnet_kwargs)
-            lnp = res[2]
-            bmu = jnp.argmax(lnp, axis=1)
-            sel = _threshold_sel(lnp, wt_thresh, cdf_thresh)
-            cnt = jnp.sum(sel, axis=1)
-            masked = jnp.where(sel, lnp, -jnp.inf)
-            lmap = jnp.max(masked, axis=1)
-            levid = jax.scipy.special.logsumexp(masked, axis=1)
-            top_lw, top_node = jax.lax.top_k(masked, cap)
-            top_lw = top_lw - levid[:, None]
-            if track_scale and len(res) > 5 and res[5] is not None:
-                top_scale = jnp.take_along_axis(res[5], top_node, axis=1)
-                top_serr = jnp.take_along_axis(res[6], top_node, axis=1)
-            else:
-                top_scale = jnp.ones_like(top_lw)
-                top_serr = jnp.zeros_like(top_lw)
-            return cnt, top_lw, top_node, top_scale, top_serr, bmu, lmap, \
-                levid
+            return _populate_batch_jit(x, xe, xm, nodes,
+                                       lpnet_spec=lpnet_spec,
+                                       wt_thresh=wt_thresh,
+                                       cdf_thresh=cdf_thresh, cap=cap,
+                                       track_scale=bool(track_scale))
 
         mods = self._models_np
         errs = self._models_err_np
@@ -398,20 +476,15 @@ class _Network:
             grid = jnp.asarray(label_grid)
             ngrid = len(label_grid)
 
-        @jax.jit
+        # Composed from module-level jitted pieces (global jit cache —
+        # repeated get_pdfs calls never recompile).
         def stack(lwt, a, b):
-            lmap = jnp.max(lwt, axis=1)
-            levid = jax.scipy.special.logsumexp(lwt, axis=1)
-            wt = jnp.exp(lwt - levid[:, None])
-            wt = jnp.where(jnp.isfinite(lwt), wt, 0.0)
+            lmap, levid, wt = _node_pdf_weights_jit(lwt)
             if label_dict is not None:
                 pdf = _kde.kde_stack_gathered_dict(label_dict, a, b, wt)
             else:
                 pdf = _kde.kde_stack_gathered(a, b, wt, grid)
-            norm = jnp.sum(pdf, axis=1, keepdims=True)
-            pdf = jnp.where(norm > 0, pdf / jnp.where(norm > 0, norm, 1.0),
-                            0.0)
-            pdf = pdf * jnp.exp(levid)[:, None]  # object-density scaling
+            pdf = _density_scale_jit(pdf, levid)
             return pdf, lmap, levid
 
         pdfs = np.zeros((nnode, ngrid), np.float32)
@@ -545,7 +618,6 @@ class _Network:
         # --- exact-union path ---
         member_tab = self.nodes_bmus if discrete else self.nodes_idxs
         member_occ = member_tab[occ]  # (Nocc, maxm)
-        maxm = member_occ.shape[1]
         cap_sel = min(max_sel_nodes, nocc)
 
         self.neighbors = np.full((ndata, max_neighbors), -99, np.int32)
@@ -566,33 +638,12 @@ class _Network:
 
         members_dev = jnp.asarray(member_occ)
 
-        @jax.jit
         def gather_union(x, xe, xm):
-            res, sel = node_fit(x, xe, xm)
-            lnp = jnp.where(sel, res[2], -jnp.inf)
-            # Strongest selected nodes, up to cap_sel.
-            top_lnp, top_nodes = jax.lax.top_k(lnp, cap_sel)
-            node_ok = jnp.isfinite(top_lnp)
-            cand = members_dev[top_nodes]  # (B, cap_sel, maxm)
-            cand = jnp.where(node_ok[:, :, None], cand, -99)
-            cand = cand.reshape(x.shape[0], cap_sel * maxm)
-            # Sort-based first-seen unique over candidate slots.
-            invalid = cand < 0
-            order = jnp.argsort(jnp.where(invalid, jnp.int32(1 << 30),
-                                          cand), axis=1, stable=True)
-            sorted_c = jnp.take_along_axis(cand, order, axis=1)
-            dup_sorted = jnp.concatenate(
-                [jnp.zeros((cand.shape[0], 1), bool),
-                 (sorted_c[:, 1:] == sorted_c[:, :-1])
-                 & (sorted_c[:, 1:] >= 0)], axis=1)
-            uniq = jnp.where(dup_sorted | (sorted_c < 0), -99, sorted_c)
-            nuniq = jnp.sum(uniq >= 0, axis=1)
-            # Compact unique entries to the front.
-            perm = jnp.argsort(jnp.where(uniq < 0, jnp.int32(1 << 30), 0)
-                               + jnp.arange(uniq.shape[1])[None, :],
-                               axis=1, stable=True)
-            compact = jnp.take_along_axis(uniq, perm, axis=1)
-            return compact[:, :max_neighbors], nuniq
+            return _gather_union_jit(x, xe, xm, nodes_occ, members_dev,
+                                     lpnet_spec=lpnet_spec,
+                                     wt_thresh=wt_thresh,
+                                     cdf_thresh=cdf_thresh, cap_sel=cap_sel,
+                                     max_neighbors=max_neighbors)
 
         from .knn import _gathered_lprob_jit
 
@@ -605,29 +656,60 @@ class _Network:
                                        self.models_mask,
                                        lprob_spec=lprob_spec)
 
+        # Batches are dispatched asynchronously and read back in bulk,
+        # trimmed to the widest ACTUAL union (rounded up to a lane
+        # multiple): the (B, max_neighbors) grids are mostly padding, and
+        # per-batch full-width readbacks over a remote-TPU relay dominate
+        # wall time otherwise.  Columns beyond the trim width keep their
+        # preallocated pad values.
+        def flush(parts):
+            if not parts:
+                return
+            nus = jax.device_get([nuniq for _, _, _, nuniq, _ in parts])
+            wmax = 1
+            for (i0, n, _, _, _), nu in zip(parts, nus):
+                nu = np.asarray(nu[:n])
+                if (nu > max_neighbors).any():
+                    raise ValueError(
+                        "neighbor union ({}) exceeds max_neighbors ({}); "
+                        "raise `max_neighbors` or tighten `wt_thresh`"
+                        .format(int(nu.max()), max_neighbors))
+                self.Nneighbors[i0:i0 + n] = nu
+                wmax = max(wmax, int(nu.max(initial=1)))
+            w = min(max_neighbors, -(-wmax // 128) * 128)
+            sliced = [(idx[:, :w],
+                       tuple(None if r is None else r[:, :w] for r in res))
+                      for _, _, idx, _, res in parts]
+            for (i0, n, _, _, _), (idx_h, res_h) in zip(
+                    parts, jax.device_get(sliced)):
+                sl = slice(i0, i0 + n)
+                self.neighbors[sl, :w] = np.asarray(idx_h[:n], np.int32)
+                self.fit_lnprior[sl, :w] = np.asarray(res_h[0][:n],
+                                                      np.float32)
+                self.fit_lnlike[sl, :w] = np.asarray(res_h[1][:n],
+                                                     np.float32)
+                self.fit_lnprob[sl, :w] = np.asarray(res_h[2][:n],
+                                                     np.float32)
+                self.fit_Ndim[sl, :w] = np.asarray(res_h[3][:n], np.int32)
+                self.fit_chi2[sl, :w] = np.asarray(res_h[4][:n], np.float32)
+                if track_scale and res_h[5] is not None:
+                    self.fit_scale[sl, :w] = np.asarray(res_h[5][:n],
+                                                        np.float32)
+                    self.fit_scale_err[sl, :w] = np.asarray(res_h[6][:n],
+                                                            np.float32)
+
+        parts = []
         for i0, n in _batch_slices(ndata, batch_size):
             x = jnp.asarray(_pad_rows(data[i0:i0 + n], batch_size))
             xe = jnp.asarray(_pad_rows(data_err[i0:i0 + n], batch_size))
             xm = jnp.asarray(_pad_rows(data_mask[i0:i0 + n], batch_size))
             idx, nuniq = gather_union(x, xe, xm)
-            nu = np.asarray(nuniq[:n])
-            if (nu > max_neighbors).any():
-                raise ValueError(
-                    "neighbor union ({}) exceeds max_neighbors ({}); "
-                    "raise `max_neighbors` or tighten `wt_thresh`"
-                    .format(int(nu.max()), max_neighbors))
             res = union_lprob(x, xe, xm, idx)
-            sl = slice(i0, i0 + n)
-            self.neighbors[sl] = np.asarray(idx[:n], np.int32)
-            self.Nneighbors[sl] = np.minimum(nu, max_neighbors)
-            self.fit_lnprior[sl] = np.asarray(res[0][:n], np.float32)
-            self.fit_lnlike[sl] = np.asarray(res[1][:n], np.float32)
-            self.fit_lnprob[sl] = np.asarray(res[2][:n], np.float32)
-            self.fit_Ndim[sl] = np.asarray(res[3][:n], np.int32)
-            self.fit_chi2[sl] = np.asarray(res[4][:n], np.float32)
-            if track_scale and res[5] is not None:
-                self.fit_scale[sl] = np.asarray(res[5][:n], np.float32)
-                self.fit_scale_err[sl] = np.asarray(res[6][:n], np.float32)
+            parts.append((i0, n, idx, nuniq, res))
+            if len(parts) >= 64:
+                flush(parts)
+                parts = []
+        flush(parts)
         return self
 
     def predict(self, model_labels, model_label_errs, label_dict=None,
@@ -680,8 +762,20 @@ class _Network:
         # exact-union path: reuse the kNN gathered stacking
         from .knn import NearestNeighbors as _NN
 
+        neighbors = self.neighbors
+        if (self.Nneighbors is not None
+                and logwt.shape == neighbors.shape):
+            # Trim to the widest actual union (lane-aligned): the padded
+            # columns carry zero weight, and the gathered KDE materializes
+            # (B, J, Ngrid) kernel rows — width trimming cuts both the
+            # upload and that temporary by the padding ratio.
+            w = min(neighbors.shape[1],
+                    -(-max(int(self.Nneighbors.max()), 1) // 128) * 128)
+            neighbors = neighbors[:, :w]
+            logwt = logwt[:, :w]
+
         pdfs, lmap, levid, _ = _NN._stack_batches(
-            self, logwt, self.neighbors, model_labels, model_label_errs,
+            self, logwt, neighbors, model_labels, model_label_errs,
             label_dict, label_grid, wt_thresh, cdf_thresh, batch_size)
         if return_gof:
             return pdfs, (lmap, levid)

@@ -61,6 +61,34 @@ def _zero_prior(pos, *args, **kwargs):
     return 0.0
 
 
+class _BoundPrior:
+    """Hashable binding of (prior_func, args, kwargs) so `_pop_run`'s jit
+    cache keys on the *contents* rather than a per-call closure identity —
+    two run_mcmc calls with the same bound prior compile once.
+
+    `prior_args` / `prior_kwargs` values must be hashable (they are static
+    under jit); arrays should be closed over inside `logprior_nz` itself.
+    """
+
+    __slots__ = ("func", "args", "kw_items")
+
+    def __init__(self, func, args, kwargs):
+        self.func = func
+        self.args = tuple(args)
+        self.kw_items = tuple(sorted(kwargs.items()))
+
+    def __call__(self, pos):
+        return self.func(pos, *self.args, **dict(self.kw_items))
+
+    def __hash__(self):
+        return hash((self.func, self.args, self.kw_items))
+
+    def __eq__(self, other):
+        return (isinstance(other, _BoundPrior)
+                and self.func is other.func and self.args == other.args
+                and self.kw_items == other.kw_items)
+
+
 @functools.partial(jax.jit, static_argnames=("prior", "thin", "mh_steps"))
 def _pop_run(keys, pos0, pdfs, *, prior, thin, mh_steps):
     """All chains x all samples in one compiled program, cached globally
@@ -193,10 +221,7 @@ class population_sampler:
         if logprior_nz is None:
             prior = _zero_prior
         elif prior_args or prior_kwargs:
-            # Closure identity changes per call -> recompile; custom
-            # priors with bound args are expected to be rare.
-            def prior(pos):
-                return logprior_nz(pos, *prior_args, **prior_kwargs)
+            prior = _BoundPrior(logprior_nz, prior_args, prior_kwargs)
         else:
             prior = logprior_nz
 
