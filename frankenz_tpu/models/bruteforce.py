@@ -165,8 +165,13 @@ class BruteForce:
             self.fit_scale_err[sl] = np.asarray(scale_err[:n], np.float32)
 
     def _kernel_G(self, model_labels, model_label_errs, label_dict,
-                  label_grid):
-        """(Nmodel, Ngrid) row-normalized kernel matrix + the grid."""
+                  label_grid, dx=None, sig_thresh=5.0):
+        """(Nmodel, Ngrid) row-normalized kernel matrix + the grid.
+
+        `dx`/`sig_thresh` apply to the grid (non-dict) path, mirroring
+        `gauss_kde`'s kwargs (pdf.py:444); the dict path's truncation is
+        fixed at `PDFDict` construction, as in `gauss_kde_dict`.
+        """
         if label_dict is not None:
             y_idx, y_std_idx = label_dict.fit(jnp.asarray(model_labels),
                                               jnp.asarray(model_label_errs))
@@ -177,7 +182,8 @@ class BruteForce:
                              "specified.")
         grid = jnp.asarray(label_grid)
         G = _kde.kernel_matrix(jnp.asarray(model_labels),
-                               jnp.asarray(model_label_errs), grid)
+                               jnp.asarray(model_label_errs), grid,
+                               dx=dx, sig_thresh=sig_thresh)
         return G, grid
 
     # ------------------------------------------------------------------
@@ -230,11 +236,10 @@ class BruteForce:
         if logwt is None:
             raise ValueError("Fits have not been computed and weights have "
                              "not been provided.")
-        kde_kwargs = kde_kwargs or {}
-        wt_thresh = kde_kwargs.get("wt_thresh", wt_thresh)
-        cdf_thresh = kde_kwargs.get("cdf_thresh", cdf_thresh)
+        dx, sig_thresh, wt_thresh, cdf_thresh = _kde.resolve_kde_opts(
+            kde_args, kde_kwargs, wt_thresh, cdf_thresh)
         G, grid = self._kernel_G(model_labels, model_label_errs, label_dict,
-                                 label_grid)
+                                 label_grid, dx=dx, sig_thresh=sig_thresh)
         logwt = np.atleast_2d(np.asarray(logwt))
         ndata = logwt.shape[0]
         if batch_size is None:
@@ -303,13 +308,12 @@ class BruteForce:
         data_err = np.atleast_2d(np.asarray(data_err))
         data_mask = np.atleast_2d(np.asarray(data_mask))
         ndata = data.shape[0]
-        kde_kwargs = kde_kwargs or {}
-        wt_thresh = kde_kwargs.get("wt_thresh", wt_thresh)
-        cdf_thresh = kde_kwargs.get("cdf_thresh", cdf_thresh)
+        dx, sig_thresh, wt_thresh, cdf_thresh = _kde.resolve_kde_opts(
+            kde_args, kde_kwargs, wt_thresh, cdf_thresh)
         if batch_size is None:
             batch_size = default_batch_size(self.NMODEL)
         G, grid = self._kernel_G(model_labels, model_label_errs, label_dict,
-                                 label_grid)
+                                 label_grid, dx=dx, sig_thresh=sig_thresh)
         eligible = self._fused_eligible(lprob_func, lprob_args,
                                         lprob_kwargs, track_scale,
                                         save_fits, wt_thresh, cdf_thresh)

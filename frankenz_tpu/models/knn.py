@@ -364,9 +364,8 @@ class NearestNeighbors:
         if logwt is None:
             raise ValueError("Fits have not been computed and weights have "
                              "not been provided.")
-        kde_kwargs = kde_kwargs or {}
-        wt_thresh = kde_kwargs.get("wt_thresh", wt_thresh)
-        cdf_thresh = kde_kwargs.get("cdf_thresh", cdf_thresh)
+        dx, sig_thresh, wt_thresh, cdf_thresh = _kde.resolve_kde_opts(
+            kde_args, kde_kwargs, wt_thresh, cdf_thresh)
         model_labels = np.asarray(model_labels)
         model_label_errs = np.asarray(model_label_errs)
         ndata, j = np.shape(logwt)
@@ -374,14 +373,14 @@ class NearestNeighbors:
         pdfs, lmap, levid, grid = self._stack_batches(
             np.asarray(logwt, np.float32), self.neighbors, model_labels,
             model_label_errs, label_dict, label_grid, wt_thresh, cdf_thresh,
-            batch_size)
+            batch_size, dx=dx, sig_thresh=sig_thresh)
         if return_gof:
             return pdfs, (lmap, levid)
         return pdfs
 
     def _stack_batches(self, logwt, neighbors, model_labels,
                        model_label_errs, label_dict, label_grid, wt_thresh,
-                       cdf_thresh, batch_size):
+                       cdf_thresh, batch_size, dx=None, sig_thresh=5.0):
         if label_dict is None and label_grid is None:
             raise ValueError("`label_dict` or `label_grid` must be "
                              "specified.")
@@ -406,7 +405,8 @@ class NearestNeighbors:
         def stack_grid_batch(lwt, y, ys):
             lmap, levid, wt = _gof_weights(lwt)
             wt = _kde.threshold_weights(wt, wt_thresh, cdf_thresh)
-            pdf = _kde.kde_stack_gathered(y, ys, wt, jnp.asarray(grid))
+            pdf = _kde.kde_stack_gathered(y, ys, wt, jnp.asarray(grid),
+                                          dx=dx, sig_thresh=sig_thresh)
             return _norm_rows(pdf), lmap, levid
 
         pdfs = np.zeros((ndata, ngrid), np.float32)
@@ -445,9 +445,8 @@ class NearestNeighbors:
         data_mask = np.atleast_2d(np.asarray(data_mask, float))
         rng = rng or self.rng
         ndata = data.shape[0]
-        kde_kwargs = kde_kwargs or {}
-        wt_thresh = kde_kwargs.get("wt_thresh", wt_thresh)
-        cdf_thresh = kde_kwargs.get("cdf_thresh", cdf_thresh)
+        dx, sig_thresh, wt_thresh, cdf_thresh = _kde.resolve_kde_opts(
+            kde_args, kde_kwargs, wt_thresh, cdf_thresh)
         if save_fits:
             self._alloc_fits(ndata, k, track_scale)
         model_labels = np.asarray(model_labels)
@@ -484,7 +483,8 @@ class NearestNeighbors:
                     label_dict, full_pos[safe], full_sig[safe], wt)
             else:
                 pdf = _kde.kde_stack_gathered(
-                    labels_j[safe], label_errs_j[safe], wt, grid)
+                    labels_j[safe], label_errs_j[safe], wt, grid,
+                    dx=dx, sig_thresh=sig_thresh)
             return _norm_rows(pdf), lmap, levid, res
 
         pdfs = np.zeros((ndata, ngrid), np.float32)

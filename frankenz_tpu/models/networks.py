@@ -455,6 +455,12 @@ class _Network:
         if label_dict is None and label_grid is None:
             raise ValueError("`label_dict` or `label_grid` must be "
                              "specified.")
+        # The reference stacks node PDFs through gauss_kde(_dict) with
+        # its default thresholds unless kde_args/kde_kwargs override them
+        # (networks.py:484-495) — member weights below threshold drop out
+        # of the node PDF while lmap/levid stay computed on all members.
+        dx, sig_thresh, wt_thresh, cdf_thresh = _kde.resolve_kde_opts(
+            kde_args, kde_kwargs)
         model_labels = np.asarray(model_labels)
         model_label_errs = np.asarray(model_label_errs)
         if discrete:
@@ -480,10 +486,12 @@ class _Network:
         # repeated get_pdfs calls never recompile).
         def stack(lwt, a, b):
             lmap, levid, wt = _node_pdf_weights_jit(lwt)
+            wt = _kde.threshold_weights(wt, wt_thresh, cdf_thresh)
             if label_dict is not None:
                 pdf = _kde.kde_stack_gathered_dict(label_dict, a, b, wt)
             else:
-                pdf = _kde.kde_stack_gathered(a, b, wt, grid)
+                pdf = _kde.kde_stack_gathered(a, b, wt, grid, dx=dx,
+                                              sig_thresh=sig_thresh)
             pdf = _density_scale_jit(pdf, levid)
             return pdf, lmap, levid
 
@@ -730,6 +738,8 @@ class _Network:
         if label_dict is None and label_grid is None:
             raise ValueError("`label_dict` or `label_grid` must be "
                              "specified.")
+        dx, sig_thresh, wt_thresh, cdf_thresh = _kde.resolve_kde_opts(
+            kde_args, kde_kwargs, wt_thresh, cdf_thresh)
         logwt = np.asarray(logwt, np.float32)
         ndata = logwt.shape[0]
         model_labels = np.asarray(model_labels)
@@ -739,6 +749,8 @@ class _Network:
             node_pdfs = self.get_pdfs(model_labels, model_label_errs,
                                       label_dict=label_dict,
                                       label_grid=label_grid,
+                                      kde_args=kde_args,
+                                      kde_kwargs=kde_kwargs,
                                       discrete=discrete, verbose=False)
             node_pdfs_occ = jnp.asarray(node_pdfs[self.neighbors])
 
@@ -776,7 +788,8 @@ class _Network:
 
         pdfs, lmap, levid, _ = _NN._stack_batches(
             self, logwt, neighbors, model_labels, model_label_errs,
-            label_dict, label_grid, wt_thresh, cdf_thresh, batch_size)
+            label_dict, label_grid, wt_thresh, cdf_thresh, batch_size,
+            dx=dx, sig_thresh=sig_thresh)
         if return_gof:
             return pdfs, (lmap, levid)
         return pdfs

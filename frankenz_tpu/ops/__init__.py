@@ -20,8 +20,11 @@ from .kde import (  # noqa: F401
     gaussian,
     gaussian_bin,
     kde_stack,
+    kde_stack_gathered,
+    kde_stack_gathered_dict,
     kernel_matrix,
     kernel_matrix_dict,
+    resolve_kde_opts,
     threshold_weights,
 )
 from .transforms import (  # noqa: F401

@@ -62,7 +62,30 @@ __all__ = [
     "kde_stack_gathered_dict",
     "gauss_kde",
     "gauss_kde_dict",
+    "resolve_kde_opts",
 ]
+
+
+def resolve_kde_opts(kde_args=None, kde_kwargs=None, wt_thresh=1e-3,
+                     cdf_thresh=2e-4):
+    """Resolve the reference's `kde_args`/`kde_kwargs` forwarding into
+    ``(dx, sig_thresh, wt_thresh, cdf_thresh)``.
+
+    The reference forwards ``*kde_args, **kde_kwargs`` into
+    `gauss_kde(y, y_std, x, dx=None, y_wt=None, sig_thresh=5., ...)`
+    (bruteforce.py:363-369), so the first positional arg binds `dx` and
+    the kwargs may override `dx`/`sig_thresh`/`wt_thresh`/`cdf_thresh`
+    (the dict variant honors only the thresholds, like
+    `gauss_kde_dict`).  Fitter-level `wt_thresh`/`cdf_thresh` arguments
+    act as defaults that `kde_kwargs` can override.
+    """
+    args = tuple(kde_args or ())
+    kw = dict(kde_kwargs or {})
+    dx = args[0] if args else kw.get("dx")
+    sig_thresh = float(kw.get("sig_thresh", 5.0))
+    wt_thresh = kw.get("wt_thresh", wt_thresh)
+    cdf_thresh = kw.get("cdf_thresh", cdf_thresh)
+    return dx, sig_thresh, wt_thresh, cdf_thresh
 
 _SQRT_2PI = 2.5066282746310002
 
