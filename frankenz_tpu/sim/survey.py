@@ -153,20 +153,101 @@ def draw_redshifts(types, mags, rng, prior=None, zbounds=(0, 15),
     return np.maximum(draws, 0.0)
 
 
-def draw_ztm(pmag_fn, nobj, rng, pm_kwargs=None, prior=None,
-             mbounds=(10, 28), zbounds=(0, 15), npoints=1000):
-    """Joint (m, t, z) draw (simulate.py:276-351)."""
-    mags = draw_mag(nobj, pmag_fn, rng, pmag_kwargs=pm_kwargs,
+def draw_type_given_mag(p_type_given_mag, mags, ntypes=3, rng=None,
+                        ptm_kwargs=None, rstate=None):
+    """Draw types from a P(t | m) *function* (simulate.py:153-200).
+
+    Reference-compatible signature: `p_type_given_mag(t, m, **ptm_kwargs)`
+    returns the probability of (integer) type `t` at magnitude `m`.  The
+    per-type evaluations are vectorized over all magnitudes when the
+    function allows (the preset `bpz_pt_m` does), falling back to a
+    per-object loop otherwise; the augmented-CDF draw matches the
+    reference's `int(interp(u, cdf, arange(-1, N)) + 1)` discretization.
+    Returns an array (the reference yields a generator).
+    """
+    ptm_kwargs = ptm_kwargs or {}
+    rng = rng if rng is not None else (rstate or np.random.default_rng())
+    mags = np.atleast_1d(np.asarray(mags, dtype=float))
+    nobj = len(mags)
+    probs = np.empty((nobj, ntypes))
+    try:
+        for t in range(ntypes):
+            col = np.asarray(p_type_given_mag(t, mags, **ptm_kwargs),
+                             dtype=float)
+            if col.shape != mags.shape:
+                raise ValueError
+            probs[:, t] = col
+    except Exception:
+        for i, m in enumerate(mags):
+            probs[i] = [float(p_type_given_mag(t, m, **ptm_kwargs))
+                        for t in range(ntypes)]
+    cdf = np.cumsum(probs, axis=-1)
+    cdf /= cdf[:, -1:]
+    u = rng.uniform(size=nobj)
+    return (cdf < u[:, None]).sum(axis=-1).astype(int)
+
+
+def draw_redshift_given_type_mag(p_z_tm, types, mags, rng=None,
+                                 pztm_kwargs=None, zbounds=(0, 15),
+                                 npoints=1000, rstate=None):
+    """Draw redshifts from a P(z | t, m) *function* (simulate.py:203-273).
+
+    Reference-compatible signature: `p_z_tm(z=..., t=..., m=...,
+    **pztm_kwargs)`.  Evaluated over the `npoints` z grid for all objects
+    at once when the function broadcasts (the preset `bpz_pz_tm` does),
+    falling back to per-object (then per-z) evaluation; draws by the
+    reference's left-padded inverse CDF, clipped at 0.  Returns an array
+    (the reference yields a generator).
+    """
+    pztm_kwargs = pztm_kwargs or {}
+    if zbounds[0] >= zbounds[1]:
+        raise ValueError("The values {0} in `zbounds` are incorrectly "
+                         "ordered.".format(zbounds))
+    rng = rng if rng is not None else (rstate or np.random.default_rng())
+    types = np.atleast_1d(np.asarray(types))
+    mags = np.atleast_1d(np.asarray(mags, dtype=float))
+    nobj = len(types)
+    zgrid = np.linspace(zbounds[0], zbounds[1], npoints)
+    try:
+        pdfs = np.asarray(p_z_tm(z=zgrid[None, :], t=types[:, None],
+                                 m=mags[:, None], **pztm_kwargs),
+                          dtype=float)
+        if pdfs.shape != (nobj, npoints):
+            raise ValueError
+    except Exception:
+        pdfs = np.empty((nobj, npoints))
+        for i, (t, m) in enumerate(zip(types, mags)):
+            try:
+                row = np.asarray(p_z_tm(z=zgrid, t=t, m=m, **pztm_kwargs),
+                                 dtype=float)
+                if row.shape != zgrid.shape:
+                    raise ValueError
+            except Exception:
+                row = np.array([p_z_tm(z=z, t=t, m=m, **pztm_kwargs)
+                                for z in zgrid], dtype=float)
+            pdfs[i] = row
+    draws = _inverse_cdf_draw(rng.uniform(size=nobj), pdfs, zgrid)
+    return np.maximum(draws, 0.0)
+
+
+def draw_ztm(pmag, p_tm, p_ztm, nobj, pm_kwargs=None, ptm_kwargs=None,
+             pztm_kwargs=None, mbounds=(10, 28), zbound=(0, 15),
+             npoints=1000, ntypes=3, rng=None):
+    """Joint (m, t, z) draw from prior *functions* (simulate.py:276-351).
+
+    Reference-compatible signature (its own `draw_ztm` is dead code that
+    forgets `Ntypes`; `ntypes` defaults to the BPZ prior's 3 classes).
+    """
+    rng = rng if rng is not None else np.random.default_rng()
+    mags = draw_mag(nobj, pmag, rng, pmag_kwargs=pm_kwargs,
                     mbounds=mbounds, npoints=npoints)
-    types = draw_types(mags, rng, prior=prior)
-    redshifts = draw_redshifts(types, mags, rng, prior=prior,
-                               zbounds=zbounds, npoints=npoints)
+    types = draw_type_given_mag(p_tm, mags, ntypes, rng=rng,
+                                ptm_kwargs=ptm_kwargs)
+    redshifts = draw_redshift_given_type_mag(p_ztm, types, mags, rng=rng,
+                                             pztm_kwargs=pztm_kwargs,
+                                             zbounds=zbound,
+                                             npoints=npoints)
     return mags, types, redshifts
-
-
-# Reference API aliases (simulate.py:22-23 names).
-draw_type_given_mag = draw_types
-draw_redshift_given_type_mag = draw_redshifts
 
 
 # ----------------------------------------------------------------------
@@ -198,6 +279,32 @@ def _synth_grid(tmpl_lw, tmpl_afnu, filt_lw, filt_wave, filt_nu, filt_t,
                      in_axes=(0, None, None, None, None, None, None, None))
     return per_z(zs, tmpl_lw, tmpl_afnu, filt_lw, filt_wave, filt_nu,
                  filt_t, filt_norm)
+
+
+@jax.jit
+def _synth_objects(tmpl_lw, tmpl_afnu, tmpl_idx, filt_lw, filt_wave,
+                   filt_nu, filt_t, filt_norm, zs):
+    """Synthesize photometry for (z_i, template_i) pairs: (Nobj, F).
+
+    Same integrand as `_synth_grid`, but each object gathers only ITS
+    template — the catalog path needs one template per object, not the
+    full (z, template) product (the reference groups objects by template,
+    simulate.py:819-836; this is the batched equivalent).
+    """
+
+    def one(z, ti):
+        t_lw = tmpl_lw[ti]
+        t_afnu = tmpl_afnu[ti]
+
+        def per_filter(f_lw, f_wave, f_nu, f_t, f_norm):
+            te = madau_teff(f_wave, z)
+            fl = jnp.sinh(jnp.interp(f_lw, t_lw + jnp.log1p(z), t_afnu))
+            return jnp.trapezoid(f_t / f_nu * te * fl, f_nu) / f_norm
+
+        return jax.vmap(per_filter)(filt_lw, filt_wave, filt_nu, filt_t,
+                                    filt_norm)
+
+    return jax.vmap(one)(zs, tmpl_idx)
 
 
 def _pad_to(arrs, mode):
@@ -434,6 +541,40 @@ class MockSurvey:
             out[s:s + n] = np.asarray(res[:n])
         return out
 
+    def synthesize_objects(self, redshifts, templates, igm=True,
+                           budget_bytes=1 << 28):
+        """(Nobj, Nfilter) fluxes for per-object (z, template) pairs.
+
+        The catalog-path companion of `synthesize_grid`: each object
+        integrates only its own template (no NTEMPLATE-x redundant
+        work).  Chunked like `synthesize_grid` (padded, one compile).
+        """
+        t_lw, t_afnu, f_lw, f_wave, f_nu, f_t, norm = self._synth_arrays()
+        if not igm:
+            f_wave = jnp.full_like(f_wave, 1e30)  # teff(1e30 A) == 1
+        zs = np.atleast_1d(np.asarray(redshifts, dtype=float))
+        tidx = np.atleast_1d(np.asarray(templates, dtype=np.int32))
+        nobj = len(zs)
+        _, lt = t_afnu.shape
+        nf, lf = f_t.shape
+        per_obj = 6 * 8 * (lt + nf * lf)
+        chunk = int(np.clip(budget_bytes // max(per_obj, 1), 256, 1 << 16))
+        if chunk >= nobj:
+            return np.array(_synth_objects(
+                t_lw, t_afnu, jnp.asarray(tidx), f_lw, f_wave, f_nu, f_t,
+                norm, jnp.asarray(zs)))
+        out = np.zeros((nobj, nf))
+        for s in range(0, nobj, chunk):
+            zc, tc = zs[s:s + chunk], tidx[s:s + chunk]
+            n = len(zc)
+            if n < chunk:
+                zc = np.pad(zc, (0, chunk - n))
+                tc = np.pad(tc, (0, chunk - n))
+            res = _synth_objects(t_lw, t_afnu, jnp.asarray(tc), f_lw,
+                                 f_wave, f_nu, f_t, norm, jnp.asarray(zc))
+            out[s:s + n] = np.asarray(res[:n])
+        return out
+
     def make_model_grid(self, redshifts, red_fn="madau+99", verbose=True):
         """Model photometry grid over `redshifts` (simulate.py:954-1021).
 
@@ -450,10 +591,21 @@ class MockSurvey:
     # ------------------------------------------------------------------
 
     def sample_params(self, nobj, rng=None, mbounds=None, zbounds=(0, 15),
-                      Nm=1000, Nz=1000, pm_kwargs=None, verbose=True):
-        """Draw (m, t, template, z) for `nobj` objects from the prior."""
+                      Nm=1000, Nz=1000, pm_kwargs=None, ptm_kwargs=None,
+                      pztm_kwargs=None, verbose=True):
+        """Draw (m, t, template, z) for `nobj` objects from the LOADED
+        prior (simulate.py:630-761: types from `self.ptm`, redshifts from
+        `self.pztm`, with `ptm_kwargs`/`pztm_kwargs` forwarded).
+
+        The preset BPZ prior takes a vectorized table-interpolation fast
+        path; any prior installed via `load_prior` goes through the
+        reference-compatible function protocol (`draw_type_given_mag` /
+        `draw_redshift_given_type_mag`).
+        """
         del verbose
         rng = rng or self.rng
+        if self.pm is None:
+            raise ValueError("no prior loaded — call load_prior() first")
         pm_kwargs = dict(pm_kwargs or {})
         maglim = pm_kwargs.setdefault(
             "maglim", self.filters[self.ref_filter]["depth_mag5sig"])
@@ -462,7 +614,11 @@ class MockSurvey:
 
         mags = draw_mag(nobj, self.pm, rng, pmag_kwargs=pm_kwargs,
                         mbounds=mbounds, npoints=Nm)
-        types = draw_types(mags, rng)
+        if self.ptm is _priors.bpz_pt_m and not ptm_kwargs:
+            types = draw_types(mags, rng)
+        else:
+            types = draw_type_given_mag(self.ptm, mags, self.NTYPE,
+                                        rng=rng, ptm_kwargs=ptm_kwargs)
         # Uniform template choice within each drawn type
         # (simulate.py:720-737).
         templates = np.empty(nobj, dtype=int)
@@ -470,8 +626,13 @@ class MockSurvey:
             sel = types == i
             pool = np.flatnonzero(self.TTYPE == i)
             templates[sel] = rng.choice(pool, size=int(sel.sum()))
-        redshifts = draw_redshifts(types, mags, rng, zbounds=zbounds,
-                                   npoints=Nz)
+        if self.pztm is _priors.bpz_pz_tm and not pztm_kwargs:
+            redshifts = draw_redshifts(types, mags, rng, zbounds=zbounds,
+                                       npoints=Nz)
+        else:
+            redshifts = draw_redshift_given_type_mag(
+                self.pztm, types, mags, rng=rng, pztm_kwargs=pztm_kwargs,
+                zbounds=zbounds, npoints=Nz)
         self.data = {"refmags": mags, "types": types,
                      "templates": templates, "redshifts": redshifts}
         self.NOBJ = nobj
@@ -493,12 +654,12 @@ class MockSurvey:
         templates = self.data["templates"]
         redshifts = self.data["redshifts"]
 
-        # One batched synthesis over ALL templates x memory-budgeted z
-        # chunks (avoids per-template recompiles; selecting each object's
-        # own template afterwards costs NTEMPLATE-x redundant integrals,
-        # which are negligible next to a single remote compile).
-        out = self.synthesize_grid(redshifts, igm=red_fn is not None)
-        phot = out[np.arange(self.NOBJ), templates, :]
+        # Per-object gathered synthesis: each object integrates only its
+        # own template (the reference groups by template,
+        # simulate.py:819-836; a full (z, template) grid here would do
+        # NTEMPLATE-x redundant integrals — 129x for the brown library).
+        phot = self.synthesize_objects(redshifts, templates,
+                                       igm=red_fn is not None)
 
         # Normalize to the reference magnitude (simulate.py:842-847).
         with np.errstate(all="ignore"):
@@ -524,11 +685,13 @@ class MockSurvey:
         return self.data
 
     def make_mock(self, nobj, mbounds=None, zbounds=(0, 15), Nm=1000,
-                  Nz=1000, pm_kwargs=None, red_fn="madau+99",
+                  Nz=1000, pm_kwargs=None, ptm_kwargs=None,
+                  pztm_kwargs=None, red_fn="madau+99",
                   rnoise_fn=None, rng=None, verbose=True):
         """sample_params + sample_phot (simulate.py:880-952)."""
         self.sample_params(nobj, rng=rng, mbounds=mbounds, zbounds=zbounds,
                            Nm=Nm, Nz=Nz, pm_kwargs=pm_kwargs,
+                           ptm_kwargs=ptm_kwargs, pztm_kwargs=pztm_kwargs,
                            verbose=verbose)
         self.sample_phot(red_fn=red_fn, rnoise_fn=rnoise_fn, rng=rng,
                          verbose=verbose)
