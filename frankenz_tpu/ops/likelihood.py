@@ -249,57 +249,87 @@ def _loglike_free_jit(data, data_err, data_mask, models, models_err,
                                  jnp.sqrt(1.0 / shape_vals))
         return LoglikeResult(lnl, ndim, chi2)
 
-    mask3 = dm[:, None, :] * mm[None, :, :]  # (Nobj, Nmodel, Nfilt)
+    # General path: the per-pair variance de^2 + (s*me)^2 breaks the
+    # matmul decomposition, so reduce over the (tiny) filter axis with
+    # unrolled rank-1 passes — every accumulator is a single
+    # (Nobj, Nmodel) tile and XLA fuses each pass; (Nobj, Nmodel, Nfilt)
+    # temporaries are NEVER materialized (at 16K x 100K x 5 they would be
+    # ~10 GB each).  The frozen-numerator semantics (pdf.py:181-183) hold
+    # by construction: the masked numerators mask*m*d and mask*m^2 do not
+    # depend on the variance, so recomputing them per filter column each
+    # sweep is algebraically identical to freezing them.
 
-    def pairwise_var(scale):
-        """tot_var (Nobj, Nmodel, Nfilt) for a given scale (or None)."""
-        de2 = (de * de)[:, None, :]
-        if ignore_model_err:
-            return de2 + jnp.zeros((1, nmodel, nfilt), dt)
-        if scale is None:
-            return de2 + (me * me)[None, :, :]
-        sme = scale[:, :, None] * me[None, :, :]
-        return de2 + sme * sme
+    def sweep(scale_prev):
+        """One fixed-point sweep: var(scale_prev) -> scale -> chi2/lnl.
 
-    # Frozen numerators (pdf.py:181-183): built once, reused across
-    # iterations.
-    inter_num = mask3 * m[None, :, :] * d[:, None, :]
-    shape_num = mask3 * (m * m)[None, :, :]
+        scale_prev=None means the initial un-scaled variance
+        de^2 + me^2 (pdf.py:180-185).  chi2 uses the ML identity
+        ``sum mask (d - s m)^2 / var = A - s * inter`` (with
+        ``A = sum mask d^2/var`` and ``s = inter/shape``), which is exact
+        in real arithmetic and lets the whole sweep run as ONE pass over
+        the filter axis with a shared reciprocal per filter.
+        """
+        inter = jnp.zeros((nobj, nmodel), dt)
+        shape = jnp.zeros((nobj, nmodel), dt)
+        A = jnp.zeros((nobj, nmodel), dt)
+        logvar = jnp.zeros((nobj, nmodel), dt)
 
-    def solve(var):
-        inter_vals = jnp.sum(inter_num / var, axis=-1)
-        shape_vals = jnp.sum(shape_num / var, axis=-1)
-        return inter_vals / shape_vals, shape_vals
+        def var_k(k):
+            dek2 = (de[:, k] * de[:, k])[:, None]
+            if ignore_model_err:
+                return dek2 + jnp.zeros((1, nmodel), dt)
+            mek = me[None, :, k]
+            if scale_prev is None:
+                return dek2 + mek * mek
+            smek = scale_prev * mek
+            return dek2 + smek * smek
 
-    def chi2_lnl(scale, var):
-        resid = d[:, None, :] - scale[:, :, None] * m[None, :, :]
-        chi2 = jnp.sum(mask3 * resid * resid / var, axis=-1)
-        lnl = -0.5 * chi2 - 0.5 * (ndim * _LOG_2PI
-                                   + jnp.sum(jnp.log(var), axis=-1))
-        return chi2, lnl
+        for k in range(nfilt):
+            var = var_k(k)
+            iv = 1.0 / var
+            mask = dm[:, k:k + 1] * mm[None, :, k]
+            mk = m[None, :, k]
+            dk = d[:, k:k + 1]
+            miv = mask * iv
+            inter = inter + miv * mk * dk
+            shape = shape + miv * mk * mk
+            A = A + miv * dk * dk
+            # Reference sums log(tot_var) over *all* filters
+            # (pdf.py:97-98), masked or not.
+            logvar = logvar + jnp.log(var)
+        scale = inter / shape
+        chi2 = A - inter * scale
+        lnl = -0.5 * chi2 - 0.5 * (ndim * _LOG_2PI + logvar)
+        return scale, shape, chi2, lnl, A
 
-    var0 = pairwise_var(None)
-    scale, shape_vals = solve(var0)
-    chi2, lnl = chi2_lnl(scale, var0)
+    scale, shape_vals, chi2, lnl, A0 = sweep(None)
 
     if not ignore_model_err:
+        # Convergence floor: lnl carries ~eps * A of roundoff (A = the
+        # un-cancelled sum mask d^2/var term), so in float32 a tight
+        # `ltol` can sit below the noise and the per-object |delta lnl|
+        # test would never pass — every object would spin to max_iter.
+        # Objects therefore also stop once |delta lnl| reaches the
+        # roundoff scale; in float64 the floor (~1e-12) is far below any
+        # practical ltol and the reference criterion is unchanged.
+        eps = jnp.finfo(dt).eps
+
         def cond(state):
             _, _, _, _, done, it = state
             return jnp.logical_and(jnp.any(~done), it < max_iter)
 
         def body(state):
             lnl_c, scale_c, chi2_c, shape_c, done, it = state
-            var = pairwise_var(scale_c)
-            scale_n, shape_n = solve(var)
-            chi2_n, lnl_n = chi2_lnl(scale_n, var)
+            scale_n, shape_n, chi2_n, lnl_n, A_n = sweep(scale_c)
             # Per-object convergence: max over models (pdf.py:219-220).
             lerr = jnp.max(jnp.abs(lnl_n - lnl_c), axis=1)
+            floor = 4.0 * eps * jnp.max(A_n, axis=1)
             keep = done[:, None]
             lnl_o = jnp.where(keep, lnl_c, lnl_n)
             scale_o = jnp.where(keep, scale_c, scale_n)
             chi2_o = jnp.where(keep, chi2_c, chi2_n)
             shape_o = jnp.where(keep, shape_c, shape_n)
-            done_n = done | (lerr <= ltol)
+            done_n = done | (lerr <= jnp.maximum(ltol, floor))
             return lnl_o, scale_o, chi2_o, shape_o, done_n, it + 1
 
         state = (lnl, scale, chi2, shape_vals,
