@@ -117,6 +117,14 @@ def _resolve_feature_map(feature_map, fmap_args, fmap_kwargs):
     return lambda x, xe: feature_map(x, xe, *fmap_args, **fmap_kwargs)
 
 
+def _fmap_from_spec(fmap_spec):
+    """Rebuild the feature map from its static (name/callable, args,
+    kwargs-items) spec — hashable, so jitted pipelines cache across
+    fitter instances."""
+    name, args, kw_items = fmap_spec
+    return _resolve_feature_map(name, args, dict(kw_items))
+
+
 @functools.partial(jax.jit,
                    static_argnames=("K", "k", "lp_norm", "dbound", "approx"))
 def _search_jit(q, feats, feats_sq, *, K, k, lp_norm, dbound, approx):
@@ -166,6 +174,77 @@ def _search_jit(q, feats, feats_sq, *, K, k, lp_norm, dbound, approx):
     return jnp.where(cvalid, cidx, -99), cvalid, nidx
 
 
+@functools.partial(jax.jit, static_argnames=("K", "k", "lp_norm", "dbound",
+                                             "approx", "fmap_spec",
+                                             "lprob_spec"))
+def _knn_fit_batch_jit(jq, d, de, dm, feats, fsq, models, models_err,
+                       models_mask, *, K, k, lp_norm, dbound, approx,
+                       fmap_spec, lprob_spec):
+    """Whole KMCkNN fit batch as ONE program: feature map -> MC-ensemble
+    search -> union dedupe -> gathered exact posterior.
+
+    One dispatch per batch: over a remote-TPU relay the eager glue
+    between separately jitted pieces (feature map, gathers, thresholds)
+    dominates wall time otherwise.
+    """
+    fmap = _fmap_from_spec(fmap_spec)
+    q, _ = fmap(jnp.asarray(jq, jnp.float32), jnp.asarray(de, jnp.float32))
+    idx, valid, nidx = _search_jit(jnp.asarray(q, jnp.float32), feats, fsq,
+                                   K=K, k=k, lp_norm=lp_norm, dbound=dbound,
+                                   approx=approx)
+    res = _gathered_lprob_jit(d, de, dm, idx, valid, models, models_err,
+                              models_mask, lprob_spec=lprob_spec)
+    return idx, valid, nidx, res
+
+
+@functools.partial(jax.jit, static_argnames=("K", "k", "lp_norm", "dbound",
+                                             "approx", "fmap_spec",
+                                             "lprob_spec", "wt_thresh",
+                                             "cdf_thresh", "save_fits",
+                                             "nx"))
+def _knn_fit_predict_dict_jit(jq, d, de, dm, feats, fsq, models, models_err,
+                              models_mask, sigmas, widths, delta, full_pos,
+                              full_sig, *, K, k, lp_norm, dbound, approx,
+                              fmap_spec, lprob_spec, wt_thresh, cdf_thresh,
+                              save_fits, nx):
+    """Fused KMCkNN fit+predict batch (PDFDict path) as ONE program."""
+    idx, valid, nidx, res = _knn_fit_batch_jit(
+        jq, d, de, dm, feats, fsq, models, models_err, models_mask, K=K,
+        k=k, lp_norm=lp_norm, dbound=dbound, approx=approx,
+        fmap_spec=fmap_spec, lprob_spec=lprob_spec)
+    lmap, levid, wt = _gof_weights(res[2])
+    wt = _kde.threshold_weights(wt, wt_thresh, cdf_thresh)
+    safe = jnp.maximum(idx, 0)
+    pdf = _kde._kde_stack_gathered_jit(sigmas, widths, delta,
+                                       full_pos[safe], full_sig[safe], wt,
+                                       nx=nx)
+    out_res = res if save_fits else None
+    return _norm_rows(pdf), lmap, levid, idx, nidx, out_res
+
+
+@functools.partial(jax.jit, static_argnames=("K", "k", "lp_norm", "dbound",
+                                             "approx", "fmap_spec",
+                                             "lprob_spec", "wt_thresh",
+                                             "cdf_thresh", "save_fits"))
+def _knn_fit_predict_grid_jit(jq, d, de, dm, feats, fsq, models, models_err,
+                              models_mask, labels, label_errs, grid, dx,
+                              sig_thresh, *, K, k, lp_norm, dbound, approx,
+                              fmap_spec, lprob_spec, wt_thresh, cdf_thresh,
+                              save_fits):
+    """Fused KMCkNN fit+predict batch (label-grid path) as ONE program."""
+    idx, valid, nidx, res = _knn_fit_batch_jit(
+        jq, d, de, dm, feats, fsq, models, models_err, models_mask, K=K,
+        k=k, lp_norm=lp_norm, dbound=dbound, approx=approx,
+        fmap_spec=fmap_spec, lprob_spec=lprob_spec)
+    lmap, levid, wt = _gof_weights(res[2])
+    wt = _kde.threshold_weights(wt, wt_thresh, cdf_thresh)
+    safe = jnp.maximum(idx, 0)
+    pdf = _kde._kde_stack_gathered_grid_jit(labels[safe], label_errs[safe],
+                                            wt, grid, dx, sig_thresh)
+    out_res = res if save_fits else None
+    return _norm_rows(pdf), lmap, levid, idx, nidx, out_res
+
+
 class NearestNeighbors:
     """KMCkNN fitter over a fixed model set.
 
@@ -185,6 +264,10 @@ class NearestNeighbors:
         self.K = int(K)
         self.fmap_args = fmap_args or ()
         self.fmap_kwargs = fmap_kwargs or {}
+        # Static spec (hashable) keys the fused per-batch jit programs;
+        # the resolved callable serves host-side/ctor use.
+        self.fmap_spec = (feature_map, tuple(self.fmap_args),
+                          tuple(sorted(self.fmap_kwargs.items())))
         self.feature_map = _resolve_feature_map(feature_map, self.fmap_args,
                                                 self.fmap_kwargs)
         self.rng = rng if rng is not None else np.random.default_rng(seed)
@@ -291,22 +374,19 @@ class NearestNeighbors:
             self.fit_scale[sl] = np.asarray(scale[:n], np.float32)
             self.fit_scale_err[sl] = np.asarray(scale_err[:n], np.float32)
 
-    def _query_batches(self, data, data_err, data_mask, k, lp_norm, dbound,
-                       batch_size, rng, approx=False):
-        """Yield (i0, n, idx, valid, nidx, padded data triplet) batches."""
+    def _data_batches(self, data, data_err, data_mask, batch_size, rng):
+        """Yield (i0, n, jittered-query, padded data triplet) batches.
+
+        The Monte-Carlo query jitter (knn.py:358-361) is drawn host-side;
+        everything downstream runs as one fused device program.
+        """
         ndata = data.shape[0]
-        search = self._search_fn(k, lp_norm, dbound, approx=approx)
         for i0, n in _batch_slices(ndata, batch_size):
             d = _pad_rows(data[i0:i0 + n], batch_size)
             de = _pad_rows(data_err[i0:i0 + n], batch_size)
             dm = _pad_rows(data_mask[i0:i0 + n], batch_size)
-            # Monte-Carlo jitter of the query (knn.py:358-361).
-            jit = rng.normal(d, np.abs(de))
-            q, _ = self.feature_map(jnp.asarray(jit, jnp.float32),
-                                    jnp.asarray(de, jnp.float32))
-            idx, valid, nidx = search(jnp.asarray(q, jnp.float32),
-                                      self.features, self.features_sqnorm)
-            yield i0, n, d, de, dm, idx, valid, nidx
+            jq = rng.normal(d, np.abs(de))
+            yield i0, n, jq, d, de, dm
 
     # ------------------------------------------------------------------
     # public API
@@ -315,7 +395,7 @@ class NearestNeighbors:
     def fit(self, data, data_err, data_mask, lprob_func=None, rng=None,
             k=20, eps=1e-3, lp_norm=2, distance_upper_bound=np.inf,
             lprob_args=None, lprob_kwargs=None, track_scale=False,
-            verbose=True, batch_size=1024, approx=False):
+            verbose=True, batch_size=4096, approx=False):
         """KMCkNN fit: neighbor union + exact posteriors on the union.
 
         Reference: knn.py:190-388.  Stores `neighbors` / `Nneighbors` and
@@ -327,18 +407,23 @@ class NearestNeighbors:
         data_mask = np.atleast_2d(np.asarray(data_mask, float))
         rng = rng or self.rng
         ndata = data.shape[0]
+        batch_size = min(batch_size, max(256, ndata))
         self._alloc_fits(ndata, k, track_scale)
-        lprob = self._lprob_gathered(lprob_func, lprob_args, lprob_kwargs)
+        lprob_spec = (lprob_func, tuple(lprob_args or ()),
+                      tuple(sorted((lprob_kwargs or {}).items())))
 
-        batches = self._query_batches(data, data_err, data_mask, k, lp_norm,
-                                      distance_upper_bound, batch_size, rng,
-                                      approx=approx)
         parts = []
-        for i0, n, d, de, dm, idx, valid, nidx in batches:
-            res = lprob(jnp.asarray(d), jnp.asarray(de), jnp.asarray(dm),
-                        idx, valid)
+        for i0, n, jq, d, de, dm in self._data_batches(
+                data, data_err, data_mask, batch_size, rng):
+            idx, valid, nidx, res = _knn_fit_batch_jit(
+                jnp.asarray(jq), jnp.asarray(d), jnp.asarray(de),
+                jnp.asarray(dm), self.features, self.features_sqnorm,
+                self.models, self.models_err, self.models_mask, K=self.K,
+                k=k, lp_norm=lp_norm, dbound=float(distance_upper_bound),
+                approx=approx, fmap_spec=self.fmap_spec,
+                lprob_spec=lprob_spec)
             parts.append((i0, n, idx, nidx, res))
-            if len(parts) >= 128:
+            if len(parts) >= 32:
                 for j0, jn, jidx, jnidx, jres in jax.device_get(parts):
                     self._store(j0, jn, jidx, jnidx, jres)
                 parts = []
@@ -436,89 +521,95 @@ class NearestNeighbors:
                     lprob_args=None, lprob_kwargs=None, return_gof=False,
                     track_scale=False, verbose=True, save_fits=False,
                     rng=None, k=20, eps=1e-3, lp_norm=2,
-                    distance_upper_bound=np.inf, batch_size=1024,
+                    distance_upper_bound=np.inf, batch_size=4096,
                     wt_thresh=1e-3, cdf_thresh=2e-4, approx=False):
-        """Fused KMCkNN fit + PDF prediction (knn.py:560-874)."""
+        """Fused KMCkNN fit + PDF prediction (knn.py:560-874).
+
+        Each batch is ONE device program (jitter features -> ensemble
+        search -> union posterior -> thresholded gathered KDE), with
+        results read back in bulk — no eager per-batch glue.
+        """
         del eps
         data = np.atleast_2d(np.asarray(data, float))
         data_err = np.atleast_2d(np.asarray(data_err, float))
         data_mask = np.atleast_2d(np.asarray(data_mask, float))
         rng = rng or self.rng
         ndata = data.shape[0]
+        batch_size = min(batch_size, max(256, ndata))
         dx, sig_thresh, wt_thresh, cdf_thresh = _kde.resolve_kde_opts(
             kde_args, kde_kwargs, wt_thresh, cdf_thresh)
         if save_fits:
             self._alloc_fits(ndata, k, track_scale)
         model_labels = np.asarray(model_labels)
         model_label_errs = np.asarray(model_label_errs)
-        lprob = self._lprob_gathered(lprob_func, lprob_args, lprob_kwargs)
+        lprob_spec = (lprob_func, tuple(lprob_args or ()),
+                      tuple(sorted((lprob_kwargs or {}).items())))
 
         if label_dict is not None:
             full_pos, full_sig = label_dict.fit(
                 jnp.asarray(model_labels), jnp.asarray(model_label_errs))
-            full_pos = jnp.asarray(full_pos)
-            full_sig = jnp.asarray(full_sig)
+            full_pos = jnp.asarray(full_pos, jnp.int32)
+            full_sig = jnp.asarray(full_sig, jnp.int32)
+            sigmas = jnp.asarray(label_dict.sigma_grid)
+            widths = jnp.asarray(label_dict.sigma_width, jnp.int32)
+            delta = jnp.asarray(label_dict.delta)
             ngrid = label_dict.Ngrid
         elif label_grid is not None:
             grid = jnp.asarray(label_grid)
             ngrid = len(label_grid)
+            labels_j = jnp.asarray(model_labels)
+            label_errs_j = jnp.asarray(model_label_errs)
+            dx_val = jnp.asarray(dx if dx is not None
+                                 else grid[1] - grid[0])
         else:
             raise ValueError("`label_dict` or `label_grid` must be "
                              "specified.")
 
-        # Composed from module-level jitted pieces (global jit cache —
-        # repeated fit_predict calls never recompile); the eager glue
-        # between them is a handful of cheap dispatches per batch.
-        labels_j = jnp.asarray(model_labels)
-        label_errs_j = jnp.asarray(model_label_errs)
-
-        def fused(d, de, dm, idx, valid):
-            res = lprob(d, de, dm, idx, valid)
-            lnprob = res[2]
-            lmap, levid, wt = _gof_weights(lnprob)
-            wt = _kde.threshold_weights(wt, wt_thresh, cdf_thresh)
-            safe = jnp.maximum(idx, 0)
+        def fused(jq, d, de, dm):
+            common = dict(K=self.K, k=k, lp_norm=lp_norm,
+                          dbound=float(distance_upper_bound), approx=approx,
+                          fmap_spec=self.fmap_spec, lprob_spec=lprob_spec,
+                          wt_thresh=wt_thresh, cdf_thresh=cdf_thresh,
+                          save_fits=save_fits)
             if label_dict is not None:
-                pdf = _kde.kde_stack_gathered_dict(
-                    label_dict, full_pos[safe], full_sig[safe], wt)
-            else:
-                pdf = _kde.kde_stack_gathered(
-                    labels_j[safe], label_errs_j[safe], wt, grid,
-                    dx=dx, sig_thresh=sig_thresh)
-            return _norm_rows(pdf), lmap, levid, res
+                return _knn_fit_predict_dict_jit(
+                    jq, d, de, dm, self.features, self.features_sqnorm,
+                    self.models, self.models_err, self.models_mask, sigmas,
+                    widths, delta, full_pos, full_sig, nx=ngrid, **common)
+            return _knn_fit_predict_grid_jit(
+                jq, d, de, dm, self.features, self.features_sqnorm,
+                self.models, self.models_err, self.models_mask, labels_j,
+                label_errs_j, grid, dx_val, jnp.asarray(sig_thresh),
+                **common)
 
         pdfs = np.zeros((ndata, ngrid), np.float32)
         lmap = np.zeros(ndata, np.float32)
         levid = np.zeros(ndata, np.float32)
-        batches = self._query_batches(data, data_err, data_mask, k, lp_norm,
-                                      distance_upper_bound, batch_size, rng,
-                                      approx=approx)
+
+        def drain(parts):
+            for j0, jn, jout in jax.device_get(parts):
+                pdf_b, lmap_b, levid_b, jidx, jnidx, jres = jout
+                pdfs[j0:j0 + jn] = pdf_b[:jn]
+                lmap[j0:j0 + jn] = lmap_b[:jn]
+                levid[j0:j0 + jn] = levid_b[:jn]
+                if save_fits:
+                    self._store(j0, jn, jidx, jnidx, jres)
+
         parts = []
-        for i0, n, d, de, dm, idx, valid, nidx in batches:
-            out = fused(jnp.asarray(d), jnp.asarray(de), jnp.asarray(dm),
-                        idx, valid)
-            parts.append((i0, n, idx, nidx, out))
-            if len(parts) >= 128:
-                for j0, jn, jidx, jnidx, jout in jax.device_get(parts):
-                    pdf_b, lmap_b, levid_b, jres = jout
-                    pdfs[j0:j0 + jn] = pdf_b[:jn]
-                    lmap[j0:j0 + jn] = lmap_b[:jn]
-                    levid[j0:j0 + jn] = levid_b[:jn]
-                    if save_fits:
-                        self._store(j0, jn, jidx, jnidx, jres)
+        for i0, n, jq, d, de, dm in self._data_batches(
+                data, data_err, data_mask, batch_size, rng):
+            out = fused(jnp.asarray(jq), jnp.asarray(d), jnp.asarray(de),
+                        jnp.asarray(dm))
+            parts.append((i0, n, out))
+            if len(parts) >= 32:
+                drain(parts)
                 parts = []
             if verbose:
                 import sys
                 sys.stderr.write("\rFitting object {0}/{1}"
                                  .format(min(i0 + n, ndata), ndata))
         # Bulk readback after all batches are dispatched (async pipeline).
-        for i0, n, idx, nidx, out in jax.device_get(parts):
-            pdf_b, lmap_b, levid_b, res = out
-            pdfs[i0:i0 + n] = pdf_b[:n]
-            lmap[i0:i0 + n] = lmap_b[:n]
-            levid[i0:i0 + n] = levid_b[:n]
-            if save_fits:
-                self._store(i0, n, idx, nidx, res)
+        drain(parts)
         if verbose:
             import sys
             sys.stderr.write("\n")

@@ -210,16 +210,20 @@ def kernel_matrix(y, y_std, grid, dx=None, sig_thresh=5.0):
     return _kernel_matrix_jit(y, y_std, grid, dx, sig_thresh)
 
 
-@functools.partial(jax.jit, static_argnames=("nx", "wmax"))
-def _kernel_matrix_dict_jit(table, widths, y_idx, y_sig_idx, *, nx, wmax):
+@functools.partial(jax.jit, static_argnames=("nx",))
+def _kernel_matrix_dict_jit(sigmas, widths, delta, y_idx, y_sig_idx, *, nx):
     cols = jnp.arange(nx, dtype=jnp.int32)
     off = cols[None, :] - y_idx[:, None]  # (Ny, Nx) offsets from center
     w = widths[y_sig_idx][:, None]
     in_win = jnp.abs(off) <= w
-    # Clamp the gather index so out-of-window gathers stay in bounds; the
-    # mask zeroes them afterwards.
-    gather_col = jnp.clip(off + wmax, 0, 2 * wmax)
-    vals = jnp.take_along_axis(table[y_sig_idx], gather_col, axis=1) * in_win
+    # Evaluate the dictionary kernel arithmetically at the offset — the
+    # exact expression the table rows were built from (bit-identical),
+    # but with no (Ny, Nx) table gather: `take_along_axis` over wide rows
+    # is pathologically slow on TPU (a VPU gather per element), while
+    # exp is ~free.
+    s = sigmas[y_sig_idx][:, None]
+    x = off.astype(s.dtype) * delta / s
+    vals = jnp.exp(-0.5 * x * x) / (_SQRT_2PI * s) * in_win
     norm = jnp.sum(vals, axis=1, keepdims=True)
     return jnp.where(norm > 0.0, vals / jnp.where(norm > 0.0, norm, 1.0),
                      0.0)
@@ -230,16 +234,16 @@ def kernel_matrix_dict(pdfdict, y_idx, y_sig_idx):
 
     Row j reproduces the (edge-renormalized) contribution `gauss_kde_dict`
     (pdf.py:529-622) stacks for dictionary element (y_idx[j],
-    y_sig_idx[j]): dense-table gather at offset (grid_col - center),
-    masked to the kernel's half-width and the grid, renormalized over the
-    retained window.
+    y_sig_idx[j]): the discretized kernel evaluated at offset
+    (grid_col - center), masked to the kernel's half-width and the grid,
+    renormalized over the retained window.
     """
     y_idx = jnp.asarray(y_idx, dtype=jnp.int32)
     y_sig_idx = jnp.asarray(y_sig_idx, dtype=jnp.int32)
-    table = jnp.asarray(pdfdict.kernel_table)
+    sigmas = jnp.asarray(pdfdict.sigma_grid)
     widths = jnp.asarray(pdfdict.sigma_width, dtype=jnp.int32)
-    return _kernel_matrix_dict_jit(table, widths, y_idx, y_sig_idx,
-                                   nx=pdfdict.Ngrid, wmax=pdfdict.max_width)
+    return _kernel_matrix_dict_jit(sigmas, widths, pdfdict.delta, y_idx,
+                                   y_sig_idx, nx=pdfdict.Ngrid)
 
 
 @jax.jit
@@ -292,23 +296,25 @@ def kde_stack_gathered_dict(pdfdict, pos, sig, wts):
     einsum('bj,bjg->bg') — so no shared (Nmodel, Ngrid) matrix is needed.
     Output is unnormalized, like `kde_stack`.
     """
-    table = jnp.asarray(pdfdict.kernel_table)
+    sigmas = jnp.asarray(pdfdict.sigma_grid)
     widths = jnp.asarray(pdfdict.sigma_width, dtype=jnp.int32)
-    return _kde_stack_gathered_jit(table, widths, jnp.asarray(pos, jnp.int32),
+    return _kde_stack_gathered_jit(sigmas, widths, pdfdict.delta,
+                                   jnp.asarray(pos, jnp.int32),
                                    jnp.asarray(sig, jnp.int32),
-                                   jnp.asarray(wts), nx=pdfdict.Ngrid,
-                                   wmax=pdfdict.max_width)
+                                   jnp.asarray(wts), nx=pdfdict.Ngrid)
 
 
-@functools.partial(jax.jit, static_argnames=("nx", "wmax"))
-def _kde_stack_gathered_jit(table, widths, pos, sig, wts, *, nx, wmax):
+@functools.partial(jax.jit, static_argnames=("nx",))
+def _kde_stack_gathered_jit(sigmas, widths, delta, pos, sig, wts, *, nx):
     cols = jnp.arange(nx, dtype=jnp.int32)
     off = cols[None, None, :] - pos[..., None]  # (B, J, nx)
     w = widths[sig][..., None]
     in_win = jnp.abs(off) <= w
-    gather_col = jnp.clip(off + wmax, 0, 2 * wmax)
-    vals = jnp.take_along_axis(
-        table[sig], gather_col.reshape(sig.shape + (nx,)), axis=-1) * in_win
+    # Arithmetic kernel evaluation (see `_kernel_matrix_dict_jit`): the
+    # same expression the dictionary rows hold, with no table gather.
+    s = sigmas[sig][..., None]
+    x = off.astype(s.dtype) * delta / s
+    vals = jnp.exp(-0.5 * x * x) / (_SQRT_2PI * s) * in_win
     norm = jnp.sum(vals, axis=-1, keepdims=True)
     rows = jnp.where(norm > 0.0, vals / jnp.where(norm > 0.0, norm, 1.0),
                      0.0)
