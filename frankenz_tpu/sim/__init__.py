@@ -4,6 +4,7 @@ TPU-native rebuild of the reference's L2 layer (SURVEY.md: simulate.py,
 priors.py, reddening.py).
 """
 
+from .catalog import make_sdss_mock, sdss_model_grid  # noqa: F401
 from .igm import madau_tau, madau_teff  # noqa: F401
 from .priors import (  # noqa: F401
     BPZPrior,
