@@ -268,20 +268,30 @@ class BruteForce:
         return pdfs
 
     def _fused_eligible(self, lprob_func, lprob_args, lprob_kwargs,
-                        track_scale, save_fits, wt_thresh, cdf_thresh):
+                        track_scale, save_fits, wt_thresh, cdf_thresh,
+                        allow_scale_iter=False):
         """The Pallas kernel covers the default fixed-scale pipeline."""
         if lprob_func is not None or lprob_args or track_scale or save_fits:
             return False
         kw = lprob_kwargs or {}
         if kw.get("return_scale"):
             return False
-        if kw.get("free_scale") and not kw.get("ignore_model_err"):
-            return False  # scale iteration stays on the XLA path
+        if (kw.get("free_scale") and not kw.get("ignore_model_err")
+                and not allow_scale_iter):
+            # The kernel's bounded in-tile scale iteration matches the
+            # reference only to its own ltol (no per-object early exit),
+            # so it is opt-in via use_fused=True; the auto path keeps the
+            # exact XLA while_loop.
+            return False
         if set(kw) - {"free_scale", "ignore_model_err", "dim_prior",
                       "return_scale"}:
             return False
         if wt_thresh is None and cdf_thresh is not None:
-            return False  # CDF thresholding stays on the XLA path
+            # CDF thresholding needs a per-object sorted cumsum over the
+            # full model axis (an out-of-tile global sort) — it runs on
+            # the XLA path; fit_predict warns so the fallback is never
+            # silent.
+            return False
         return True
 
     def fit_predict(self, data, data_err, data_mask, model_labels,
@@ -316,13 +326,23 @@ class BruteForce:
                                  label_grid, dx=dx, sig_thresh=sig_thresh)
         eligible = self._fused_eligible(lprob_func, lprob_args,
                                         lprob_kwargs, track_scale,
-                                        save_fits, wt_thresh, cdf_thresh)
+                                        save_fits, wt_thresh, cdf_thresh,
+                                        allow_scale_iter=use_fused is True)
         if use_fused is None:
             use_fused = eligible and _fused.pallas_supported()
+            if (not use_fused and _fused.pallas_supported()
+                    and wt_thresh is None and cdf_thresh is not None):
+                import warnings
+                warnings.warn(
+                    "cdf_thresh weight selection runs on the XLA path "
+                    "(the fused Pallas kernel covers wt_thresh "
+                    "thresholding only); expect lower throughput at "
+                    "large model counts", RuntimeWarning, stacklevel=2)
         elif use_fused and not eligible:
-            raise ValueError("use_fused=True requires the default "
-                             "fixed-scale lprob pipeline without "
-                             "save_fits/track_scale")
+            raise ValueError("use_fused=True requires the default lprob "
+                             "pipeline (no custom lprob_func/args, no "
+                             "save_fits/track_scale/return_scale, "
+                             "wt_thresh-style thresholding)")
         if use_fused:
             return self._fit_predict_fused(
                 data, data_err, data_mask, G, lprob_kwargs or {},

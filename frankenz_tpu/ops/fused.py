@@ -58,19 +58,28 @@ def _round_up(x, m):
 
 def _lnl_tile(d_ref, de_ref, dm_ref, mT_ref, meT_ref, mmT_ref, valid_ref,
               *, nfilt, dim_prior, ignore_model_err, gl_table, full_mask,
-              free_scale=False):
+              free_scale=False, scale_iters=0):
     """(TB, TM) log-likelihood tile (pdf.py:76-98 / :170-194).
 
     With ``full_mask`` (host-verified all-ones masks — the common survey
     case) the mask products, Ndim accumulation, and the per-pair
     normalization select-chain all disappear: Ndim == Nfilt everywhere.
 
-    With ``free_scale`` (requires ``ignore_model_err``; pdf.py:180-194 —
-    no iteration with datum-only variance) the ML scale factor is solved
-    in-tile: inter/shape/d^2 sums accumulate over filters with per-datum
-    reciprocal variances (one divide per (TB, 1) column instead of per
-    pair), and chi2 = sum d^2/s^2 - inter^2/shape by the ML identity.
+    With ``free_scale`` (pdf.py:180-194) the ML scale factor is solved
+    in-tile: inter/shape/d^2 sums accumulate over filters and
+    chi2 = sum d^2/var - inter^2/shape by the ML identity.  With datum-
+    only variance (``ignore_model_err``) one divide per (TB, 1) column
+    suffices and no iteration is needed; with model errors kept,
+    ``scale_iters`` extra fixed-point sweeps refresh the variance with
+    the previous scale (pdf.py:197-223 frozen-numerator semantics, fixed
+    trip count instead of the per-object early exit — deterministic, and
+    within the reference's ltol of its early-exited values).
     """
+    if free_scale and not ignore_model_err:
+        return _lnl_tile_freescale_me(
+            d_ref, de_ref, dm_ref, mT_ref, meT_ref, mmT_ref, valid_ref,
+            nfilt=nfilt, dim_prior=dim_prior, gl_table=gl_table,
+            full_mask=full_mask, scale_iters=scale_iters)
     chi2 = None
     ndim = None
     logvar = None
@@ -156,8 +165,81 @@ def _lnl_tile(d_ref, de_ref, dm_ref, mT_ref, meT_ref, mmT_ref, valid_ref,
     return jnp.where(valid_ref[0:1, :] > 0.0, lnl, _NEG_INF)
 
 
+def _lnl_tile_freescale_me(d_ref, de_ref, dm_ref, mT_ref, meT_ref, mmT_ref,
+                           valid_ref, *, nfilt, dim_prior, gl_table,
+                           full_mask, scale_iters):
+    """(TB, TM) free-scale lnl tile WITH model errors: bounded in-tile
+    fixed-point iteration (see `_lnl_tile` docstring)."""
+
+    def sweep(s, need_ndim, need_logvar):
+        inter = shape = A = logvar = ndim = None
+        for k in range(nfilt):
+            dk = d_ref[:, k:k + 1]          # (TB, 1)
+            dek = de_ref[:, k:k + 1]
+            mk = mT_ref[k:k + 1, :]          # (1, TM)
+            mek = meT_ref[k:k + 1, :]
+            if s is None:
+                var = dek * dek + mek * mek  # initial pass (pdf.py:180)
+            else:
+                sme = s * mek
+                var = dek * dek + sme * sme
+            iv = 1.0 / var
+            if not full_mask:
+                mask = dm_ref[:, k:k + 1] * mmT_ref[k:k + 1, :]
+                iv = mask * iv
+                if need_ndim:
+                    ndim = mask if ndim is None else ndim + mask
+            it = iv * (mk * dk)
+            sh = iv * (mk * mk)
+            aa = iv * (dk * dk)
+            inter = it if inter is None else inter + it
+            shape = sh if shape is None else shape + sh
+            A = aa if A is None else A + aa
+            if need_logvar:
+                # Reference sums log(tot_var) over ALL filters
+                # (pdf.py:97-98), masked or not.
+                lv = jnp.log(var)
+                logvar = lv if logvar is None else logvar + lv
+        s_new = inter / shape
+        chi2 = A - inter * s_new  # ML identity (exact in real arithmetic)
+        return s_new, chi2, logvar, ndim
+
+    scale, chi2, logvar, ndim = sweep(None, True, False)
+    for i in range(scale_iters):
+        last = i == scale_iters - 1
+        scale, chi2, logvar, _ = sweep(scale, False,
+                                       last and not dim_prior)
+    if scale_iters == 0 and not dim_prior:
+        # logvar for the zero-iteration path (datum+model variance).
+        _, _, logvar, _ = sweep(None, False, True)
+
+    if dim_prior:
+        # dof = Ndim - 1 (pdf.py:228).
+        def tab(nd):
+            return gl_table[nd - 1] if nd - 1 >= 0 else float("inf")
+
+        if full_mask:
+            a1 = 0.5 * (nfilt - 1.0) - 1.0
+            lnl = (a1 * jnp.log(jnp.maximum(chi2, 1e-300)) if a1 != 0.0
+                   else 0.0) - 0.5 * chi2 - tab(nfilt)
+        else:
+            a1 = 0.5 * (ndim - 1.0) - 1.0
+            safe_log = jnp.log(jnp.maximum(chi2, 1e-300))
+            xl = jnp.where(a1 == 0.0, 0.0, a1 * safe_log)
+            norm = jnp.full_like(chi2, float("inf"))
+            for nd in range(1, nfilt + 1):
+                norm = jnp.where(ndim == float(nd), tab(nd), norm)
+            lnl = xl - 0.5 * chi2 - norm
+    else:
+        nd_term = float(nfilt) if full_mask else ndim
+        lnl = -0.5 * chi2 - 0.5 * (nd_term * _LOG_2PI + logvar)
+    lnl = jnp.maximum(lnl, _NEG_INF)
+    return jnp.where(valid_ref[0:1, :] > 0.0, lnl, _NEG_INF)
+
+
 def _make_reduce_kernel(nfilt, dim_prior, ignore_model_err, gl_table,
-                        full_mask, free_scale=False):
+                        full_mask, free_scale=False,
+                        scale_iters=0):
     def kernel(d, de, dm, mT, meT, mmT, valid, lmap_ref, lse_ref):
         j = pl.program_id(1)
         nj = pl.num_programs(1)
@@ -165,7 +247,7 @@ def _make_reduce_kernel(nfilt, dim_prior, ignore_model_err, gl_table,
                         dim_prior=dim_prior,
                         ignore_model_err=ignore_model_err,
                         gl_table=gl_table, full_mask=full_mask,
-                        free_scale=free_scale)
+                        free_scale=free_scale, scale_iters=scale_iters)
         t_max = jnp.max(lnl, axis=1, keepdims=True)   # (TB, 1)
 
         @pl.when(j == 0)
@@ -190,14 +272,15 @@ def _make_reduce_kernel(nfilt, dim_prior, ignore_model_err, gl_table,
 
 
 def _make_stack_kernel(nfilt, dim_prior, ignore_model_err, gl_table,
-                       log_wt_thresh, full_mask, free_scale=False):
+                       log_wt_thresh, full_mask, free_scale=False,
+                       scale_iters=0):
     def kernel(d, de, dm, mT, meT, mmT, valid, G, lmap, levid, pdf_ref):
         j = pl.program_id(1)
         lnl = _lnl_tile(d, de, dm, mT, meT, mmT, valid, nfilt=nfilt,
                         dim_prior=dim_prior,
                         ignore_model_err=ignore_model_err,
                         gl_table=gl_table, full_mask=full_mask,
-                        free_scale=free_scale)
+                        free_scale=free_scale, scale_iters=scale_iters)
         wt = jnp.exp(lnl - levid[:, :])
         if log_wt_thresh is not None:
             wt = jnp.where(lnl > log_wt_thresh + lmap[:, :], wt, 0.0)
@@ -213,7 +296,7 @@ def _make_stack_kernel(nfilt, dim_prior, ignore_model_err, gl_table,
 
 
 def _make_onepass_kernel(nfilt, dim_prior, ignore_model_err, gl_table,
-                         full_mask, free_scale=False):
+                         full_mask, free_scale=False, scale_iters=0):
     """Single-pass flash-style kernel (no weight threshold): carries a
     running max, rescaled sum-exp, AND a rescaled (TB, Gp) PDF
     accumulator; pdf_out = sum_j exp(lnl_j - rm_final) @ G_j, which the
@@ -228,7 +311,7 @@ def _make_onepass_kernel(nfilt, dim_prior, ignore_model_err, gl_table,
                         dim_prior=dim_prior,
                         ignore_model_err=ignore_model_err,
                         gl_table=gl_table, full_mask=full_mask,
-                        free_scale=free_scale)
+                        free_scale=free_scale, scale_iters=scale_iters)
         t_max = jnp.max(lnl, axis=1, keepdims=True)
 
         @pl.when(j == 0)
@@ -431,10 +514,11 @@ def _fused_call_fullmask_dimprior(d, de, mT, meT, G, *, ignore_model_err,
 @functools.partial(
     jax.jit,
     static_argnames=("dim_prior", "ignore_model_err", "wt_thresh", "tb",
-                     "tm", "interpret", "full_mask", "free_scale"))
+                     "tm", "interpret", "full_mask", "free_scale",
+                     "scale_iters"))
 def _fused_call(d, de, dm, mT, meT, mmT, valid, G, *, dim_prior,
                 ignore_model_err, wt_thresh, tb, tm, interpret,
-                full_mask=False, free_scale=False):
+                full_mask=False, free_scale=False, scale_iters=0):
     if full_mask and dim_prior and not free_scale:
         return _fused_call_fullmask_dimprior(
             d, de, mT, meT, G, ignore_model_err=ignore_model_err,
@@ -464,7 +548,8 @@ def _fused_call(d, de, dm, mT, meT, mmT, valid, G, *, dim_prior,
     if wt_thresh is None:
         # Single pass: flash-style rescaled PDF accumulator.
         onepass = _make_onepass_kernel(F, dim_prior, ignore_model_err,
-                                       gl_table, full_mask, free_scale)
+                                       gl_table, full_mask, free_scale,
+                                       scale_iters)
         pdf, lmap, levid = pl.pallas_call(
             onepass,
             grid=(nb, nm),
@@ -484,7 +569,8 @@ def _fused_call(d, de, dm, mT, meT, mmT, valid, G, *, dim_prior,
         return pdf, lmap[:, 0], levid[:, 0]
 
     reduce_kernel = _make_reduce_kernel(F, dim_prior, ignore_model_err,
-                                        gl_table, full_mask, free_scale)
+                                        gl_table, full_mask, free_scale,
+                                        scale_iters)
     lmap, levid = pl.pallas_call(
         reduce_kernel,
         grid=(nb, nm),
@@ -500,7 +586,7 @@ def _fused_call(d, de, dm, mT, meT, mmT, valid, G, *, dim_prior,
     log_thresh = float(np.log(wt_thresh))
     stack_kernel = _make_stack_kernel(F, dim_prior, ignore_model_err,
                                       gl_table, log_thresh, full_mask,
-                                      free_scale)
+                                      free_scale, scale_iters)
     pdf = pl.pallas_call(
         stack_kernel,
         grid=(nb, nm),
@@ -519,11 +605,7 @@ def _fused_call(d, de, dm, mT, meT, mmT, valid, G, *, dim_prior,
 def fused_fit_pdf(data, data_err, data_mask, models, models_err,
                   models_mask, G, *, dim_prior=True, ignore_model_err=False,
                   free_scale=False, wt_thresh=1e-3, tb=256, tm=512,
-                  interpret=None, full_mask=None):
-    if free_scale and not ignore_model_err:
-        raise ValueError("the fused kernel supports free_scale only with "
-                         "ignore_model_err=True (no scale iteration); use "
-                         "the XLA path otherwise")
+                  interpret=None, full_mask=None, scale_iters=10):
     """Fused fit->PDF for one object batch.
 
     Parameters mirror `ops.logprob` + a row-normalized kernel matrix `G`
@@ -587,7 +669,9 @@ def fused_fit_pdf(data, data_err, data_mask, models, models_err,
         d, de, dm, m.T, me.T, mm.T, valid, G, dim_prior=dim_prior,
         ignore_model_err=ignore_model_err, wt_thresh=wt_thresh, tb=tb,
         tm=tm, interpret=bool(interpret), full_mask=full_mask,
-        free_scale=free_scale)
+        free_scale=free_scale,
+        scale_iters=int(scale_iters) if free_scale
+        and not ignore_model_err else 0)
     pdf, lmap, levid = pdf[:B, :Ngrid], lmap[:B], levid[:B]
     # Degenerate rows (every model at the -inf floor) -> zero PDF, -inf
     # GOF, matching the XLA path's handling of all-masked objects.

@@ -148,11 +148,40 @@ def test_fused_free_scale(problem, masked, wt_thresh):
                                atol=5e-5)
 
 
-def test_fused_free_scale_requires_error_free(problem):
+@pytest.mark.parametrize("masked", [False, True])
+@pytest.mark.parametrize("dim_prior", [True, False])
+def test_fused_free_scale_with_model_errors(problem, masked, dim_prior):
+    """In-tile bounded scale iteration vs the XLA while_loop path.
+
+    The kernel runs a FIXED number of fixed-point sweeps instead of the
+    reference's per-object early exit, so agreement is bounded by the
+    iteration tolerance (ltol-scale), not float roundoff.
+    """
     d, de, dm, m, me, mm, G = problem
-    with pytest.raises(ValueError, match="free_scale"):
-        fused_fit_pdf(d, de, dm, m, me, mm, G, free_scale=True,
-                      interpret=True)
+    if not masked:
+        dm = np.ones_like(dm)
+        mm = np.ones_like(mm)
+    pdf, lmap, levid = fused_fit_pdf(
+        d, de, dm, m, me, mm, G, free_scale=True, ignore_model_err=False,
+        dim_prior=dim_prior, wt_thresh=1e-3, tb=8, tm=128, interpret=True,
+        scale_iters=12)
+    res = L.loglike_free(
+        jnp.asarray(d, jnp.float32), jnp.asarray(de, jnp.float32),
+        jnp.asarray(dm, jnp.float32), jnp.asarray(m, jnp.float32),
+        jnp.asarray(me, jnp.float32), jnp.asarray(mm, jnp.float32),
+        ignore_model_err=False, dim_prior=dim_prior, ltol=1e-6)
+    lnp = res.lnlike
+    want_lmap = np.asarray(jnp.max(lnp, axis=1))
+    want_levid = np.asarray(jax.scipy.special.logsumexp(lnp, axis=1))
+    wt = jnp.exp(lnp - want_levid[:, None])
+    wt = K.threshold_weights(wt, 1e-3, None)
+    want_pdf = np.asarray(wt @ jnp.asarray(G, jnp.float32))
+    np.testing.assert_allclose(np.asarray(lmap), want_lmap, rtol=1e-3,
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(levid), want_levid, rtol=1e-3,
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(pdf), want_pdf, rtol=2e-2,
+                               atol=2e-4)
 
 
 def test_bruteforce_fused_dispatch(problem):
@@ -170,11 +199,19 @@ def test_bruteforce_fused_dispatch(problem):
     b = bf.fit_predict(d, de, dm, zlab, zerr, label_grid=grid,
                        verbose=False, use_fused=False)
     np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-5)
+    # Free-scale with model errors: opt-in via use_fused=True (bounded
+    # in-tile iteration), auto-dispatch keeps the exact XLA while_loop.
+    kw = {"free_scale": True}
+    c = bf.fit_predict(d, de, dm, zlab, zerr, label_grid=grid,
+                       verbose=False, use_fused=True, lprob_kwargs=kw)
+    ref = bf.fit_predict(d, de, dm, zlab, zerr, label_grid=grid,
+                         verbose=False, use_fused=False, lprob_kwargs=kw)
+    np.testing.assert_allclose(c, ref, rtol=2e-2, atol=2e-4)
     # Ineligible configs refuse rather than silently diverge.
     with pytest.raises(ValueError):
         bf.fit_predict(d, de, dm, zlab, zerr, label_grid=grid,
-                       verbose=False, use_fused=True,
-                       lprob_kwargs={"free_scale": True})
+                       verbose=False, use_fused=True, track_scale=True,
+                       save_fits=True)
 
 
 def test_fused_all_masked_object(problem):

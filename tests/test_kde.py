@@ -66,6 +66,41 @@ def test_gauss_kde_offgrid_labels(grid):
     np.testing.assert_allclose(got, want, rtol=RTOL, atol=1e-12)
 
 
+def test_gauss_kde_far_below_grid_deviation(grid):
+    """DOCUMENTED deviation from the reference (ops/kde.py docstring).
+
+    For labels so far below the grid that `center + offset < 0`, the
+    reference's unclamped negative `upper` triggers Python
+    negative-slice indexing (`x[0:upper]` drops the last |upper| points)
+    and spuriously stacks the label's whole weight, renormalized, into
+    the left grid tail (pdf.py:499-525).  We treat both off-grid sides
+    symmetrically: zero contribution.  This test pins our convention AND
+    reproduces the reference artifact explicitly so the difference stays
+    visible instead of implicit.
+    """
+    y = np.array([-1.0])
+    y_std = np.array([0.1])
+    wt = np.ones(1)
+    got = np.asarray(kde.gauss_kde(y, y_std, grid, y_wt=wt))
+    assert got.sum() == 0.0  # our convention: nothing stacked
+
+    # Reproduce the reference's artifact for contrast.
+    nx, dx = len(grid), grid[1] - grid[0]
+    center = int((y[0] - grid[0]) / dx)
+    upper = center + int(5.0 * y_std[0] / dx)
+    assert -nx < upper < 0  # the artifact regime (negative Python slice)
+    vals = oracle.gaussian(y[0], y_std[0], grid[0:upper])
+    ref_pdf = np.zeros(nx)
+    ref_pdf[0:upper] = vals / vals.sum()
+    assert ref_pdf.sum() > 0.999  # reference stacks ~all of the weight
+    assert np.abs(got - ref_pdf).max() > 1e-4  # deviation is deliberate
+
+    # Far ABOVE the grid both conventions agree: zero contribution.
+    got_hi = np.asarray(kde.gauss_kde(np.array([40.0]), y_std, grid,
+                                      y_wt=wt))
+    assert got_hi.sum() == 0.0
+
+
 def test_pdfdict_structure(pdfdict):
     assert pdfdict.kernel_table.shape == (pdfdict.Ndict,
                                           2 * pdfdict.max_width + 1)
