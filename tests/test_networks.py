@@ -225,3 +225,34 @@ def test_gng_training(blob_problem):
     pdfs = gng.get_pdfs(zlab, np.full_like(zlab, 0.05), label_grid=grid,
                         verbose=False)
     assert pdfs.shape == (gng.NNODE, 151)
+
+
+def test_fit_predict_save_fits_false_matches(blob_problem):
+    """save_fits=False streams fused batches; results match the
+    materializing fit()+predict() path on both prediction modes."""
+    from frankenz_tpu.ops import PDFDict
+
+    models, me, mm, zlab, centers, zc = blob_problem
+    som = _train_som(blob_problem)
+    som.populate_network(verbose=False)
+    rng = np.random.default_rng(5)
+    truth = rng.integers(0, len(models), 40)
+    data = models[truth] + rng.normal(0, 0.1, (40, 3))
+    derr = np.full_like(data, 0.1)
+    dmask = np.ones_like(data)
+    grid = np.linspace(0, 3, 151)
+    pd = PDFDict(grid, np.linspace(0.01, 0.3, 30))
+    zerr = np.full_like(zlab, 0.05)
+
+    for nodes_only in (True, False):
+        for labels in ({"label_grid": grid}, {"label_dict": pd}):
+            kw = dict(nodes_only=nodes_only, verbose=False, batch_size=16,
+                      max_neighbors=512, return_gof=True, **labels)
+            a, (lm_a, le_a) = som.fit_predict(
+                data, derr, dmask, zlab, zerr, save_fits=True, **kw)
+            b, (lm_b, le_b) = som.fit_predict(
+                data, derr, dmask, zlab, zerr, save_fits=False, **kw)
+            np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-7,
+                                       err_msg=str((nodes_only, labels)))
+            np.testing.assert_allclose(lm_b, lm_a, rtol=1e-5)
+            np.testing.assert_allclose(le_b, le_a, rtol=1e-5)
