@@ -1015,6 +1015,55 @@ class _Network:
         return pdfs
 
 
+@functools.partial(jax.jit, static_argnames=("lprob_spec", "learn_spec",
+                                             "neighbor_spec", "wt_thresh",
+                                             "cdf_thresh", "track_scale",
+                                             "nside"))
+def _som_train_jit(nodes0, draws, times, mods, errs, mask, positions, *,
+                   lprob_spec, learn_spec, neighbor_spec, wt_thresh,
+                   cdf_thresh, track_scale, nside):
+    """Whole SOM training run as ONE `lax.scan` program (module-level:
+    arrays enter as arguments, not baked closure constants — a fresh
+    instance or process with the same static spec reuses the compiled
+    program, including via the persistent compilation cache)."""
+    lprob_func, lprob_args, lp_kw = lprob_spec
+    if lprob_func is None:
+        lprob_func = _like.logprob
+    lprob_kwargs = dict(lp_kw)
+    learn_fn, learn_args, lk = learn_spec
+    learn_kwargs = dict(lk)
+    neighbor_fn, neighbor_args, nk = neighbor_spec
+    neighbor_kwargs = dict(nk)
+
+    def step(nodes, xs):
+        idx, t = xs
+        x, xe, xm = mods[idx], errs[idx], mask[idx]
+        res = lprob_func(x[None], xe[None], xm[None], nodes,
+                         jnp.zeros_like(nodes), jnp.ones_like(nodes),
+                         *lprob_args, **lprob_kwargs)
+        lnp = res[2][0]
+        if track_scale:
+            nodes = nodes * res[5][0][:, None]
+        bmu = jnp.argmax(lnp)
+        rate = learn_fn(t, *learn_args, **learn_kwargs)
+        wt, _sigma = neighbor_fn(t, positions[bmu], positions, nside,
+                                 *neighbor_args, **neighbor_kwargs)
+        if wt_thresh is not None:
+            keep = wt > wt_thresh * jnp.max(wt)
+        else:
+            prob = wt / jnp.sum(wt)
+            order = jnp.argsort(wt)
+            cdf = jnp.cumsum(prob[order])
+            keep_sorted = cdf <= (1.0 - cdf_thresh)
+            keep = jnp.zeros_like(keep_sorted)
+            keep = keep.at[order].set(keep_sorted)
+        update = rate * wt[:, None] * (x[None, :] - nodes)
+        nodes = nodes + jnp.where(keep[:, None], update, 0.0)
+        return nodes, bmu
+
+    return jax.lax.scan(step, nodes0, (draws, times))
+
+
 class SelfOrganizingMap(_Network):
     """Classic SOM trained with log-posterior BMU matching.
 
@@ -1080,49 +1129,115 @@ class SelfOrganizingMap(_Network):
         draws = rng.integers(0, nmodel, size=nsteps)
         times = np.linspace(0.0, 1.0, nsteps)
 
-        mods = jnp.asarray(models, jnp.float32)
-        errs = jnp.asarray(models_err, jnp.float32)
-        mask = jnp.asarray(models_mask, jnp.float32)
-        positions = jnp.asarray(pos, jnp.float32)
-
-        @jax.jit
-        def train(nodes0, draws, times):
-            def step(nodes, xs):
-                idx, t = xs
-                x, xe, xm = mods[idx], errs[idx], mask[idx]
-                res = lprob_func(x[None], xe[None], xm[None], nodes,
-                                 jnp.zeros_like(nodes),
-                                 jnp.ones_like(nodes), *lprob_args,
-                                 **lprob_kwargs)
-                lnp = res[2][0]
-                if track_scale:
-                    nodes = nodes * res[5][0][:, None]
-                bmu = jnp.argmax(lnp)
-                rate = learn_fn(t, *learn_args, **learn_kwargs)
-                wt, _sigma = neighbor_fn(t, positions[bmu], positions,
-                                         nside, *neighbor_args,
-                                         **neighbor_kwargs)
-                if wt_thresh is not None:
-                    keep = wt > wt_thresh * jnp.max(wt)
-                else:
-                    prob = wt / jnp.sum(wt)
-                    order = jnp.argsort(wt)
-                    cdf = jnp.cumsum(prob[order])
-                    keep_sorted = cdf <= (1.0 - cdf_thresh)
-                    keep = jnp.zeros_like(keep_sorted)
-                    keep = keep.at[order].set(keep_sorted)
-                update = rate * wt[:, None] * (x[None, :] - nodes)
-                nodes = nodes + jnp.where(keep[:, None], update, 0.0)
-                return nodes, bmu
-
-            nodes, bmus = jax.lax.scan(step, nodes0,
-                                       (jnp.asarray(draws),
-                                        jnp.asarray(times, jnp.float32)))
-            return nodes, bmus
-
-        nodes, _ = train(jnp.asarray(init, jnp.float32), draws, times)
+        lprob_spec = (None if lprob_func is _like.logprob else lprob_func,
+                      tuple(lprob_args),
+                      tuple(sorted(lprob_kwargs.items())))
+        learn_spec = (learn_fn, tuple(learn_args),
+                      tuple(sorted(learn_kwargs.items())))
+        neighbor_spec = (neighbor_fn, tuple(neighbor_args),
+                         tuple(sorted(neighbor_kwargs.items())))
+        nodes, _ = _som_train_jit(
+            jnp.asarray(init, jnp.float32), jnp.asarray(draws),
+            jnp.asarray(times, jnp.float32),
+            jnp.asarray(models, jnp.float32),
+            jnp.asarray(models_err, jnp.float32),
+            jnp.asarray(models_mask, jnp.float32),
+            jnp.asarray(pos, jnp.float32), lprob_spec=lprob_spec,
+            learn_spec=learn_spec, neighbor_spec=neighbor_spec,
+            wt_thresh=wt_thresh, cdf_thresh=cdf_thresh,
+            track_scale=bool(track_scale), nside=nside)
         self.nodes = np.asarray(jax.device_get(nodes), float)
         return self
+
+
+@functools.partial(jax.jit, static_argnames=("lprob_spec", "track_scale",
+                                             "nbatch", "max_age",
+                                             "learn_best", "learn_neighbor",
+                                             "new_err_dec", "all_err_dec"))
+def _gng_train_jit(pos0, alive0, ages0, draws, mods, errs, mask, *,
+                   lprob_spec, track_scale, nbatch, max_age, learn_best,
+                   learn_neighbor, new_err_dec, all_err_dec):
+    """Whole GNG training run as ONE `lax.scan` program (module-level:
+    arrays enter as arguments, not baked closure constants)."""
+    lprob_func, lprob_args, lp_kw = lprob_spec
+    if lprob_func is None:
+        lprob_func = _like.logprob
+    lprob_kwargs = dict(lp_kw)
+    N = pos0.shape[0]
+    nsteps = draws.shape[0]
+
+    def step(state, xs):
+        pos, err, alive, ages, nalive = state
+        i, idx = xs
+        x, xe, xm = mods[idx], errs[idx], mask[idx]
+        res = lprob_func(x[None], xe[None], xm[None], pos,
+                         jnp.zeros_like(pos), jnp.ones_like(pos),
+                         *lprob_args, **lprob_kwargs)
+        lnp = jnp.where(alive, res[2][0], -jnp.inf)
+        chi2 = res[4][0]
+        if track_scale:
+            pos = jnp.where(alive[:, None], pos * res[5][0][:, None], pos)
+        _, top2 = jax.lax.top_k(lnp, 2)
+        bmu, bmu2 = top2[0], top2[1]
+
+        # BMU update.
+        resid = x - pos[bmu]
+        pos = pos.at[bmu].add(learn_best * resid)
+        err = err.at[bmu].add(chi2[bmu])
+
+        # Rejuvenate/create the (bmu, bmu2) edge.
+        ages = ages.at[bmu, bmu2].set(0).at[bmu2, bmu].set(0)
+
+        # Move the BMU's topological neighbors and age its edges.  The
+        # reference resets (bmu, bmu2) to 0 and then ages ALL of bmu's
+        # edges (networks.py:2186-2199), so (bmu, bmu2) ends the step at
+        # age 1 — replicated here by aging after the reset.
+        nbr = ages[bmu] >= 0
+        resid_n = x[None, :] - pos
+        pos = pos + jnp.where(nbr[:, None], learn_neighbor * resid_n, 0.0)
+        ages = ages.at[bmu].set(jnp.where(nbr, ages[bmu] + 1, -1))
+        ages = ages.at[:, bmu].set(jnp.where(nbr, ages[:, bmu] + 1, -1))
+
+        def batch_update(args):
+            pos, err, alive, ages, nalive = args
+            # Prune overage edges.
+            ages = jnp.where(ages >= max_age, -1, ages)
+            deg = jnp.sum(ages >= 0, axis=1)
+            alive = alive & (deg > 0)
+            nalive = jnp.sum(alive)
+
+            # Insert a node at the max-error node if room.
+            def insert(args):
+                pos, err, alive, ages, nalive = args
+                e1 = jnp.argmax(jnp.where(alive, err, -jnp.inf))
+                nbr_e = ages[e1] >= 0
+                e2 = jnp.argmax(jnp.where(nbr_e, err, -jnp.inf))
+                free = jnp.argmin(alive)  # first dead slot
+                err = err.at[e1].multiply(1.0 - new_err_dec)
+                err = err.at[e2].multiply(1.0 - new_err_dec)
+                pos = pos.at[free].set(0.5 * (pos[e1] + pos[e2]))
+                err = err.at[free].set(err[e1])
+                alive = alive.at[free].set(True)
+                ages = ages.at[e1, e2].set(-1).at[e2, e1].set(-1)
+                ages = ages.at[free, e1].set(0).at[e1, free].set(0)
+                ages = ages.at[free, e2].set(0).at[e2, free].set(0)
+                return pos, err, alive, ages, nalive + 1
+
+            return jax.lax.cond(nalive < N, insert, lambda a: a,
+                                (pos, err, alive, ages, nalive))
+
+        pos, err, alive, ages, nalive = jax.lax.cond(
+            i % nbatch == 0, batch_update, lambda a: a,
+            (pos, err, alive, ages, nalive))
+
+        err = err * (1.0 - all_err_dec)
+        return (pos, err, alive, ages, nalive), bmu
+
+    state0 = (pos0, jnp.zeros(N, jnp.float32), alive0, ages0,
+              jnp.sum(alive0))
+    steps = (jnp.arange(nsteps), draws)
+    state, bmus = jax.lax.scan(step, state0, steps)
+    return state
 
 
 class GrowingNeuralGas(_Network):
@@ -1191,93 +1306,19 @@ class GrowingNeuralGas(_Network):
         ages0 = np.full((N, N), -1, np.int32)
         ages0[0, 1] = ages0[1, 0] = 0
 
-        mods = jnp.asarray(models, jnp.float32)
-        errs = jnp.asarray(models_err, jnp.float32)
-        mask = jnp.asarray(models_mask, jnp.float32)
-
-        @jax.jit
-        def train(pos0, alive0, ages0, draws):
-            def step(state, xs):
-                pos, err, alive, ages, nalive = state
-                i, idx = xs
-                x, xe, xm = mods[idx], errs[idx], mask[idx]
-                res = lprob_func(x[None], xe[None], xm[None], pos,
-                                 jnp.zeros_like(pos), jnp.ones_like(pos),
-                                 *lprob_args, **lprob_kwargs)
-                lnp = jnp.where(alive, res[2][0], -jnp.inf)
-                chi2 = res[4][0]
-                if track_scale:
-                    pos = jnp.where(alive[:, None],
-                                    pos * res[5][0][:, None], pos)
-                _, top2 = jax.lax.top_k(lnp, 2)
-                bmu, bmu2 = top2[0], top2[1]
-
-                # BMU update.
-                resid = x - pos[bmu]
-                pos = pos.at[bmu].add(learn_best * resid)
-                err = err.at[bmu].add(chi2[bmu])
-
-                # Rejuvenate/create the (bmu, bmu2) edge.
-                ages = ages.at[bmu, bmu2].set(0).at[bmu2, bmu].set(0)
-
-                # Move the BMU's topological neighbors and age its edges.
-                # The reference resets (bmu, bmu2) to 0 and then ages ALL
-                # of bmu's edges (networks.py:2186-2199), so (bmu, bmu2)
-                # ends the step at age 1 — replicated here by aging after
-                # the reset.
-                nbr = ages[bmu] >= 0
-                resid_n = x[None, :] - pos
-                pos = pos + jnp.where(nbr[:, None],
-                                      learn_neighbor * resid_n, 0.0)
-                ages = ages.at[bmu].set(jnp.where(nbr, ages[bmu] + 1, -1))
-                ages = ages.at[:, bmu].set(jnp.where(nbr, ages[:, bmu] + 1,
-                                                     -1))
-
-                def batch_update(args):
-                    pos, err, alive, ages, nalive = args
-                    # Prune overage edges.
-                    ages = jnp.where(ages >= max_age, -1, ages)
-                    deg = jnp.sum(ages >= 0, axis=1)
-                    alive = alive & (deg > 0)
-                    nalive = jnp.sum(alive)
-
-                    # Insert a node at the max-error node if room.
-                    def insert(args):
-                        pos, err, alive, ages, nalive = args
-                        e1 = jnp.argmax(jnp.where(alive, err, -jnp.inf))
-                        nbr_e = ages[e1] >= 0
-                        e2 = jnp.argmax(jnp.where(nbr_e, err, -jnp.inf))
-                        free = jnp.argmin(alive)  # first dead slot
-                        err = err.at[e1].multiply(1.0 - new_err_dec)
-                        err = err.at[e2].multiply(1.0 - new_err_dec)
-                        pos = pos.at[free].set(0.5 * (pos[e1] + pos[e2]))
-                        err = err.at[free].set(err[e1])
-                        alive = alive.at[free].set(True)
-                        ages = ages.at[e1, e2].set(-1).at[e2, e1].set(-1)
-                        ages = ages.at[free, e1].set(0).at[e1, free].set(0)
-                        ages = ages.at[free, e2].set(0).at[e2, free].set(0)
-                        return pos, err, alive, ages, nalive + 1
-
-                    return jax.lax.cond(nalive < N, insert,
-                                        lambda a: a,
-                                        (pos, err, alive, ages, nalive))
-
-                pos, err, alive, ages, nalive = jax.lax.cond(
-                    i % nbatch == 0, batch_update, lambda a: a,
-                    (pos, err, alive, ages, nalive))
-
-                err = err * (1.0 - all_err_dec)
-                return (pos, err, alive, ages, nalive), bmu
-
-            state0 = (pos0, jnp.zeros(N, jnp.float32), alive0, ages0,
-                      jnp.sum(alive0))
-            steps = (jnp.arange(nsteps), jnp.asarray(draws))
-            state, bmus = jax.lax.scan(step, state0, steps)
-            return state
-
-        pos, err, alive, ages, nalive = train(
+        lprob_spec = (None if lprob_func is _like.logprob else lprob_func,
+                      tuple(lprob_args),
+                      tuple(sorted(lprob_kwargs.items())))
+        pos, err, alive, ages, nalive = _gng_train_jit(
             jnp.asarray(pos0), jnp.asarray(alive0), jnp.asarray(ages0),
-            draws)
+            jnp.asarray(draws), jnp.asarray(models, jnp.float32),
+            jnp.asarray(models_err, jnp.float32),
+            jnp.asarray(models_mask, jnp.float32), lprob_spec=lprob_spec,
+            track_scale=bool(track_scale), nbatch=int(nbatch),
+            max_age=int(max_age), learn_best=float(learn_best),
+            learn_neighbor=float(learn_neighbor),
+            new_err_dec=float(new_err_dec),
+            all_err_dec=float(all_err_dec))
         alive_np = np.asarray(alive)
         sel = np.flatnonzero(alive_np)
         self.nodes = np.asarray(pos)[sel].astype(float)

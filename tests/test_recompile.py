@@ -59,6 +59,7 @@ def _drive_network(problem, seed):
 def test_network_second_instance_zero_recompiles(problem):
     _drive_network(problem, seed=3)
     watch = {
+        "som_train": _net._som_train_jit,
         "populate": _net._populate_batch_jit,
         "node_fit": _net._node_fit_jit,
         "gather_union": _net._gather_union_jit,
