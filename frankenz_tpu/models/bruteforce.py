@@ -94,6 +94,48 @@ def default_batch_size(nmodel, budget_elems=1 << 26):
     return int(min(1 << 14, 1 << (b.bit_length() - 1)))
 
 
+@functools.lru_cache(maxsize=None)
+def _sharded_fp_step(mesh, obj_axis, use_pallas, lprob_spec, wt_thresh,
+                     cdf_thresh, dim_prior, ignore_model_err, free_scale,
+                     full_mask, interpret, scale_iters):
+    """Mesh-sharded fused fit->PDF step (cached per mesh + static spec).
+
+    Objects shard over `obj_axis`; the model set and kernel matrix
+    replicate.  Each shard runs the SAME per-chip pipeline as the
+    single-device path (the Pallas kernel or the XLA composition) under
+    `shard_map` — photo-z fitting is pure data parallel, so the SPMD
+    program has zero collectives.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    def local(d, de, dm, m, me, mm, G):
+        if use_pallas:
+            pdf, lmap, levid = _fused.fused_fit_pdf(
+                d, de, dm, m, me, mm, G, dim_prior=dim_prior,
+                ignore_model_err=ignore_model_err, free_scale=free_scale,
+                wt_thresh=wt_thresh, full_mask=full_mask,
+                interpret=interpret, scale_iters=scale_iters)
+        else:
+            res = _bf_lprob_jit(d, de, dm, m, me, mm,
+                                lprob_spec=lprob_spec)
+            lmap, levid, wt = _gof_weights(res[2])
+            pdf = _kde.kde_stack(wt, G, wt_thresh, cdf_thresh)
+        norm = jnp.sum(pdf, axis=1, keepdims=True)
+        pdf = jnp.where(norm > 0, pdf / jnp.where(norm > 0, norm, 1.0),
+                        0.0)
+        return pdf, lmap, levid
+
+    dspec = P(obj_axis, None)
+    rspec = P(None, None)
+    # check_vma=False: pallas_call outputs carry no varying-mesh-axis
+    # annotation; the kernel is purely shard-local (no collectives).
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(dspec, dspec, dspec, rspec, rspec, rspec, rspec),
+        out_specs=(dspec, P(obj_axis), P(obj_axis)),
+        check_vma=False))
+
+
 class BruteForce:
     """Brute-force photo-z fitter over a fixed model set.
 
@@ -300,7 +342,7 @@ class BruteForce:
                     lprob_args=None, lprob_kwargs=None, return_gof=False,
                     track_scale=False, verbose=True, save_fits=False,
                     batch_size=None, wt_thresh=1e-3, cdf_thresh=2e-4,
-                    use_fused=None):
+                    use_fused=None, mesh=None):
         """Fused fit + predict: posteriors -> weights -> PDFs in one pass.
 
         Reference: `bruteforce.py:374-631`.  Unlike the reference (which
@@ -343,6 +385,16 @@ class BruteForce:
                              "pipeline (no custom lprob_func/args, no "
                              "save_fits/track_scale/return_scale, "
                              "wt_thresh-style thresholding)")
+        if mesh is not None:
+            if save_fits or track_scale:
+                raise ValueError("mesh-sharded fit_predict streams PDFs "
+                                 "only; save_fits/track_scale are "
+                                 "unsupported (run per-host fit() for "
+                                 "stored grids)")
+            return self._fit_predict_sharded(
+                data, data_err, data_mask, G, lprob_func, lprob_args,
+                lprob_kwargs, wt_thresh, cdf_thresh, batch_size, mesh,
+                bool(use_fused), return_gof, verbose)
         if use_fused:
             return self._fit_predict_fused(
                 data, data_err, data_mask, G, lprob_kwargs or {},
@@ -384,6 +436,73 @@ class BruteForce:
                                   (res[6] if len(res) > 6 else None))
                 self._store_fits(i0, n, full)
 
+        if return_gof:
+            return pdfs, (lmap, levid)
+        return pdfs
+
+    def _fit_predict_sharded(self, data, data_err, data_mask, G,
+                             lprob_func, lprob_args, lprob_kwargs,
+                             wt_thresh, cdf_thresh, batch_size, mesh,
+                             use_pallas, return_gof, verbose):
+        """Stream object batches through a mesh-sharded fused step.
+
+        Pure data parallelism over the mesh's first axis: every chip
+        holds the (replicated) model set + kernel matrix and fits its
+        shard of each batch; results concatenate on the host.  The
+        per-chip compute is the Pallas kernel when the single-device
+        dispatch would use it, else the XLA composition.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        del verbose
+        obj_axis = mesh.axis_names[0]
+        ndev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+        ndata = data.shape[0]
+        # Batch must split evenly over the mesh; round up to a multiple.
+        batch_size = -(-batch_size // ndev) * ndev
+        kw = lprob_kwargs or {}
+        full_mask = self._full_mask and bool(np.all(data_mask == 1))
+        lprob_spec = (lprob_func if lprob_func is not _like.logprob
+                      else None, tuple(lprob_args or ()),
+                      tuple(sorted(kw.items())))
+        step = _sharded_fp_step(
+            mesh, obj_axis, use_pallas, lprob_spec, wt_thresh, cdf_thresh,
+            kw.get("dim_prior", True), kw.get("ignore_model_err", False),
+            kw.get("free_scale", False), full_mask,
+            not _fused.pallas_supported(), 10)
+
+        dspec = NamedSharding(mesh, P(obj_axis))
+        rspec = NamedSharding(mesh, P())
+        m = jax.device_put(jnp.asarray(self.models, jnp.float32), rspec)
+        me = jax.device_put(jnp.asarray(self.models_err, jnp.float32),
+                            rspec)
+        mm = jax.device_put(jnp.asarray(self.models_mask, jnp.float32),
+                            rspec)
+        Gr = jax.device_put(jnp.asarray(G, jnp.float32), rspec)
+
+        pad = (-ndata) % batch_size
+        data_p = np.pad(np.asarray(data, np.float32), ((0, pad), (0, 0)))
+        err_p = np.pad(np.asarray(data_err, np.float32),
+                       ((0, pad), (0, 0)), constant_values=1.0)
+        mask_p = np.pad(np.asarray(data_mask, np.float32),
+                        ((0, pad), (0, 0)))
+
+        ngrid = G.shape[1]
+        pdfs = np.zeros((ndata, ngrid), np.float32)
+        lmap = np.zeros(ndata, np.float32)
+        levid = np.zeros(ndata, np.float32)
+        parts = []
+        for i0, n in _batch_slices(ndata, batch_size):
+            sl = slice(i0, i0 + batch_size)
+            d = jax.device_put(data_p[sl], dspec)
+            de = jax.device_put(err_p[sl], dspec)
+            dm = jax.device_put(mask_p[sl], dspec)
+            parts.append((i0, n, step(d, de, dm, m, me, mm, Gr)))
+        for i0, n, out in jax.device_get(parts):
+            pdf_b, lmap_b, levid_b = out
+            pdfs[i0:i0 + n] = pdf_b[:n]
+            lmap[i0:i0 + n] = lmap_b[:n]
+            levid[i0:i0 + n] = levid_b[:n]
         if return_gof:
             return pdfs, (lmap, levid)
         return pdfs

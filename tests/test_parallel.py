@@ -129,3 +129,50 @@ def test_stacked_nz(problem, mesh):
     pdfs /= pdfs.sum(axis=1, keepdims=True)
     nz = np.asarray(stacked_nz(mesh, shard_objects(mesh, pdfs)))
     np.testing.assert_allclose(nz, pdfs.sum(axis=0), rtol=1e-10)
+
+
+def test_bruteforce_mesh_fit_predict_matches_single_device():
+    """BruteForce.fit_predict(mesh=...) == single-device results, for
+    both the XLA composition and the Pallas kernel (interpret mode)
+    running per-shard under shard_map."""
+    import numpy as np
+    from frankenz_tpu.models import BruteForce
+    from frankenz_tpu.ops import kernel_matrix
+    from frankenz_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(21)
+    M, B, F = 200, 50, 5
+    m = rng.uniform(1, 10, (M, F)).astype(np.float32)
+    me = (0.05 * m).astype(np.float32)
+    mm = np.ones_like(m)
+    d = (m[rng.integers(0, M, B)] + rng.normal(0, 0.3, (B, F))).astype(
+        np.float32)
+    de = np.full((B, F), 0.3, np.float32)
+    dm = np.ones_like(d)
+    zlab = rng.uniform(0, 3, M)
+    zerr = np.full(M, 0.1)
+    grid = np.linspace(0, 3, 101)
+
+    mesh = make_mesh(8)
+    bf = BruteForce(m, me, mm)
+    single, (lm0, le0) = bf.fit_predict(d, de, dm, zlab, zerr,
+                                        label_grid=grid, verbose=False,
+                                        return_gof=True, use_fused=False)
+    # XLA per-shard path.
+    sharded, (lm1, le1) = bf.fit_predict(d, de, dm, zlab, zerr,
+                                         label_grid=grid, verbose=False,
+                                         return_gof=True, mesh=mesh,
+                                         use_fused=False, batch_size=32)
+    np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(lm1, lm0, rtol=1e-5)
+    np.testing.assert_allclose(le1, le0, rtol=1e-5)
+    # Pallas per-shard path (interpret mode off-TPU).
+    sharded_p = bf.fit_predict(d, de, dm, zlab, zerr, label_grid=grid,
+                               verbose=False, mesh=mesh, use_fused=True,
+                               batch_size=32)
+    np.testing.assert_allclose(sharded_p, single, rtol=1e-3, atol=1e-5)
+    # save_fits over a mesh is refused loudly.
+    import pytest
+    with pytest.raises(ValueError, match="mesh"):
+        bf.fit_predict(d, de, dm, zlab, zerr, label_grid=grid,
+                       verbose=False, mesh=mesh, save_fits=True)
