@@ -245,6 +245,45 @@ def _knn_fit_predict_grid_jit(jq, d, de, dm, feats, fsq, models, models_err,
     return _norm_rows(pdf), lmap, levid, idx, nidx, out_res
 
 
+@functools.lru_cache(maxsize=None)
+def _knn_sharded_step(mesh, obj_axis, use_dict, K, k, lp_norm, dbound,
+                      approx, fmap_spec, lprob_spec, wt_thresh, cdf_thresh,
+                      nx):
+    """Mesh-sharded fused KMCkNN fit_predict step (cached per mesh +
+    static spec): objects shard over `obj_axis`; the feature ensembles,
+    model set, and label parametrization replicate.  Pure data parallel
+    — zero collectives."""
+    from jax.sharding import PartitionSpec as P
+
+    if use_dict:
+        def local(jq, d, de, dm, feats, fsq, models, me, mm, la, lb, lc,
+                  ld, le):
+            pdf, lmap, levid, _idx, _nidx, _res = _knn_fit_predict_dict_jit(
+                jq, d, de, dm, feats, fsq, models, me, mm, la, lb, lc, ld,
+                le, K=K, k=k, lp_norm=lp_norm, dbound=dbound, approx=approx,
+                fmap_spec=fmap_spec, lprob_spec=lprob_spec,
+                wt_thresh=wt_thresh, cdf_thresh=cdf_thresh,
+                save_fits=False, nx=nx)
+            return pdf, lmap, levid
+    else:
+        def local(jq, d, de, dm, feats, fsq, models, me, mm, la, lb, lc,
+                  ld, le):
+            pdf, lmap, levid, _idx, _nidx, _res = _knn_fit_predict_grid_jit(
+                jq, d, de, dm, feats, fsq, models, me, mm, la, lb, lc, ld,
+                le, K=K, k=k, lp_norm=lp_norm, dbound=dbound, approx=approx,
+                fmap_spec=fmap_spec, lprob_spec=lprob_spec,
+                wt_thresh=wt_thresh, cdf_thresh=cdf_thresh,
+                save_fits=False)
+            return pdf, lmap, levid
+
+    dspec = P(obj_axis, None)
+    rep = P()
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(dspec, dspec, dspec, dspec) + (rep,) * 10,
+        out_specs=(dspec, P(obj_axis), P(obj_axis)), check_vma=False))
+
+
 class NearestNeighbors:
     """KMCkNN fitter over a fixed model set.
 
@@ -522,20 +561,29 @@ class NearestNeighbors:
                     track_scale=False, verbose=True, save_fits=False,
                     rng=None, k=20, eps=1e-3, lp_norm=2,
                     distance_upper_bound=np.inf, batch_size=4096,
-                    wt_thresh=1e-3, cdf_thresh=2e-4, approx=False):
+                    wt_thresh=1e-3, cdf_thresh=2e-4, approx=False,
+                    mesh=None):
         """Fused KMCkNN fit + PDF prediction (knn.py:560-874).
 
         Each batch is ONE device program (jitter features -> ensemble
         search -> union posterior -> thresholded gathered KDE), with
-        results read back in bulk — no eager per-batch glue.
+        results read back in bulk — no eager per-batch glue.  With
+        `mesh` given, batches shard over the mesh's first axis (pure
+        data parallel; requires save_fits=False).
         """
         del eps
+        if mesh is not None and save_fits:
+            raise ValueError("mesh-sharded fit_predict streams PDFs only; "
+                             "save_fits is unsupported")
         data = np.atleast_2d(np.asarray(data, float))
         data_err = np.atleast_2d(np.asarray(data_err, float))
         data_mask = np.atleast_2d(np.asarray(data_mask, float))
         rng = rng or self.rng
         ndata = data.shape[0]
         batch_size = min(batch_size, max(256, ndata))
+        if mesh is not None:
+            ndev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+            batch_size = -(-batch_size // ndev) * ndev
         dx, sig_thresh, wt_thresh, cdf_thresh = _kde.resolve_kde_opts(
             kde_args, kde_kwargs, wt_thresh, cdf_thresh)
         if save_fits:
@@ -565,22 +613,49 @@ class NearestNeighbors:
             raise ValueError("`label_dict` or `label_grid` must be "
                              "specified.")
 
-        def fused(jq, d, de, dm):
-            common = dict(K=self.K, k=k, lp_norm=lp_norm,
-                          dbound=float(distance_upper_bound), approx=approx,
-                          fmap_spec=self.fmap_spec, lprob_spec=lprob_spec,
-                          wt_thresh=wt_thresh, cdf_thresh=cdf_thresh,
-                          save_fits=save_fits)
-            if label_dict is not None:
-                return _knn_fit_predict_dict_jit(
+        use_dict = label_dict is not None
+        if use_dict:
+            lab = (sigmas, widths, delta, full_pos, full_sig)
+        else:
+            lab = (labels_j, label_errs_j, grid, dx_val,
+                   jnp.asarray(sig_thresh))
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            obj_axis = mesh.axis_names[0]
+            step = _knn_sharded_step(
+                mesh, obj_axis, use_dict, self.K, k, lp_norm,
+                float(distance_upper_bound), approx, self.fmap_spec,
+                lprob_spec, wt_thresh, cdf_thresh, ngrid)
+            dspec = NamedSharding(mesh, P(obj_axis))
+            rspec = NamedSharding(mesh, P())
+            reps = [jax.device_put(x, rspec) for x in
+                    (self.features, self.features_sqnorm, self.models,
+                     self.models_err, self.models_mask) + lab]
+
+            def fused(jq, d, de, dm):
+                out = step(jax.device_put(jq, dspec),
+                           jax.device_put(d, dspec),
+                           jax.device_put(de, dspec),
+                           jax.device_put(dm, dspec), *reps)
+                return out + (None, None, None)
+        else:
+            def fused(jq, d, de, dm):
+                common = dict(K=self.K, k=k, lp_norm=lp_norm,
+                              dbound=float(distance_upper_bound),
+                              approx=approx, fmap_spec=self.fmap_spec,
+                              lprob_spec=lprob_spec, wt_thresh=wt_thresh,
+                              cdf_thresh=cdf_thresh, save_fits=save_fits)
+                if use_dict:
+                    return _knn_fit_predict_dict_jit(
+                        jq, d, de, dm, self.features, self.features_sqnorm,
+                        self.models, self.models_err, self.models_mask,
+                        *lab, nx=ngrid, **common)
+                return _knn_fit_predict_grid_jit(
                     jq, d, de, dm, self.features, self.features_sqnorm,
-                    self.models, self.models_err, self.models_mask, sigmas,
-                    widths, delta, full_pos, full_sig, nx=ngrid, **common)
-            return _knn_fit_predict_grid_jit(
-                jq, d, de, dm, self.features, self.features_sqnorm,
-                self.models, self.models_err, self.models_mask, labels_j,
-                label_errs_j, grid, dx_val, jnp.asarray(sig_thresh),
-                **common)
+                    self.models, self.models_err, self.models_mask, *lab,
+                    **common)
 
         pdfs = np.zeros((ndata, ngrid), np.float32)
         lmap = np.zeros(ndata, np.float32)

@@ -280,6 +280,51 @@ def _union_fp_jit(x, xe, xm, nodes_occ, members, models, models_err,
     return pdf, lmap, levid, nuniq
 
 
+@functools.lru_cache(maxsize=None)
+def _nodes_only_sharded_step(mesh, obj_axis, lpnet_spec, wt_thresh,
+                             cdf_thresh):
+    """Mesh-sharded nodes_only fit_predict step (objects sharded; nodes
+    + node PDFs replicated; zero collectives)."""
+    from jax.sharding import PartitionSpec as P
+
+    def local(x, xe, xm, nodes_occ, node_pdfs_occ):
+        return _nodes_only_fp_jit(x, xe, xm, nodes_occ, node_pdfs_occ,
+                                  lpnet_spec=lpnet_spec,
+                                  wt_thresh=wt_thresh,
+                                  cdf_thresh=cdf_thresh)
+
+    dspec = P(obj_axis, None)
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=(dspec, dspec, dspec, P(), P()),
+        out_specs=(dspec, P(obj_axis), P(obj_axis)), check_vma=False))
+
+
+@functools.lru_cache(maxsize=None)
+def _union_sharded_step(mesh, obj_axis, lpnet_spec, lprob_spec, wt_thresh,
+                        cdf_thresh, cap_sel, max_neighbors, kde_wt_thresh,
+                        kde_cdf_thresh, use_dict, nx):
+    """Mesh-sharded exact-union fit_predict step (objects sharded;
+    nodes, member tables, models, and labels replicated)."""
+    from jax.sharding import PartitionSpec as P
+
+    def local(x, xe, xm, nodes_occ, members, models, models_err,
+              models_mask, la, lb, lc, ld, le):
+        return _union_fp_jit(x, xe, xm, nodes_occ, members, models,
+                             models_err, models_mask, la, lb, lc, ld, le,
+                             lpnet_spec=lpnet_spec, lprob_spec=lprob_spec,
+                             wt_thresh=wt_thresh, cdf_thresh=cdf_thresh,
+                             cap_sel=cap_sel, max_neighbors=max_neighbors,
+                             kde_wt_thresh=kde_wt_thresh,
+                             kde_cdf_thresh=kde_cdf_thresh,
+                             use_dict=use_dict, nx=nx)
+
+    dspec = P(obj_axis, None)
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=(dspec, dspec, dspec) + (P(),) * 10,
+        out_specs=(dspec, P(obj_axis), P(obj_axis), P(obj_axis)),
+        check_vma=False))
+
+
 def _threshold_sel(lnprob, wt_thresh, cdf_thresh):
     """Boolean selection mask over the last axis (networks.py:323-332)."""
     if wt_thresh is None and cdf_thresh is None:
@@ -865,7 +910,7 @@ class _Network:
                     track_scale=False, discrete=False, nodes_only=False,
                     verbose=True, save_fits=True, batch_size=256,
                     wt_thresh=1e-3, cdf_thresh=2e-4, max_sel_nodes=24,
-                    max_neighbors=4096):
+                    max_neighbors=4096, mesh=None):
         """fit + predict (networks.py:1130-1487).
 
         With ``save_fits=True`` (the reference default) this is
@@ -873,8 +918,13 @@ class _Network:
         host.  With ``save_fits=False`` each batch runs as ONE fused
         device program and only (pdf, lmap, levid) stream back — the
         (B, max_neighbors) grids never round-trip, which over a
-        remote-TPU relay is ~10x faster on the exact-union path.
+        remote-TPU relay is ~10x faster on the exact-union path.  With
+        `mesh` given (requires save_fits=False), batches shard over the
+        mesh's first axis — pure data parallelism, zero collectives.
         """
+        if mesh is not None and save_fits:
+            raise ValueError("mesh-sharded fit_predict streams PDFs only; "
+                             "pass save_fits=False")
         if save_fits:
             self.fit(data, data_err, data_mask, lprob_func=lprob_func,
                      nodes_only=nodes_only, wt_thresh=wt_thresh,
@@ -899,19 +949,22 @@ class _Network:
             discrete=discrete, nodes_only=nodes_only,
             batch_size=batch_size, wt_thresh=wt_thresh,
             cdf_thresh=cdf_thresh, max_sel_nodes=max_sel_nodes,
-            max_neighbors=max_neighbors)
+            max_neighbors=max_neighbors, mesh=mesh)
 
     def _fit_predict_fused(self, data, data_err, data_mask, model_labels,
                            model_label_errs, lprob_func, label_dict,
                            label_grid, kde_args, kde_kwargs, lprob_args,
                            lprob_kwargs, return_gof, discrete, nodes_only,
                            batch_size, wt_thresh, cdf_thresh,
-                           max_sel_nodes, max_neighbors):
+                           max_sel_nodes, max_neighbors, mesh=None):
         """save_fits=False streaming fit_predict (see fit_predict)."""
         data = np.atleast_2d(np.asarray(data, float))
         data_err = np.atleast_2d(np.asarray(data_err, float))
         data_mask = np.atleast_2d(np.asarray(data_mask, float))
         ndata = data.shape[0]
+        if mesh is not None:
+            ndev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+            batch_size = -(-batch_size // ndev) * ndev
         occ = self._occupied()
         nocc = len(occ)
         nodes_occ = jnp.asarray(np.asarray(self.nodes)[occ])
@@ -937,12 +990,29 @@ class _Network:
             node_pdfs_occ = jnp.asarray(node_pdfs[occ])
             ngrid = node_pdfs.shape[1]
 
-            def run(x, xe, xm):
-                pdf, lmap, levid = _nodes_only_fp_jit(
-                    x, xe, xm, nodes_occ, node_pdfs_occ,
-                    lpnet_spec=lpnet_spec, wt_thresh=wt_thresh,
-                    cdf_thresh=cdf_thresh)
-                return pdf, lmap, levid, None
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                obj_axis = mesh.axis_names[0]
+                step = _nodes_only_sharded_step(mesh, obj_axis, lpnet_spec,
+                                                wt_thresh, cdf_thresh)
+                dspec = NamedSharding(mesh, P(obj_axis))
+                rspec = NamedSharding(mesh, P())
+                nodes_r = jax.device_put(nodes_occ, rspec)
+                pdfs_r = jax.device_put(node_pdfs_occ, rspec)
+
+                def run(x, xe, xm):
+                    pdf, lmap, levid = step(
+                        jax.device_put(x, dspec), jax.device_put(xe, dspec),
+                        jax.device_put(xm, dspec), nodes_r, pdfs_r)
+                    return pdf, lmap, levid, None
+            else:
+                def run(x, xe, xm):
+                    pdf, lmap, levid = _nodes_only_fp_jit(
+                        x, xe, xm, nodes_occ, node_pdfs_occ,
+                        lpnet_spec=lpnet_spec, wt_thresh=wt_thresh,
+                        cdf_thresh=cdf_thresh)
+                    return pdf, lmap, levid, None
         else:
             member_tab = self.nodes_bmus if discrete else self.nodes_idxs
             members_dev = jnp.asarray(member_tab[occ])
@@ -971,15 +1041,34 @@ class _Network:
                 raise ValueError("`label_dict` or `label_grid` must be "
                                  "specified.")
 
-            def run(x, xe, xm):
-                return _union_fp_jit(
-                    x, xe, xm, nodes_occ, members_dev, self.models,
-                    self.models_err, self.models_mask, *lab,
-                    lpnet_spec=lpnet_spec, lprob_spec=lprob_spec,
-                    wt_thresh=wt_thresh, cdf_thresh=cdf_thresh,
-                    cap_sel=cap_sel, max_neighbors=max_neighbors,
-                    kde_wt_thresh=kde_wt, kde_cdf_thresh=kde_cdf,
-                    use_dict=use_dict, nx=ngrid)
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                obj_axis = mesh.axis_names[0]
+                step = _union_sharded_step(
+                    mesh, obj_axis, lpnet_spec, lprob_spec, wt_thresh,
+                    cdf_thresh, cap_sel, max_neighbors, kde_wt, kde_cdf,
+                    use_dict, ngrid)
+                dspec = NamedSharding(mesh, P(obj_axis))
+                rspec = NamedSharding(mesh, P())
+                reps = [jax.device_put(v, rspec) for v in
+                        (nodes_occ, members_dev, self.models,
+                         self.models_err, self.models_mask) + lab]
+
+                def run(x, xe, xm):
+                    return step(jax.device_put(x, dspec),
+                                jax.device_put(xe, dspec),
+                                jax.device_put(xm, dspec), *reps)
+            else:
+                def run(x, xe, xm):
+                    return _union_fp_jit(
+                        x, xe, xm, nodes_occ, members_dev, self.models,
+                        self.models_err, self.models_mask, *lab,
+                        lpnet_spec=lpnet_spec, lprob_spec=lprob_spec,
+                        wt_thresh=wt_thresh, cdf_thresh=cdf_thresh,
+                        cap_sel=cap_sel, max_neighbors=max_neighbors,
+                        kde_wt_thresh=kde_wt, kde_cdf_thresh=kde_cdf,
+                        use_dict=use_dict, nx=ngrid)
 
         pdfs = np.zeros((ndata, ngrid), np.float32)
         lmap = np.zeros(ndata, np.float32)

@@ -89,18 +89,27 @@ class _BoundPrior:
                 and self.kw_items == other.kw_items)
 
 
-@functools.partial(jax.jit, static_argnames=("prior", "thin", "mh_steps"))
-def _pop_run(keys, pos0, pdfs, *, prior, thin, mh_steps):
+@functools.partial(jax.jit, static_argnames=("prior", "thin", "mh_steps",
+                                             "axis_name"))
+def _pop_run(keys, pos0, pdfs, *, prior, thin, mh_steps, axis_name=None):
     """All chains x all samples in one compiled program, cached globally
     across run_mcmc calls by the static (prior, thin, mh_steps) key.
 
-    keys: (nchains, Niter) PRNG keys; pos0: (nchains, Nbins).
+    keys: (nchains, Niter) PRNG keys; pos0: (nchains, Nbins).  With
+    `axis_name` (inside shard_map over the OBJECT axis of `pdfs`), the
+    per-object log-likelihood sums become `psum` collectives while the
+    chain state stays replicated — the multi-chip layout for catalogs
+    too large for one chip.
     """
-    step = _chain_step(pdfs, prior, mh_steps)
+    step = _chain_step(pdfs, prior, mh_steps, axis_name=axis_name)
+
+    def lnsum(ov):
+        s = jnp.sum(jnp.log(ov))
+        return s if axis_name is None else jax.lax.psum(s, axis_name)
 
     def run_one_chain(chain_keys, p0):
         overlap0 = pdfs @ p0
-        lnpost0 = jnp.sum(jnp.log(overlap0)) + prior(p0)
+        lnpost0 = lnsum(overlap0) + prior(p0)
 
         def outer(state, key):
             state, _ = jax.lax.scan(step, state,
@@ -115,11 +124,12 @@ def _pop_run(keys, pos0, pdfs, *, prior, thin, mh_steps):
     return jax.vmap(run_one_chain)(keys, pos0)
 
 
-def _chain_step(pdfs, logprior_nz, mh_steps):
+def _chain_step(pdfs, logprior_nz, mh_steps, axis_name=None):
     """One Gibbs step (random pair + mh_steps MH proposals) as a pure fn."""
 
     def lnlike_from_overlap(ov):
-        return jnp.sum(jnp.log(ov))
+        s = jnp.sum(jnp.log(ov))
+        return s if axis_name is None else jax.lax.psum(s, axis_name)
 
     def step(state, key):
         pos, overlap, lnpost = state
@@ -152,7 +162,7 @@ def _chain_step(pdfs, logprior_nz, mh_steps):
             bad = jnp.any(pos_new < 0.0)
             lnpost_new = jnp.where(
                 bad, -jnp.inf,
-                jnp.sum(jnp.log(ov_new)) + logprior_nz(pos_new))
+                lnlike_from_overlap(ov_new) + logprior_nz(pos_new))
             accept = -jax.random.exponential(ke) < (lnpost_new - lnpost)
             pos = jnp.where(accept, pos_new, pos)
             overlap = jnp.where(accept, ov_new, overlap)
@@ -164,6 +174,22 @@ def _chain_step(pdfs, logprior_nz, mh_steps):
         return (pos, overlap, lnpost), None
 
     return step
+
+
+@functools.lru_cache(maxsize=None)
+def _pop_run_sharded(mesh, obj_axis, prior, thin, mh_steps):
+    """Mesh-sharded chain runner: PDF rows shard over objects, chain
+    state replicates, and each log-likelihood reduction is one `psum`
+    over ICI — the layout for catalogs beyond one chip's HBM."""
+    from jax.sharding import PartitionSpec as P
+
+    def local(keys, pos0, pdfs):
+        return _pop_run(keys, pos0, pdfs, prior=prior, thin=thin,
+                        mh_steps=mh_steps, axis_name=obj_axis)
+
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=(P(), P(), P(obj_axis, None)),
+        out_specs=(P(), P()), check_vma=False))
 
 
 class population_sampler:
@@ -209,11 +235,15 @@ class population_sampler:
 
     def run_mcmc(self, Niter, logprior_nz=None, pos_init=None, thin=400,
                  mh_steps=3, rng=None, seed=None, verbose=True,
-                 nchains=1, prior_args=(), prior_kwargs=None):
+                 nchains=1, prior_args=(), prior_kwargs=None, mesh=None):
         """Draw `Niter` (thinned) samples; the whole run is one device call.
 
         Mirrors samplers.py:118-198 (resume from the last stored sample,
-        default init = stacked PDFs).
+        default init = stacked PDFs).  With `mesh` given, the PDF matrix
+        shards over the mesh's first axis (objects) and likelihood sums
+        ride ICI as psums; objects are padded to the device count with
+        uniform rows, which shift every lnpost by the same constant
+        (corrected in the stored values) and leave acceptances exact.
         """
         del verbose
         prior_kwargs = prior_kwargs or {}
@@ -244,12 +274,36 @@ class population_sampler:
                              else (rng.integers(2**31) if rng is not None
                                    else np.random.default_rng().integers(
                                        2**31)))
-        pdfs = jnp.asarray(self.pdfs)
         keys = jax.random.split(key, (nchains, Niter))
-        samples, lnps = _pop_run(keys, jnp.asarray(pos0), pdfs,
-                                 prior=prior, thin=thin, mh_steps=mh_steps)
+        lnp_shift = 0.0
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            obj_axis = mesh.axis_names[0]
+            ndev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+            npad = (-nobs) % ndev
+            pdfs_np = self.pdfs
+            if npad:
+                # Uniform pad rows: overlap = sum(pos)/Nbins = 1/Nbins on
+                # the simplex — a CONSTANT lnpost shift, exact otherwise.
+                pad = np.full((npad, nbins), 1.0 / nbins, self.pdfs.dtype)
+                pdfs_np = np.concatenate([self.pdfs, pad], axis=0)
+                lnp_shift = npad * np.log(1.0 / nbins)
+            pdfs = jax.device_put(jnp.asarray(pdfs_np),
+                                  NamedSharding(mesh, P(obj_axis)))
+            runner = _pop_run_sharded(mesh, obj_axis, prior, thin,
+                                      mh_steps)
+            rep = NamedSharding(mesh, P())
+            samples, lnps = runner(jax.device_put(keys, rep),
+                                   jax.device_put(jnp.asarray(pos0), rep),
+                                   pdfs)
+        else:
+            pdfs = jnp.asarray(self.pdfs)
+            samples, lnps = _pop_run(keys, jnp.asarray(pos0), pdfs,
+                                     prior=prior, thin=thin,
+                                     mh_steps=mh_steps)
         samples = np.asarray(samples)  # (nchains, Niter, Nbins)
-        lnps = np.asarray(lnps)
+        lnps = np.asarray(lnps) - lnp_shift
         for it in range(Niter):
             if nchains == 1:
                 self.samples.append(samples[0, it])

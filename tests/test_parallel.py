@@ -176,3 +176,103 @@ def test_bruteforce_mesh_fit_predict_matches_single_device():
     with pytest.raises(ValueError, match="mesh"):
         bf.fit_predict(d, de, dm, zlab, zerr, label_grid=grid,
                        verbose=False, mesh=mesh, save_fits=True)
+
+
+def test_knn_mesh_fit_predict_matches_single_device():
+    """NearestNeighbors.fit_predict(mesh=...) == single-device results
+    (same host RNG stream -> identical jitters -> identical unions)."""
+    import numpy as np
+    from frankenz_tpu.models import NearestNeighbors
+    from frankenz_tpu.ops import PDFDict
+    from frankenz_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(33)
+    M, B, F = 400, 64, 4
+    m = rng.uniform(1, 10, (M, F)).astype(np.float32)
+    me = (0.05 * m).astype(np.float32)
+    mm = np.ones_like(m)
+    d = (m[rng.integers(0, M, B)] + rng.normal(0, 0.3, (B, F))).astype(
+        np.float32)
+    de = np.full((B, F), 0.3, np.float32)
+    dm = np.ones_like(d)
+    zlab = rng.uniform(0, 3, M)
+    zerr = np.full(M, 0.1)
+    grid = np.linspace(0, 3, 101)
+    pd = PDFDict(grid, np.linspace(0.01, 0.3, 20))
+    mesh = make_mesh(8)
+
+    nn = NearestNeighbors(m, me, mm, K=5, seed=3, verbose=False)
+    for labels in ({"label_grid": grid}, {"label_dict": pd}):
+        single = nn.fit_predict(d, de, dm, zlab, zerr, k=8, verbose=False,
+                                rng=np.random.default_rng(7),
+                                batch_size=32, **labels)
+        sharded = nn.fit_predict(d, de, dm, zlab, zerr, k=8, verbose=False,
+                                 rng=np.random.default_rng(7),
+                                 batch_size=32, mesh=mesh, **labels)
+        np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-7,
+                                   err_msg=str(labels))
+
+
+def test_network_mesh_fit_predict_matches_single_device():
+    """_Network.fit_predict(save_fits=False, mesh=...) == single device,
+    for nodes_only and exact-union modes."""
+    import numpy as np
+    from frankenz_tpu.models import SelfOrganizingMap
+    from frankenz_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(44)
+    M, B = 300, 48
+    centers = np.array([[2.0, 5.0, 8.0], [8.0, 3.0, 2.0], [5.0, 9.0, 4.0]])
+    zc = np.array([0.4, 1.2, 2.2])
+    models = np.vstack([c + rng.normal(0, 0.3, (100, 3)) for c in centers])
+    zlab = np.concatenate([z + rng.normal(0, 0.05, 100) for z in zc])
+    me = np.full_like(models, 0.05)
+    mm = np.ones_like(models)
+    d = models[rng.integers(0, M, B)] + rng.normal(0, 0.1, (B, 3))
+    de = np.full_like(d, 0.1)
+    dm = np.ones_like(d)
+    grid = np.linspace(0, 3, 101)
+    zerr = np.full(M, 0.05)
+    mesh = make_mesh(8)
+
+    som = SelfOrganizingMap(models, me, mm)
+    som.train_network(nside=3, nproj=2, niter=40, nbatch=10, seed=2,
+                      verbose=False)
+    som.populate_network(verbose=False, batch_size=64)
+    for nodes_only in (True, False):
+        kw = dict(label_grid=grid, nodes_only=nodes_only, verbose=False,
+                  batch_size=16, max_neighbors=256, save_fits=False,
+                  return_gof=True)
+        single, (lm0, le0) = som.fit_predict(d, de, dm, zlab, zerr, **kw)
+        sharded, (lm1, le1) = som.fit_predict(d, de, dm, zlab, zerr,
+                                              mesh=mesh, **kw)
+        np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-7,
+                                   err_msg=f"nodes_only={nodes_only}")
+        np.testing.assert_allclose(lm1, lm0, rtol=1e-5)
+        np.testing.assert_allclose(le1, le0, rtol=1e-5)
+
+
+def test_population_sampler_mesh_matches_single_device():
+    """run_mcmc(mesh=...) shards objects with psum likelihood sums; the
+    chain (same keys) matches the single-device run, including with a
+    padded (non-divisible) object count."""
+    import numpy as np
+    from frankenz_tpu.samplers import population_sampler
+    from frankenz_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(9)
+    nobs, nbins = 203, 12  # deliberately not a multiple of 8
+    pdfs = rng.uniform(0.05, 1.0, (nobs, nbins))
+    pdfs /= pdfs.sum(axis=1, keepdims=True)
+    mesh = make_mesh(8)
+
+    a = population_sampler(pdfs)
+    a.run_mcmc(5, thin=20, seed=4, verbose=False)
+    b = population_sampler(pdfs)
+    b.run_mcmc(5, thin=20, seed=4, verbose=False, mesh=mesh)
+    sa, la = a.results
+    sb, lb = b.results
+    # psum partial sums reorder the float reduction; trajectories agree
+    # to roundoff (an acceptance flip would diverge macroscopically).
+    np.testing.assert_allclose(sb, sa, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(lb, la, rtol=1e-6)
