@@ -49,25 +49,37 @@ def dirichlet_logpdf(x, alpha):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("nref", "nobs", "thin", "has_ref"))
-def _hier_run(keys, pos0, pdfs, alpha, beta, ref, ref_norm, *, nref, nobs,
-              thin, has_ref):
+                   static_argnames=("nref", "nobs", "thin", "has_ref",
+                                    "axis_name"))
+def _hier_run(keys, pos0, pdfs, alpha, beta, ref, ref_norm, valid=None, *,
+              nref, nobs, thin, has_ref, axis_name=None):
     """All chains x all samples in one compiled program (cached globally
     across run_mcmc calls by the static (nref, nobs, thin, has_ref) key).
 
-    keys: (nchains, Niter) PRNG keys; pos0: (nchains, Nbins).
+    keys: (nchains, Niter) PRNG keys; pos0: (nchains, Nbins).  With
+    `axis_name` (inside shard_map over the OBJECT axis of `pdfs`) the
+    per-object categorical draws stay shard-local — each shard folds its
+    axis index into the draw key so streams are independent — and the
+    bin counts reduce with one `psum`; `valid` masks padded objects out
+    of the counts.  The population-level draws use the unfolded
+    (replicated) keys, so chain state is identical on every shard.
     """
     nbins = pos0.shape[-1]
 
     def sweep(carry, key):
         pos, ref_counts = carry
         kz, kd, kr = jax.random.split(key, 3)
+        if axis_name is not None:
+            kz = jax.random.fold_in(kz, jax.lax.axis_index(axis_name))
         # Per-object categorical draw ~ p_g * rho via Gumbel-max
         # (samplers.py:519-520's multinomial(1, .) loop, vectorized).
         logits = jnp.log(pdfs * pos[None, :])
         g = jax.random.gumbel(kz, logits.shape)
         zdraw = jnp.argmax(logits + g, axis=1)
-        counts = jnp.zeros(nbins, pos.dtype).at[zdraw].add(1.0)
+        w = jnp.ones(pdfs.shape[0], pos.dtype) if valid is None else valid
+        counts = jnp.zeros(nbins, pos.dtype).at[zdraw].add(w)
+        if axis_name is not None:
+            counts = jax.lax.psum(counts, axis_name)
         # Population draw (samplers.py:522).
         pos = jax.random.dirichlet(kd, alpha + counts + ref_counts)
         # Reference-sample draw (samplers.py:524-529).
@@ -94,6 +106,23 @@ def _hier_run(keys, pos0, pdfs, alpha, beta, ref, ref_norm, *, nref, nobs,
         return samples, lnps
 
     return jax.vmap(run_one_chain)(keys, pos0)
+
+
+@functools.lru_cache(maxsize=None)
+def _hier_run_sharded(mesh, obj_axis, nref, nobs, thin, has_ref):
+    """Mesh-sharded Gibbs runner (see `_hier_run`)."""
+    from jax.sharding import PartitionSpec as P
+
+    def local(keys, pos0, pdfs, alpha, beta, ref, ref_norm, valid):
+        return _hier_run(keys, pos0, pdfs, alpha, beta, ref, ref_norm,
+                         valid, nref=nref, nobs=nobs, thin=thin,
+                         has_ref=has_ref, axis_name=obj_axis)
+
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P(obj_axis, None), P(), P(), P(), P(),
+                  P(obj_axis)),
+        out_specs=(P(), P()), check_vma=False))
 
 
 class hierarchical_sampler:
@@ -135,11 +164,15 @@ class hierarchical_sampler:
 
     def run_mcmc(self, Niter, alpha=None, pos_init=None, thin=5,
                  ref_sample=None, beta=None, rng=None, seed=None,
-                 verbose=True, nchains=1):
+                 verbose=True, nchains=1, mesh=None):
         """Draw `Niter` (thinned) samples; the whole run is one device call.
 
         Mirrors samplers.py:349-427: flat alpha/beta defaults, resume from
-        the last stored sample, default init = stacked PDFs.
+        the last stored sample, default init = stacked PDFs.  With `mesh`
+        given, the PDF matrix shards over objects: categorical draws are
+        shard-local (independent folded streams, so chains are
+        distribution-equivalent, not bitwise-equal, to single-device
+        runs) and the bin counts reduce with one `psum` per sweep.
         """
         del verbose
         nobs, nbins = self.pdfs.shape
@@ -181,9 +214,36 @@ class hierarchical_sampler:
         ref_norm_j = jnp.asarray(ref_norm)
 
         keys = jax.random.split(key, (nchains, Niter))
-        samples, lnps = _hier_run(
-            keys, jnp.asarray(pos0), pdfs, alpha_j, beta_j, ref_j,
-            ref_norm_j, nref=nref, nobs=nobs, thin=thin, has_ref=has_ref)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            obj_axis = mesh.axis_names[0]
+            ndev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+            npad = (-nobs) % ndev
+            pdfs_np = self.pdfs
+            valid = np.ones(nobs + npad, np.float64)
+            if npad:
+                pdfs_np = np.concatenate(
+                    [self.pdfs, np.full((npad, nbins), 1.0 / nbins,
+                                        self.pdfs.dtype)], axis=0)
+                valid[nobs:] = 0.0
+            dspec = NamedSharding(mesh, P(obj_axis))
+            rep = NamedSharding(mesh, P())
+            runner = _hier_run_sharded(mesh, obj_axis, nref, nobs, thin,
+                                       has_ref)
+            samples, lnps = runner(
+                jax.device_put(keys, rep),
+                jax.device_put(jnp.asarray(pos0), rep),
+                jax.device_put(jnp.asarray(pdfs_np), dspec),
+                jax.device_put(alpha_j, rep), jax.device_put(beta_j, rep),
+                jax.device_put(ref_j, rep),
+                jax.device_put(ref_norm_j, rep),
+                jax.device_put(jnp.asarray(valid), dspec))
+        else:
+            samples, lnps = _hier_run(
+                keys, jnp.asarray(pos0), pdfs, alpha_j, beta_j, ref_j,
+                ref_norm_j, nref=nref, nobs=nobs, thin=thin,
+                has_ref=has_ref)
         samples = np.asarray(samples)
         lnps = np.asarray(lnps)
         for it in range(Niter):

@@ -276,3 +276,37 @@ def test_population_sampler_mesh_matches_single_device():
     # to roundoff (an acceptance flip would diverge macroscopically).
     np.testing.assert_allclose(sb, sa, rtol=1e-5, atol=1e-7)
     np.testing.assert_allclose(lb, la, rtol=1e-6)
+
+
+def test_hierarchical_sampler_mesh_recovers_truth():
+    """run_mcmc(mesh=...) shards the categorical step (folded per-shard
+    streams + psum counts): distribution-equivalent, so assert recovery
+    quality rather than bitwise equality, with a padded object count."""
+    import numpy as np
+    from frankenz_tpu.samplers import hierarchical_sampler
+    from frankenz_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(3)
+    nbins, nobs = 20, 403  # not a multiple of 8
+    grid = np.arange(nbins)
+    nz_true = np.exp(-0.5 * ((grid - 7.0) / 2.5) ** 2)
+    nz_true /= nz_true.sum()
+    ztrue = rng.choice(nbins, size=nobs, p=nz_true)
+    sig = 0.8
+    centers = ztrue + rng.normal(0, sig, nobs)
+    pdfs = np.exp(-0.5 * ((grid[None, :] - centers[:, None]) / sig) ** 2)
+    pdfs /= pdfs.sum(axis=1, keepdims=True)
+    mesh = make_mesh(8)
+
+    samp = hierarchical_sampler(pdfs)
+    samp.run_mcmc(60, thin=5, seed=4, verbose=False, mesh=mesh)
+    samples, lnps = samp.results
+    assert samples.shape == (60, nbins)
+    np.testing.assert_allclose(samples.sum(axis=1), 1.0, atol=1e-3)
+    assert np.isfinite(lnps).all()
+    post = samples[20:].mean(axis=0)
+    emp = np.bincount(ztrue, minlength=nbins) / nobs
+    assert abs(post @ grid - emp @ grid) < 0.3  # mean-z recovered
+    # Padded rows contribute nothing: total counts stay at nobs, so the
+    # posterior is not diluted toward uniform.
+    assert np.abs(post - emp).sum() < 0.4
