@@ -270,13 +270,14 @@ def main():
     rate = npairs / elapsed
     north_star = 1e10  # 1M x 100K in <10 s (BASELINE.json)
     # MFU estimate from the fused kernel's cost model
-    # (ops/fused.py CostEstimate): per (object, model) pair the pipeline
-    # does the F-filter chi^2 reduce (~4 flops/filter: resid, square,
-    # weight, accumulate) plus the Ngrid-wide (padded to a 128 lane
-    # multiple) weights @ G contraction (2 flops/grid point) — the only
-    # MXU-shaped work; everything else is VPU/transcendental epilogue.
+    # (ops/fused.py CostEstimate): per (object, model) pair, TWO passes
+    # over the F-filter chi^2 reduce (~4 flops/filter each: resid,
+    # square, weight, accumulate -> 8F total) plus the Ngrid-wide
+    # (padded to a 128-lane multiple) weights @ G contraction
+    # (2 flops/grid point, the only MXU-shaped work) — everything else
+    # is VPU/transcendental epilogue.
     gp = -(-ngrid // 128) * 128
-    flops_per_pair = 2 * (gp + 4 * nfilt)
+    flops_per_pair = 2 * gp + 8 * nfilt
     peak = _peak_flops(jax.devices()[0])
     mfu = rate * flops_per_pair / peak if peak else None
     result = {

@@ -456,7 +456,7 @@ class BruteForce:
 
         del verbose
         obj_axis = mesh.axis_names[0]
-        ndev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+        ndev = int(mesh.size)
         ndata = data.shape[0]
         # Batch must split evenly over the mesh; round up to a multiple.
         batch_size = -(-batch_size // ndev) * ndev

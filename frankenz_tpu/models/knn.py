@@ -362,24 +362,6 @@ class NearestNeighbors:
                                  approx=approx)
 
 
-    def _lprob_gathered(self, lprob_func, lprob_args, lprob_kwargs):
-        """Vmapped lprob evaluator bound to this fitter's model set.
-
-        Returns ``run(d, de, dm, idx, valid)``.  The heavy lifting lives
-        in the module-level `_gathered_lprob_jit`, whose jit cache is
-        global — repeated fit calls never recompile.  `lprob_args` /
-        values in `lprob_kwargs` must be hashable (they are static).
-        """
-        spec = (lprob_func, tuple(lprob_args or ()),
-                tuple(sorted((lprob_kwargs or {}).items())))
-
-        def run(d, de, dm, idx, valid):
-            return _gathered_lprob_jit(d, de, dm, idx, valid, self.models,
-                                       self.models_err, self.models_mask,
-                                       lprob_spec=spec)
-
-        return run
-
     def _alloc_fits(self, ndata, k, track_scale):
         j = self.K * k
         inf = np.inf
@@ -448,7 +430,8 @@ class NearestNeighbors:
         ndata = data.shape[0]
         batch_size = min(batch_size, max(256, ndata))
         self._alloc_fits(ndata, k, track_scale)
-        lprob_spec = (lprob_func, tuple(lprob_args or ()),
+        lprob_spec = (None if lprob_func is _like.logprob else lprob_func,
+                      tuple(lprob_args or ()),
                       tuple(sorted((lprob_kwargs or {}).items())))
 
         parts = []
@@ -582,7 +565,7 @@ class NearestNeighbors:
         ndata = data.shape[0]
         batch_size = min(batch_size, max(256, ndata))
         if mesh is not None:
-            ndev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+            ndev = int(mesh.size)
             batch_size = -(-batch_size // ndev) * ndev
         dx, sig_thresh, wt_thresh, cdf_thresh = _kde.resolve_kde_opts(
             kde_args, kde_kwargs, wt_thresh, cdf_thresh)
@@ -590,35 +573,12 @@ class NearestNeighbors:
             self._alloc_fits(ndata, k, track_scale)
         model_labels = np.asarray(model_labels)
         model_label_errs = np.asarray(model_label_errs)
-        lprob_spec = (lprob_func, tuple(lprob_args or ()),
+        lprob_spec = (None if lprob_func is _like.logprob else lprob_func,
+                      tuple(lprob_args or ()),
                       tuple(sorted((lprob_kwargs or {}).items())))
-
-        if label_dict is not None:
-            full_pos, full_sig = label_dict.fit(
-                jnp.asarray(model_labels), jnp.asarray(model_label_errs))
-            full_pos = jnp.asarray(full_pos, jnp.int32)
-            full_sig = jnp.asarray(full_sig, jnp.int32)
-            sigmas = jnp.asarray(label_dict.sigma_grid)
-            widths = jnp.asarray(label_dict.sigma_width, jnp.int32)
-            delta = jnp.asarray(label_dict.delta)
-            ngrid = label_dict.Ngrid
-        elif label_grid is not None:
-            grid = jnp.asarray(label_grid)
-            ngrid = len(label_grid)
-            labels_j = jnp.asarray(model_labels)
-            label_errs_j = jnp.asarray(model_label_errs)
-            dx_val = jnp.asarray(dx if dx is not None
-                                 else grid[1] - grid[0])
-        else:
-            raise ValueError("`label_dict` or `label_grid` must be "
-                             "specified.")
-
-        use_dict = label_dict is not None
-        if use_dict:
-            lab = (sigmas, widths, delta, full_pos, full_sig)
-        else:
-            lab = (labels_j, label_errs_j, grid, dx_val,
-                   jnp.asarray(sig_thresh))
+        use_dict, ngrid, lab = _kde.pack_label_spec(
+            label_dict, label_grid, model_labels, model_label_errs,
+            dx=dx, sig_thresh=sig_thresh)
 
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P

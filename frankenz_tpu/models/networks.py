@@ -764,7 +764,8 @@ class _Network:
 
         from .knn import _gathered_lprob_jit
 
-        lprob_spec = (lprob_func, tuple(lprob_args or ()),
+        lprob_spec = (None if lprob_func is _like.logprob else lprob_func,
+                      tuple(lprob_args or ()),
                       tuple(sorted((lprob_kwargs or {}).items())))
 
         def union_lprob(x, xe, xm, idx):
@@ -963,7 +964,7 @@ class _Network:
         data_mask = np.atleast_2d(np.asarray(data_mask, float))
         ndata = data.shape[0]
         if mesh is not None:
-            ndev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+            ndev = int(mesh.size)
             batch_size = -(-batch_size // ndev) * ndev
         occ = self._occupied()
         nocc = len(occ)
@@ -1017,29 +1018,12 @@ class _Network:
             member_tab = self.nodes_bmus if discrete else self.nodes_idxs
             members_dev = jnp.asarray(member_tab[occ])
             cap_sel = min(max_sel_nodes, nocc)
-            lprob_spec = (lprob_func, tuple(lprob_args or ()),
+            lprob_spec = (None if lprob_func is _like.logprob
+                          else lprob_func, tuple(lprob_args or ()),
                           tuple(sorted((lprob_kwargs or {}).items())))
-            if label_dict is not None:
-                fp, fs = label_dict.fit(jnp.asarray(model_labels),
-                                        jnp.asarray(model_label_errs))
-                lab = (jnp.asarray(label_dict.sigma_grid),
-                       jnp.asarray(label_dict.sigma_width, jnp.int32),
-                       jnp.asarray(label_dict.delta),
-                       jnp.asarray(fp, jnp.int32),
-                       jnp.asarray(fs, jnp.int32))
-                use_dict, ngrid = True, label_dict.Ngrid
-            elif label_grid is not None:
-                grid = jnp.asarray(label_grid)
-                ngrid = len(label_grid)
-                lab = (jnp.asarray(model_labels),
-                       jnp.asarray(model_label_errs), grid,
-                       jnp.asarray(dx if dx is not None
-                                   else grid[1] - grid[0]),
-                       jnp.asarray(sig_thresh))
-                use_dict = False
-            else:
-                raise ValueError("`label_dict` or `label_grid` must be "
-                                 "specified.")
+            use_dict, ngrid, lab = _kde.pack_label_spec(
+                label_dict, label_grid, model_labels, model_label_errs,
+                dx=dx, sig_thresh=sig_thresh)
 
             if mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P

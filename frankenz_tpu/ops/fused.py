@@ -204,14 +204,12 @@ def _lnl_tile_freescale_me(d_ref, de_ref, dm_ref, mT_ref, meT_ref, mmT_ref,
         chi2 = A - inter * s_new  # ML identity (exact in real arithmetic)
         return s_new, chi2, logvar, ndim
 
-    scale, chi2, logvar, ndim = sweep(None, True, False)
+    need_logvar0 = scale_iters == 0 and not dim_prior
+    scale, chi2, logvar, ndim = sweep(None, True, need_logvar0)
     for i in range(scale_iters):
         last = i == scale_iters - 1
         scale, chi2, logvar, _ = sweep(scale, False,
                                        last and not dim_prior)
-    if scale_iters == 0 and not dim_prior:
-        # logvar for the zero-iteration path (datum+model variance).
-        _, _, logvar, _ = sweep(None, False, True)
 
     if dim_prior:
         # dof = Ndim - 1 (pdf.py:228).

@@ -341,6 +341,34 @@ def kde_stack_gathered(y, y_std, wts, grid, dx=None, sig_thresh=5.0):
                                         sig_thresh)
 
 
+def pack_label_spec(label_dict, label_grid, model_labels, model_label_errs,
+                    dx=None, sig_thresh=5.0):
+    """``(use_dict, ngrid, lab)`` for the gathered-KDE jit programs.
+
+    `lab` is the 5-tuple of device arrays the fused fit_predict programs
+    consume: with a `PDFDict` it is (sigmas, widths, delta, full_pos,
+    full_sig); with a grid it is (labels, label_errs, grid, dx,
+    sig_thresh).  Shared by the kNN and network streaming paths so the
+    parametrization contract lives in one place.
+    """
+    if label_dict is not None:
+        fp, fs = label_dict.fit(jnp.asarray(model_labels),
+                                jnp.asarray(model_label_errs))
+        lab = (jnp.asarray(label_dict.sigma_grid),
+               jnp.asarray(label_dict.sigma_width, jnp.int32),
+               jnp.asarray(label_dict.delta),
+               jnp.asarray(fp, jnp.int32), jnp.asarray(fs, jnp.int32))
+        return True, label_dict.Ngrid, lab
+    if label_grid is None:
+        raise ValueError("`label_dict` or `label_grid` must be "
+                         "specified.")
+    grid = jnp.asarray(label_grid)
+    lab = (jnp.asarray(model_labels), jnp.asarray(model_label_errs), grid,
+           jnp.asarray(dx if dx is not None else grid[1] - grid[0]),
+           jnp.asarray(sig_thresh))
+    return False, len(label_grid), lab
+
+
 def kde_stack(weights, G, wt_thresh=1e-3, cdf_thresh=2e-4):
     """Stack thresholded weights through a kernel matrix: (Nobj, Ngrid).
 

@@ -218,7 +218,7 @@ class hierarchical_sampler:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             obj_axis = mesh.axis_names[0]
-            ndev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+            ndev = int(mesh.size)
             npad = (-nobs) % ndev
             pdfs_np = self.pdfs
             valid = np.ones(nobs + npad, np.float64)

@@ -280,15 +280,17 @@ class population_sampler:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             obj_axis = mesh.axis_names[0]
-            ndev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+            ndev = int(mesh.size)
             npad = (-nobs) % ndev
             pdfs_np = self.pdfs
             if npad:
-                # Uniform pad rows: overlap = sum(pos)/Nbins = 1/Nbins on
-                # the simplex — a CONSTANT lnpost shift, exact otherwise.
+                # Uniform pad rows: overlap = sum(pos)/Nbins, and pair
+                # proposals preserve sum(pos) — a CONSTANT lnpost shift
+                # per chain (sum(pos0) need not be 1), exact otherwise.
                 pad = np.full((npad, nbins), 1.0 / nbins, self.pdfs.dtype)
                 pdfs_np = np.concatenate([self.pdfs, pad], axis=0)
-                lnp_shift = npad * np.log(1.0 / nbins)
+                lnp_shift = npad * np.log(
+                    np.asarray(pos0).sum(axis=1) / nbins)[:, None]
             pdfs = jax.device_put(jnp.asarray(pdfs_np),
                                   NamedSharding(mesh, P(obj_axis)))
             runner = _pop_run_sharded(mesh, obj_axis, prior, thin,

@@ -48,8 +48,10 @@ def make_sdss_mock(nobj=110_000, seed=13, cache=True, zbounds=(0, 7),
     the stripped reference catalog is a spectroscopic training sample,
     so photometry here is high-SNR with realistic color-z structure.
     """
+    bounds = (f"m{mbounds[0]:g}-{mbounds[1]:g}"
+              f"_z{zbounds[0]:g}-{zbounds[1]:g}")
     cache_path = os.path.join(
-        _CACHE, f"{survey}_{templates}_{prior}_{nobj}_{seed}.npz")
+        _CACHE, f"{survey}_{templates}_{prior}_{nobj}_{seed}_{bounds}.npz")
     if cache and os.path.exists(cache_path):
         with np.load(cache_path) as f:
             return {k: f[k] for k in f.files}
