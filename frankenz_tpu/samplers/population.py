@@ -202,7 +202,11 @@ class population_sampler:
     """
 
     def __init__(self, pdfs):
-        self.pdfs = np.asarray(pdfs)
+        # Host-side float64: mixed-precision inputs (e.g. float32 PDFs
+        # from the fitters) would otherwise promote inconsistently inside
+        # the scan carry (jnp.asarray downcasts uniformly when x64 is
+        # disabled, so on-device dtype stays consistent either way).
+        self.pdfs = np.asarray(pdfs, float)
         self.samples = []
         self.samples_lnp = []
         self._chain_state = None
