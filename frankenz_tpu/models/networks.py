@@ -53,6 +53,7 @@ import functools
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
 
 from ..ops import kde as _kde
 from ..ops import likelihood as _like
@@ -1137,13 +1138,143 @@ def _som_train_jit(nodes0, draws, times, mods, errs, mask, positions, *,
     return jax.lax.scan(step, nodes0, (draws, times))
 
 
+_LEARN_NAMES = {learn_linear: "linear", learn_geometric: "geometric",
+                learn_harmonic: "harmonic"}
+
+
+def _learn_value(name, t, start, end):
+    """Traced learning-rate schedule by static name (networks.py:38-68)."""
+    if name == "linear":
+        return (1.0 - t) * start + t * end
+    if name == "geometric":
+        return jnp.exp((1.0 - t) * jnp.log(start) + t * jnp.log(end))
+    return 1.0 / ((1.0 - t) / start + t / end)  # harmonic
+
+
+def _make_som_mega_kernel(*, chunk, nsteps, nproj, nside, wt_thresh,
+                          dim_prior, learn_name, lstart, lend,
+                          neighbor_name, nb_rate, nstart, nend):
+    """Whole-training-run SOM kernel body: the node table lives in the
+    output ref across sequential grid steps; each grid step streams a
+    (chunk, 128) slab of pre-gathered draws and runs `chunk` sequential
+    BMU updates entirely on-chip (no per-step kernel launches).
+
+    Cleaned-data semantics (pdf.py:310-311) arrive pre-baked: masked /
+    non-finite / zero-error bands carry iv = 0 and x = 0 (as do the lane
+    pads), so they vanish from every sum and Ndim = #(iv > 0).
+    """
+
+    def kernel(x_ref, xraw_ref, iv_ref, nodes0_ref, pos_ref, nodes_ref):
+        g = pl.program_id(0)
+
+        @pl.when(g == 0)
+        def _():
+            nodes_ref[:, :] = nodes0_ref[:, :]
+
+        def step(c, _):
+            i = g * chunk + c
+            t = i.astype(jnp.float32) / float(max(nsteps - 1, 1))
+            x = x_ref[pl.ds(c, 1), :]     # (1, 128): cleaned photometry
+            iv = iv_ref[pl.ds(c, 1), :]   # (1, 128): mask/xe^2 (pads 0)
+            nodes = nodes_ref[:, :]       # (N, 128)
+            # Free-scale error-free color likelihood (pdf.py:180-194):
+            # chi2 = A - inter^2/shape with datum-only variances.
+            xiv = x * iv
+            inter = jnp.sum(nodes * xiv, axis=1, keepdims=True)
+            shape = jnp.sum(nodes * nodes * iv, axis=1, keepdims=True)
+            A = jnp.sum(x * xiv)
+            chi2 = A - inter * (inter / jnp.maximum(shape, 1e-30))
+            if dim_prior:
+                # Per-step dof: node masks are all-ones, so Ndim is the
+                # same for every node and only a1 varies by step; the
+                # gammaln normalization is a per-step constant and drops
+                # out of the argmax.
+                ndim = jnp.sum((iv > 0.0).astype(jnp.float32))
+                a1 = 0.5 * (ndim - 1.0) - 1.0
+                score = (a1 * jnp.log(jnp.maximum(chi2, 1e-30))
+                         - 0.5 * chi2)
+            else:
+                score = -0.5 * chi2
+            bmu = jnp.argmax(score[:, 0])
+
+            # Neighborhood over the lattice (networks.py:71-118).
+            pbmu = pos_ref[pl.ds(bmu, 1), :]
+            diff = pos_ref[:, :] - pbmu
+            sqd = jnp.sum(diff * diff, axis=1, keepdims=True)
+            sigma = _learn_value(nb_rate, t, nstart, nend) * float(nside)
+            if neighbor_name == "gauss":
+                wt = jnp.exp(-0.5 * sqd / (sigma * sigma))
+            else:  # lorentz
+                wt = sigma * sigma / (sqd + sigma * sigma)
+            rate = _learn_value(learn_name, t, lstart, lend)
+            keep = wt > wt_thresh * jnp.max(wt)
+            # The node update uses the RAW draw (the reference cleans
+            # data only inside the likelihood, networks.py:1864).
+            xraw = xraw_ref[pl.ds(c, 1), :]
+            # Steps beyond nsteps (chunk-alignment padding) are no-ops.
+            live = (i < nsteps).astype(jnp.float32)
+            upd = live * rate * wt * (xraw - nodes)
+            nodes_ref[:, :] = nodes + jnp.where(keep, upd, 0.0)
+            return 0
+
+        jax.lax.fori_loop(0, chunk, step, 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("nsteps", "nproj",
+                                             "nside", "wt_thresh",
+                                             "dim_prior", "learn_name",
+                                             "lstart", "lend",
+                                             "neighbor_name", "nb_rate",
+                                             "nstart", "nend", "chunk",
+                                             "interpret"))
+def _som_train_pallas(nodes0, x_seq, xraw_seq, iv_seq, positions, *, nsteps,
+                      nproj, nside, wt_thresh, dim_prior, learn_name,
+                      lstart, lend, neighbor_name, nb_rate, nstart, nend,
+                      chunk, interpret):
+    """Dispatch the SOM mega-kernel.
+
+    nodes0: (N, 128) zero-lane-padded node table; x_seq / iv_seq:
+    (nsteps padded to a chunk multiple, 128) pre-gathered draw
+    photometry and inverse error variances (lane padding: x zeros,
+    iv zeros).  Steps past `nsteps` are masked no-ops in-kernel.
+    """
+    npad = x_seq.shape[0]
+    assert npad % chunk == 0
+    kernel = _make_som_mega_kernel(
+        chunk=chunk, nsteps=nsteps, nproj=nproj, nside=nside,
+        wt_thresh=wt_thresh, dim_prior=dim_prior, learn_name=learn_name,
+        lstart=lstart, lend=lend, neighbor_name=neighbor_name,
+        nb_rate=nb_rate, nstart=nstart, nend=nend)
+    n = nodes0.shape[0]
+    grid = npad // chunk
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((chunk, 128), lambda g: (g, 0)),
+                  pl.BlockSpec((chunk, 128), lambda g: (g, 0)),
+                  pl.BlockSpec((chunk, 128), lambda g: (g, 0)),
+                  pl.BlockSpec((n, 128), lambda g: (0, 0)),
+                  pl.BlockSpec((n, 128), lambda g: (0, 0))],
+        out_specs=pl.BlockSpec((n, 128), lambda g: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, 128), jnp.float32),
+        interpret=interpret,
+    )(x_seq, xraw_seq, iv_seq, nodes0, positions)
+
+
 class SelfOrganizingMap(_Network):
     """Classic SOM trained with log-posterior BMU matching.
 
     Reference: networks.py:1490-1867.  Defaults: 50x50 lattice (nside=50,
     nproj=2), niter=2000 x nbatch=50 = 100K sequential steps, free-scale
     error-free color likelihood, harmonic learning rate, Gaussian
-    neighborhood.  Training runs as ONE `lax.scan` on device.
+    neighborhood.  Training runs as ONE `lax.scan` on device; on TPU the
+    default configuration auto-dispatches to a Pallas mega-kernel that
+    runs the ENTIRE training loop on-chip (node table resident in VMEM
+    across sequential grid steps, draws streamed in chunks — no
+    per-step kernel launches; ~2x the scan path, trajectories
+    distribution-equivalent).  Control with ``use_pallas``.
     """
 
     def train_network(self, models=None, models_err=None, models_mask=None,
@@ -1153,7 +1284,7 @@ class SelfOrganizingMap(_Network):
                       cdf_thresh=2e-4, rng=None, seed=None,
                       lprob_args=None, lprob_kwargs=None, track_scale=False,
                       learn_args=None, learn_kwargs=None, neighbor_args=None,
-                      neighbor_kwargs=None, verbose=True):
+                      neighbor_kwargs=None, verbose=True, use_pallas=None):
         del verbose
         if models is None:
             models = self._models_np
@@ -1209,6 +1340,75 @@ class SelfOrganizingMap(_Network):
                       tuple(sorted(learn_kwargs.items())))
         neighbor_spec = (neighbor_fn, tuple(neighbor_args),
                          tuple(sorted(neighbor_kwargs.items())))
+
+        # Mega-kernel eligibility: default free-scale error-free color
+        # likelihood, named schedules, wt_thresh mode, modest lattice.
+        kw = dict(lprob_spec[2])
+        nb_rate = neighbor_kwargs.get("rate", "harmonic")
+        mega_ok = (
+            lprob_spec[0] is None and not lprob_spec[1]
+            and kw.get("free_scale") is True
+            and kw.get("ignore_model_err") is True
+            and set(kw) <= {"free_scale", "ignore_model_err", "dim_prior"}
+            and not track_scale
+            and wt_thresh is not None
+            and learn_fn in _LEARN_NAMES and not learn_args
+            and set(learn_kwargs) <= {"start", "end"}
+            and neighbor_fn in (neighbor_gauss, neighbor_lorentz)
+            and not neighbor_args
+            and set(neighbor_kwargs) <= {"start", "end", "rate"}
+            and isinstance(nb_rate, str) and nb_rate in ("linear",
+                                                         "geometric",
+                                                         "harmonic")
+            and self.NNODE <= 16384)
+        if use_pallas is None:
+            from ..ops import fused as _fz
+            use_pallas = mega_ok and _fz.pallas_supported()
+        elif use_pallas and not mega_ok:
+            raise ValueError("use_pallas=True requires the default "
+                             "free-scale error-free likelihood, named "
+                             "learn/neighbor schedules, wt_thresh mode, "
+                             "and <= 16384 nodes")
+        if use_pallas:
+            from ..ops.fused import pallas_supported
+
+            # Pre-gather draws and bake cleaned-data semantics into iv.
+            x = models[draws].astype(np.float32)
+            xe = models_err[draws].astype(np.float32)
+            xm = models_mask[draws].astype(np.float32)
+            ok = (np.isfinite(x) & np.isfinite(xe) & (xe > 0) & (xm == 1))
+            iv = np.where(ok, 1.0 / np.where(ok, xe, 1.0) ** 2, 0.0)
+            x = np.where(ok, x, 0.0)
+            chunk = 512
+            npad = -(-nsteps // chunk) * chunk
+            x_seq = np.zeros((npad, 128), np.float32)
+            xraw_seq = np.zeros((npad, 128), np.float32)
+            iv_seq = np.zeros((npad, 128), np.float32)
+            x_seq[:nsteps, :x.shape[1]] = x
+            xraw_seq[:nsteps, :x.shape[1]] = models[draws]
+            iv_seq[:nsteps, :x.shape[1]] = iv
+            nodes0 = np.zeros((self.NNODE, 128), np.float32)
+            nodes0[:, :init.shape[1]] = init
+            pos128 = np.zeros((self.NNODE, 128), np.float32)
+            pos128[:, :nproj] = pos
+            out = _som_train_pallas(
+                jnp.asarray(nodes0), jnp.asarray(x_seq),
+                jnp.asarray(xraw_seq),
+                jnp.asarray(iv_seq), jnp.asarray(pos128), nsteps=nsteps,
+                nproj=nproj, nside=nside, wt_thresh=float(wt_thresh),
+                dim_prior=bool(kw.get("dim_prior", True)),
+                learn_name=_LEARN_NAMES[learn_fn],
+                lstart=float(learn_kwargs.get("start", 0.5)),
+                lend=float(learn_kwargs.get("end", 0.1)),
+                neighbor_name=("gauss" if neighbor_fn is neighbor_gauss
+                               else "lorentz"), nb_rate=nb_rate,
+                nstart=float(neighbor_kwargs.get("start", 0.7)),
+                nend=float(neighbor_kwargs.get("end", 0.02)),
+                chunk=chunk, interpret=not pallas_supported())
+            self.nodes = np.asarray(jax.device_get(out),
+                                    float)[:, :init.shape[1]]
+            return self
+
         nodes, _ = _som_train_jit(
             jnp.asarray(init, jnp.float32), jnp.asarray(draws),
             jnp.asarray(times, jnp.float32),

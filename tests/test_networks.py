@@ -256,3 +256,44 @@ def test_fit_predict_save_fits_false_matches(blob_problem):
                                        err_msg=str((nodes_only, labels)))
             np.testing.assert_allclose(lm_b, lm_a, rtol=1e-5)
             np.testing.assert_allclose(le_b, le_a, rtol=1e-5)
+
+
+def test_som_pallas_mega_kernel_matches_scan(blob_problem):
+    """The whole-training-run Pallas kernel (interpret mode on CPU)
+    reproduces the lax.scan path: same draws, same update math."""
+    models, me, mm, zlab, centers, zc = blob_problem
+    kw = dict(nside=4, nproj=2, niter=40, nbatch=10, seed=9,
+              verbose=False)
+    a = SelfOrganizingMap(models, me, mm)
+    a.train_network(use_pallas=False, **kw)
+    b = SelfOrganizingMap(models, me, mm)
+    b.train_network(use_pallas=True, **kw)
+    # f32 op-order differences can flip a BMU tie; on this short run the
+    # trajectories stay numerically locked.
+    np.testing.assert_allclose(b.nodes, a.nodes, rtol=2e-4, atol=2e-4)
+    # Ineligible configs refuse loudly.
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="use_pallas"):
+        c = SelfOrganizingMap(models, me, mm)
+        c.train_network(use_pallas=True, track_scale=True, **kw)
+
+
+def test_som_pallas_mega_kernel_masked_bands():
+    """Masked / zero-error bands drop out via iv=0 exactly like the scan
+    path's clean_data semantics.  (At most one bad band per object:
+    free-scale draws with Ndim <= 2 have chi2 ~ 0 for every node, and
+    the two implementations break the resulting tie differently.)"""
+    rng = np.random.default_rng(8)
+    centers = rng.uniform(2, 9, (4, 5))
+    models = np.vstack([c + rng.normal(0, 0.3, (80, 5)) for c in centers])
+    me2 = np.full_like(models, 0.05)
+    mm2 = np.ones_like(models)
+    me2[::7, 0] = 0.0       # zero-error band -> cleaned out
+    mm2[1::5, 2] = 0.0      # masked band
+    kw = dict(nside=3, nproj=2, niter=30, nbatch=10, seed=2,
+              verbose=False)
+    a = SelfOrganizingMap(models, me2, mm2)
+    a.train_network(use_pallas=False, **kw)
+    b = SelfOrganizingMap(models, me2, mm2)
+    b.train_network(use_pallas=True, **kw)
+    np.testing.assert_allclose(b.nodes, a.nodes, rtol=2e-4, atol=2e-4)
