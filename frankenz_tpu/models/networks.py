@@ -1438,18 +1438,52 @@ def _gng_train_jit(pos0, alive0, ages0, draws, mods, errs, mask, *,
     lprob_kwargs = dict(lp_kw)
     N = pos0.shape[0]
     nsteps = draws.shape[0]
+    # Inline the default free-scale error-free likelihood: the general
+    # `logprob` machinery adds ~5x the per-step op count inside the
+    # sequential scan (clean_data, result plumbing, dispatch), which
+    # dominates at one draw per step.
+    default_spec = (lprob_spec[0] is None and not lprob_spec[1]
+                    and dict(lp_kw).get("free_scale") is True
+                    and dict(lp_kw).get("ignore_model_err") is True
+                    and set(dict(lp_kw)) <= {"free_scale",
+                                             "ignore_model_err",
+                                             "dim_prior"})
+    dim_prior = dict(lp_kw).get("dim_prior", True)
 
-    def step(state, xs):
+    def _default_lnp_chi2(x, xe, xm, pos, alive):
+        """(lnp-score, chi2) vs all nodes; score is lnl up to a per-step
+        constant (the argmax/top-2 target; pdf.py:180-229)."""
+        ok = (jnp.isfinite(x) & jnp.isfinite(xe) & (xe > 0.0)
+              & (xm > 0.0))
+        iv = jnp.where(ok, 1.0 / jnp.where(ok, xe, 1.0) ** 2, 0.0)
+        xc = jnp.where(ok, x, 0.0)
+        xiv = xc * iv
+        inter = pos @ xiv
+        shape = (pos * pos) @ iv
+        A = jnp.sum(xc * xiv)
+        chi2 = A - inter * (inter / jnp.maximum(shape, 1e-30))
+        if dim_prior:
+            ndim = jnp.sum(ok.astype(pos.dtype))
+            a1 = 0.5 * (ndim - 1.0) - 1.0
+            score = a1 * jnp.log(jnp.maximum(chi2, 1e-30)) - 0.5 * chi2
+        else:
+            score = -0.5 * chi2
+        return jnp.where(alive, score, -jnp.inf), chi2
+
+    def step(state, idx):
         pos, err, alive, ages, nalive = state
-        i, idx = xs
         x, xe, xm = mods[idx], errs[idx], mask[idx]
-        res = lprob_func(x[None], xe[None], xm[None], pos,
-                         jnp.zeros_like(pos), jnp.ones_like(pos),
-                         *lprob_args, **lprob_kwargs)
-        lnp = jnp.where(alive, res[2][0], -jnp.inf)
-        chi2 = res[4][0]
-        if track_scale:
-            pos = jnp.where(alive[:, None], pos * res[5][0][:, None], pos)
+        if default_spec and not track_scale:
+            lnp, chi2 = _default_lnp_chi2(x, xe, xm, pos, alive)
+        else:
+            res = lprob_func(x[None], xe[None], xm[None], pos,
+                             jnp.zeros_like(pos), jnp.ones_like(pos),
+                             *lprob_args, **lprob_kwargs)
+            lnp = jnp.where(alive, res[2][0], -jnp.inf)
+            chi2 = res[4][0]
+            if track_scale:
+                pos = jnp.where(alive[:, None],
+                                pos * res[5][0][:, None], pos)
         _, top2 = jax.lax.top_k(lnp, 2)
         bmu, bmu2 = top2[0], top2[1]
 
@@ -1470,46 +1504,71 @@ def _gng_train_jit(pos0, alive0, ages0, draws, mods, errs, mask, *,
         pos = pos + jnp.where(nbr[:, None], learn_neighbor * resid_n, 0.0)
         ages = ages.at[bmu].set(jnp.where(nbr, ages[bmu] + 1, -1))
         ages = ages.at[:, bmu].set(jnp.where(nbr, ages[:, bmu] + 1, -1))
+        return (pos, err, alive, ages, nalive), ()
 
-        def batch_update(args):
+    def batch_update(args):
+        pos, err, alive, ages, nalive = args
+        # Prune overage edges.
+        ages = jnp.where(ages >= max_age, -1, ages)
+        deg = jnp.sum(ages >= 0, axis=1)
+        alive = alive & (deg > 0)
+        nalive = jnp.sum(alive)
+
+        # Insert a node at the max-error node if room.
+        def insert(args):
             pos, err, alive, ages, nalive = args
-            # Prune overage edges.
-            ages = jnp.where(ages >= max_age, -1, ages)
-            deg = jnp.sum(ages >= 0, axis=1)
-            alive = alive & (deg > 0)
-            nalive = jnp.sum(alive)
+            e1 = jnp.argmax(jnp.where(alive, err, -jnp.inf))
+            nbr_e = ages[e1] >= 0
+            e2 = jnp.argmax(jnp.where(nbr_e, err, -jnp.inf))
+            free = jnp.argmin(alive)  # first dead slot
+            err = err.at[e1].multiply(1.0 - new_err_dec)
+            err = err.at[e2].multiply(1.0 - new_err_dec)
+            pos = pos.at[free].set(0.5 * (pos[e1] + pos[e2]))
+            err = err.at[free].set(err[e1])
+            alive = alive.at[free].set(True)
+            ages = ages.at[e1, e2].set(-1).at[e2, e1].set(-1)
+            ages = ages.at[free, e1].set(0).at[e1, free].set(0)
+            ages = ages.at[free, e2].set(0).at[e2, free].set(0)
+            return pos, err, alive, ages, nalive + 1
 
-            # Insert a node at the max-error node if room.
-            def insert(args):
-                pos, err, alive, ages, nalive = args
-                e1 = jnp.argmax(jnp.where(alive, err, -jnp.inf))
-                nbr_e = ages[e1] >= 0
-                e2 = jnp.argmax(jnp.where(nbr_e, err, -jnp.inf))
-                free = jnp.argmin(alive)  # first dead slot
-                err = err.at[e1].multiply(1.0 - new_err_dec)
-                err = err.at[e2].multiply(1.0 - new_err_dec)
-                pos = pos.at[free].set(0.5 * (pos[e1] + pos[e2]))
-                err = err.at[free].set(err[e1])
-                alive = alive.at[free].set(True)
-                ages = ages.at[e1, e2].set(-1).at[e2, e1].set(-1)
-                ages = ages.at[free, e1].set(0).at[e1, free].set(0)
-                ages = ages.at[free, e2].set(0).at[e2, free].set(0)
-                return pos, err, alive, ages, nalive + 1
+        return jax.lax.cond(nalive < N, insert, lambda a: a,
+                            (pos, err, alive, ages, nalive))
 
-            return jax.lax.cond(nalive < N, insert, lambda a: a,
-                                (pos, err, alive, ages, nalive))
+    # Nested scan: the reference fires batch_update at every
+    # i %% nbatch == 0 step (AFTER that step's BMU ops,
+    # networks.py:2204-2243), i.e. once per block — running it
+    # unconditionally per block avoids a per-step lax.cond whose
+    # pass-through branch forces a full age-matrix copy every step
+    # (~80 us/step of pure HBM traffic at max_nodes=2500).
+    niter_blocks = nsteps // nbatch
+    draws2 = draws[:niter_blocks * nbatch].reshape(niter_blocks, nbatch)
 
-        pos, err, alive, ages, nalive = jax.lax.cond(
-            i % nbatch == 0, batch_update, lambda a: a,
-            (pos, err, alive, ages, nalive))
+    def decay(state):
+        pos, err, alive, ages, nalive = state
+        return pos, err * (1.0 - all_err_dec), alive, ages, nalive
 
-        err = err * (1.0 - all_err_dec)
-        return (pos, err, alive, ages, nalive), bmu
+    def dstep(state, idx):
+        state, _ = step(state, idx)
+        return decay(state), ()
+
+    def block(state, idx_row):
+        # Reference per-step order (networks.py:2159-2258): BMU ops,
+        # then prune+insert when i %% nbatch == 0, then error decay.
+        state, _ = step(state, idx_row[0])
+        state = decay(batch_update(state))
+        if nbatch > 1:
+            state, _ = jax.lax.scan(dstep, state, idx_row[1:])
+        return state, ()
 
     state0 = (pos0, jnp.zeros(N, jnp.float32), alive0, ages0,
               jnp.sum(alive0))
-    steps = (jnp.arange(nsteps), draws)
-    state, bmus = jax.lax.scan(step, state0, steps)
+    state, _ = jax.lax.scan(block, state0, draws2)
+    # Trailing steps when nsteps is not a block multiple (only possible
+    # with hand-built draw arrays; train_network always passes
+    # niter * nbatch).
+    rem = nsteps - niter_blocks * nbatch
+    if rem:
+        state, _ = jax.lax.scan(dstep, state, draws[-rem:])
     return state
 
 
