@@ -101,7 +101,12 @@ def _pop_run(keys, pos0, pdfs, *, prior, thin, mh_steps, axis_name=None):
     chain state stays replicated — the multi-chip layout for catalogs
     too large for one chip.
     """
-    step = _chain_step(pdfs, prior, mh_steps, axis_name=axis_name)
+    # Row-major transpose for the per-step pair columns: a dynamic
+    # column extraction (pdfs[:, i]) is a lane-dimension dynamic slice
+    # on TPU (layout shuffle per access); rows of the transpose are
+    # cheap sublane slices.
+    pdfsT = pdfs.T
+    step = _chain_step(pdfsT, prior, mh_steps, axis_name=axis_name)
 
     def lnsum(ov):
         s = jnp.sum(jnp.log(ov))
@@ -124,8 +129,11 @@ def _pop_run(keys, pos0, pdfs, *, prior, thin, mh_steps, axis_name=None):
     return jax.vmap(run_one_chain)(keys, pos0)
 
 
-def _chain_step(pdfs, logprior_nz, mh_steps, axis_name=None):
-    """One Gibbs step (random pair + mh_steps MH proposals) as a pure fn."""
+def _chain_step(pdfsT, logprior_nz, mh_steps, axis_name=None):
+    """One Gibbs step (random pair + mh_steps MH proposals) as a pure fn.
+
+    ``pdfsT`` is the (Nbins, Nobs) transpose — see `_pop_run`.
+    """
 
     def lnlike_from_overlap(ov):
         s = jnp.sum(jnp.log(ov))
@@ -137,7 +145,7 @@ def _chain_step(pdfs, logprior_nz, mh_steps, axis_name=None):
         nbins = pos.shape[0]
         # Random unordered pair (i != j), as rstate.choice(replace=False).
         i, j = jax.random.choice(kpair, nbins, (2,), replace=False)
-        dcol = pdfs[:, i] - pdfs[:, j]
+        dcol = pdfsT[i, :] - pdfsT[j, :]
         t = jnp.zeros_like(pos).at[i].set(1.0).at[j].set(-1.0)
 
         # Numerical gradient along the pair direction (samplers.py:272-287).
