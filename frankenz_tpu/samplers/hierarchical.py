@@ -65,6 +65,9 @@ def _hier_run(keys, pos0, pdfs, alpha, beta, ref, ref_norm, valid=None, *,
     (replicated) keys, so chain state is identical on every shard.
     """
     nbins = pos0.shape[-1]
+    # Hoisted: the per-object log-PDF matrix is loop-invariant; only the
+    # log of the (Nbins,) population vector changes per sweep.
+    log_pdfs = jnp.log(pdfs)
 
     def sweep(carry, key):
         pos, ref_counts = carry
@@ -73,7 +76,7 @@ def _hier_run(keys, pos0, pdfs, alpha, beta, ref, ref_norm, valid=None, *,
             kz = jax.random.fold_in(kz, jax.lax.axis_index(axis_name))
         # Per-object categorical draw ~ p_g * rho via Gumbel-max
         # (samplers.py:519-520's multinomial(1, .) loop, vectorized).
-        logits = jnp.log(pdfs * pos[None, :])
+        logits = log_pdfs + jnp.log(pos)[None, :]
         g = jax.random.gumbel(kz, logits.shape)
         zdraw = jnp.argmax(logits + g, axis=1)
         w = jnp.ones(pdfs.shape[0], pos.dtype) if valid is None else valid
