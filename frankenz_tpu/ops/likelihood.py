@@ -34,10 +34,10 @@ Design notes (TPU):
   XLA fuses this into a single elementwise pipeline over the (Nobj, Nmodel)
   tile and never materializes (Nobj, Nmodel, Nfilt).
 * When ``ignore_model_err=True`` the variance depends only on the datum and
-  chi^2 decomposes into three matmuls ``(Nobj, 3*Nfilt) @ (3*Nfilt,
-  Nmodel)`` that run on the MXU — see `frankenz_tpu.ops.chi2` for that fast
-  path and the fused Pallas pipeline.  This module is the exact
-  reference-parity path and the building block for everything else.
+  chi^2 decomposes into matmuls that run on the MXU (the free-scale fast
+  path below); `frankenz_tpu.ops.fused` holds the Pallas pipeline.  This
+  module is the exact reference-parity path and the building block for
+  everything else.
 """
 
 from __future__ import annotations
