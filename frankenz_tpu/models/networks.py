@@ -414,7 +414,7 @@ class _Network:
     def populate_network(self, lpnet_func=None, wt_thresh=1e-3,
                          cdf_thresh=2e-4, lpnet_args=None,
                          lpnet_kwargs=None, track_scale=True, verbose=True,
-                         batch_size=1024, max_nodes_per_model=64):
+                         batch_size=8192, max_nodes_per_model=64):
         """Soft-assign every model to its matching nodes.
 
         Reference: networks.py:175-356.  One batched pass: per model batch
