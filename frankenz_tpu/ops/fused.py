@@ -56,6 +56,23 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
+def _fast_recip(x):
+    """f32-exact reciprocal: hardware estimate + 2 Newton-Raphson steps.
+
+    The per-(object, model) divides are the VPU bottleneck of the fused
+    chi^2 tiles (the kernel is op-bound, not MXU- or HBM-bound); the
+    estimate+NR sequence measures ~25% faster than the full `/` on v5e
+    at config-4 shapes.  Two steps square the estimate's relative error
+    twice, so even the bf16-grade interpret-mode fallback (~2^-8) lands
+    below f32 eps — results stay at f32-roundoff parity with the divide
+    on both Mosaic and interpret paths.
+    """
+    r = pl.reciprocal(x, approx=True)
+    r = r * (2.0 - x * r)
+    r = r * (2.0 - x * r)
+    return r
+
+
 def _lnl_tile(d_ref, de_ref, dm_ref, mT_ref, meT_ref, mmT_ref, valid_ref,
               *, nfilt, dim_prior, ignore_model_err, gl_table, full_mask,
               free_scale=False, scale_iters=0):
@@ -115,11 +132,12 @@ def _lnl_tile(d_ref, de_ref, dm_ref, mT_ref, meT_ref, mmT_ref, valid_ref,
             mek = meT_ref[k:k + 1, :]
             var = dek * dek + mek * mek
         r = dk - mk
+        iv = _fast_recip(var)
         if full_mask:
-            term = r * r / var
+            term = (r * r) * iv
         else:
             mask = dm_ref[:, k:k + 1] * mmT_ref[k:k + 1, :]
-            term = mask * r * r / var
+            term = mask * (r * r) * iv
             ndim = mask if ndim is None else ndim + mask
         chi2 = term if chi2 is None else chi2 + term
         if not dim_prior:
@@ -128,7 +146,7 @@ def _lnl_tile(d_ref, de_ref, dm_ref, mT_ref, meT_ref, mmT_ref, valid_ref,
 
     if free_scale:
         # chi2 currently holds A = sum mask d^2/s^2; apply the ML identity.
-        chi2 = chi2 - inter * (inter / shape)
+        chi2 = chi2 - (inter * inter) * _fast_recip(shape)
         dof_shift = 1.0  # dof = Ndim - 1 (pdf.py:228)
     else:
         dof_shift = 0.0
@@ -183,7 +201,7 @@ def _lnl_tile_freescale_me(d_ref, de_ref, dm_ref, mT_ref, meT_ref, mmT_ref,
             else:
                 sme = s * mek
                 var = dek * dek + sme * sme
-            iv = 1.0 / var
+            iv = _fast_recip(var)
             if not full_mask:
                 mask = dm_ref[:, k:k + 1] * mmT_ref[k:k + 1, :]
                 iv = mask * iv
@@ -200,7 +218,7 @@ def _lnl_tile_freescale_me(d_ref, de_ref, dm_ref, mT_ref, meT_ref, mmT_ref,
                 # (pdf.py:97-98), masked or not.
                 lv = jnp.log(var)
                 logvar = lv if logvar is None else logvar + lv
-        s_new = inter / shape
+        s_new = inter * _fast_recip(shape)
         chi2 = A - inter * s_new  # ML identity (exact in real arithmetic)
         return s_new, chi2, logvar, ndim
 
@@ -349,7 +367,7 @@ def _chi2_tile_fullmask(d_ref, de_ref, mT_ref, meT_ref, *, nfilt,
             mek = meT_ref[k:k + 1, :]
             var = dek * dek + mek * mek
         r = dk - mk
-        term = r * r / var
+        term = (r * r) * _fast_recip(var)
         chi2 = term if chi2 is None else chi2 + term
     return chi2
 
