@@ -83,6 +83,11 @@ def learn_harmonic(t, start=0.5, end=0.1, **kwargs):
     return 1.0 / ((1.0 - t) / start + t / end)
 
 
+# Phase-1 membership slab width for populate_network: covers >98% of
+# models at the default wt_thresh; overflowing models re-run once at an
+# escalated cap (populate is relay-bandwidth-bound, so slim slabs win).
+_POPULATE_PHASE1_CAP = 16
+
 _LEARN = {"linear": learn_linear, "geometric": learn_geometric,
           "harmonic": learn_harmonic}
 
@@ -439,56 +444,104 @@ class _Network:
         # On-device compaction: transfer only the top-S thresholded
         # memberships per model ((B, S) slabs) instead of (B, Nnode)
         # grids — per-batch fancy-index readbacks over a remote-TPU relay
-        # dominate populate time otherwise.
+        # dominate populate time otherwise.  Two-phase cap: phase 1 runs a
+        # slim slab (16 slots covers >98% of models at the default
+        # threshold); the tail models that overflow it are re-run once at
+        # an escalated cap.  Populate is relay-bandwidth-bound, so the 4x
+        # slab shrink is a direct wall-clock win.
         cap = min(int(max_nodes_per_model), nnode)
+        cap1 = min(_POPULATE_PHASE1_CAP, cap)
         lpnet_spec = (None if lpnet_func is _like.logprob else lpnet_func,
                       tuple(lpnet_args),
                       tuple(sorted(lpnet_kwargs.items())))
 
-        def batch(x, xe, xm):
+        def batch(x, xe, xm, bcap):
             return _populate_batch_jit(x, xe, xm, nodes,
                                        lpnet_spec=lpnet_spec,
                                        wt_thresh=wt_thresh,
-                                       cdf_thresh=cdf_thresh, cap=cap,
+                                       cdf_thresh=cdf_thresh, cap=bcap,
                                        track_scale=bool(track_scale))
 
         mods = self._models_np
         errs = self._models_err_np
         mask = self._models_mask_np
 
+        def dispatch(idx0_or_rows, n, bcap):
+            sl = (slice(idx0_or_rows, idx0_or_rows + n)
+                  if isinstance(idx0_or_rows, int) else idx0_or_rows)
+            x = _pad_rows(mods[sl], batch_size)
+            xe = _pad_rows(errs[sl], batch_size)
+            xm = _pad_rows(mask[sl], batch_size)
+            return batch(jnp.asarray(x), jnp.asarray(xe), jnp.asarray(xm),
+                         bcap)
+
         rows, cols, lws, scs, ses = [], [], [], [], []
         bmus = np.zeros(self.NMODEL, np.int64)
         parts = []
         for i0, n in _batch_slices(self.NMODEL, batch_size):
-            x = _pad_rows(mods[i0:i0 + n], batch_size)
-            xe = _pad_rows(errs[i0:i0 + n], batch_size)
-            xm = _pad_rows(mask[i0:i0 + n], batch_size)
-            parts.append((i0, n, batch(jnp.asarray(x), jnp.asarray(xe),
-                                       jnp.asarray(xm))))
+            parts.append((i0, n, dispatch(i0, n, cap1)))
+
+        def collect(model_idx, cnt, top_lw, top_node, top_scale, top_serr):
+            bcap = top_lw.shape[1]
+            r, c = np.nonzero(np.arange(bcap)[None, :] < cnt[:, None])
+            rows.append(model_idx[r])
+            cols.append(top_node[r, c])
+            lws.append(top_lw[r, c])
+            scs.append(top_scale[r, c])
+            ses.append(top_serr[r, c])
+
+        tail_idx = []
+        tail_max = 0
         for i0, n, part in parts:
             cnt, top_lw, top_node, top_scale, top_serr, bmu, lmap, levid = \
                 jax.device_get(part)
             cnt = cnt[:n]
-            if cnt.max() > cap:
-                raise ValueError(
-                    "a model matched {} nodes (> max_nodes_per_model={}); "
-                    "raise the cap or tighten wt_thresh".format(
-                        int(cnt.max()), cap))
-            r, c = np.nonzero(np.arange(cap)[None, :] < cnt[:, None])
-            rows.append(r + i0)
-            cols.append(top_node[:n][r, c])
-            lws.append(top_lw[:n][r, c])
-            scs.append(top_scale[:n][r, c])
-            ses.append(top_serr[:n][r, c])
+            over = cnt > cap1
+            if over.any():
+                tail_idx.append(np.flatnonzero(over) + i0)
+                tail_max = max(tail_max, int(cnt.max()))
+                cnt = np.where(over, 0, cnt)  # re-collected in phase 2
+            collect(np.arange(i0, i0 + n), cnt, top_lw[:n], top_node[:n],
+                    top_scale[:n], top_serr[:n])
             bmus[i0:i0 + n] = bmu[:n]
             self.models_lmap[i0:i0 + n] = lmap[:n]
             self.models_levid[i0:i0 + n] = levid[:n]
+
+        if tail_idx:
+            if tail_max > cap:
+                raise ValueError(
+                    "a model matched {} nodes (> max_nodes_per_model={}); "
+                    "raise the cap or tighten wt_thresh".format(
+                        tail_max, cap))
+            tail = np.concatenate(tail_idx)
+            # Exact counts are known from phase 1: escalate once to the
+            # next power-of-two slab that fits every tail model.
+            cap2 = cap1
+            while cap2 < tail_max:
+                cap2 *= 2
+            cap2 = min(cap2, cap)
+            tparts = []
+            for j0, n in _batch_slices(len(tail), batch_size):
+                tparts.append((j0, n, dispatch(tail[j0:j0 + n], n, cap2)))
+            for j0, n, part in tparts:
+                cnt, top_lw, top_node, top_scale, top_serr = [
+                    np.asarray(a[:n]) for a in jax.device_get(part[:5])]
+                collect(tail[j0:j0 + n], cnt, top_lw, top_node, top_scale,
+                        top_serr)
 
         model_idx = np.concatenate(rows)
         node_idx = np.concatenate(cols).astype(np.int64)
         logwt = np.concatenate(lws)
         scale = np.concatenate(scs)
         serr = np.concatenate(ses)
+        # Phase-2 (tail) entries arrive after all phase-1 entries; restore
+        # global ascending-model order so per-node member lists keep the
+        # reference's model-iteration order (networks.py:347-354).
+        if tail_idx:
+            om = np.argsort(model_idx, kind="stable")
+            model_idx, node_idx, logwt, scale, serr = (
+                model_idx[om], node_idx[om], logwt[om], scale[om],
+                serr[om])
 
         # Compact into padded per-node tables, preserving model order.
         self.nodes_Nmatch = np.bincount(node_idx,

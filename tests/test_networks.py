@@ -108,6 +108,37 @@ def test_node_pdfs_density_scaling(blob_problem):
     assert (pdfs.sum(axis=1)[~occupied] == 0).all()
 
 
+def test_populate_tail_escalation_matches_single_phase(blob_problem,
+                                                       monkeypatch):
+    """Models overflowing the slim phase-1 membership slab are re-run at
+    an escalated cap; the resulting member tables must be identical to a
+    single-phase populate with a wide slab."""
+    import frankenz_tpu.models.networks as nw
+
+    models, me, mm, zlab, centers, zc = blob_problem
+    # Large errors flatten the likelihood so each model genuinely matches
+    # more than the phase-1 slab of nodes; 25 nodes > phase-1 cap of 16.
+    me_wide = np.full_like(models, 5.0)
+    som = SelfOrganizingMap(models, me_wide, mm)
+    som.train_network(nside=5, nproj=2, niter=100, nbatch=20, seed=3,
+                      verbose=False)
+    som.populate_network(wt_thresh=1e-6, verbose=False)
+    assert som.nodes_Nmatch.sum() > som.NMODEL * nw._POPULATE_PHASE1_CAP
+    got = (som.nodes_Nmatch.copy(), som.nodes_idxs.copy(),
+           som.nodes_logwts.copy(), som.nodes_scales.copy(),
+           som.nodes_scales_err.copy(), som.models_lmap.copy(),
+           som.models_levid.copy())
+    monkeypatch.setattr(nw, "_POPULATE_PHASE1_CAP", 64)
+    som.populate_network(wt_thresh=1e-300, verbose=False)
+    np.testing.assert_array_equal(got[0], som.nodes_Nmatch)
+    np.testing.assert_array_equal(got[1], som.nodes_idxs)
+    np.testing.assert_array_equal(got[2], som.nodes_logwts)
+    np.testing.assert_array_equal(got[3], som.nodes_scales)
+    np.testing.assert_array_equal(got[4], som.nodes_scales_err)
+    np.testing.assert_array_equal(got[5], som.models_lmap)
+    np.testing.assert_array_equal(got[6], som.models_levid)
+
+
 def test_nodes_only_fit_predict(blob_problem):
     models, me, mm, zlab, centers, zc = blob_problem
     som = _train_som(blob_problem)
