@@ -10,6 +10,7 @@ from .mesh import (  # noqa: F401
     make_mesh_2d,
     model_sharded_fit_predict_step,
     replicate,
+    ring_fit_predict_step,
     shard_models,
     shard_objects,
     sharded_fit_predict_step,

@@ -28,7 +28,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 __all__ = ["make_mesh", "make_mesh_2d", "shard_objects",
            "shard_models", "replicate", "sharded_logprob",
            "sharded_fit_predict_step",
-           "model_sharded_fit_predict_step", "stacked_nz"]
+           "model_sharded_fit_predict_step",
+           "ring_fit_predict_step", "stacked_nz"]
 
 OBJ_AXIS = "objects"
 MODEL_AXIS = "models"
@@ -196,6 +197,132 @@ def model_sharded_fit_predict_step(mesh, wt_thresh=1e-3, dim_prior=True,
         local_step, mesh=mesh,
         in_specs=(data_spec, data_spec, data_spec, model_spec, model_spec,
                   model_spec, model_spec),
+        out_specs=(P(OBJ_AXIS, None), P(OBJ_AXIS), P(OBJ_AXIS))))
+
+
+def ring_fit_predict_step(mesh, wt_thresh=1e-3, dim_prior=True,
+                          ignore_model_err=False):
+    """Ring-rotation fused fit->PDF step on a 1-D mesh: objects AND
+    models both sharded over the same axis, with model shards rotating
+    around the ICI ring via `ppermute`.
+
+    This is the full ring-attention analogue from SURVEY.md section 5
+    ("long-context"): the 2-D mesh path
+    (`model_sharded_fit_predict_step`) must replicate each object shard
+    across the model axis, so an (n_obj x n_model) mesh holds only
+    n_obj object shards; here ALL n chips hold distinct object shards
+    AND distinct model shards — n x more objects and models resident per
+    pass — and each chip sees every model shard after n rotation steps.
+    Per step the (B_loc, M_loc) block is computed locally and folded
+    into online accumulators, exactly like the blockwise softmax of
+    ring attention applied to chi^2/logsumexp instead of softmax*V:
+
+      * pass A rotates model shards n times, carrying a running max and
+        rescaled sum-exp per object => exact lmap, levid;
+      * pass B rotates again, stacking exactly-thresholded weights
+        against the co-rotating kernel-matrix shard on the MXU.
+
+    With ``wt_thresh=None`` a single rotation suffices (flash-style
+    rescaled PDF accumulator — no threshold to anchor against the final
+    max).  Shard shapes must divide evenly; returned lmap/levid/pdfs are
+    sharded over objects.  Each `ppermute` is a neighbor-to-neighbor ICI
+    transfer, so the rotation pipeline never funnels the model set
+    through a single all-gather.
+
+    Reference N/A (single-threaded NumPy); semantics match
+    `bruteforce.py:359-360` weights + `pdf.py:508-516` thresholding.
+    """
+    from ..ops import likelihood as _like
+
+    n = int(np.prod(mesh.devices.shape))
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    def local_step(d, de, dm, m, me, mm, G):
+        def lnp_of(m, me, mm):
+            res = _like.logprob(d, de, dm, m, me, mm, dim_prior=dim_prior,
+                                ignore_model_err=ignore_model_err)
+            return res.lnprob
+
+        def rotate(*arrays):
+            return tuple(jax.lax.ppermute(a, OBJ_AXIS, perm)
+                         for a in arrays)
+
+        B = d.shape[0]
+        dt = jnp.result_type(d.dtype, de.dtype, m.dtype, jnp.float32)
+        pdt = jnp.result_type(dt, G.dtype)
+        neg_inf = jnp.asarray(np.finfo(np.float32).min, dt)
+
+        def vary(x):
+            # scan carries must enter with the same varying-over-mesh-axis
+            # type their outputs have inside shard_map.
+            return jax.lax.pvary(x, (OBJ_AXIS,))
+
+        if wt_thresh is None:
+            # One rotation: flash-style rescaled PDF accumulator.
+            def step(carry, _):
+                m, me, mm, G, rm, s, pdf = carry
+                lnp = lnp_of(m, me, mm)
+                t_max = jnp.max(lnp, axis=1)
+                new_m = jnp.maximum(rm, t_max)
+                alpha = jnp.exp(rm - new_m)
+                w = jnp.exp(lnp - new_m[:, None])
+                s = s * alpha + jnp.sum(w, axis=1)
+                pdf = pdf * alpha[:, None] + w @ G
+                m, me, mm, G = rotate(m, me, mm, G)
+                return (m, me, mm, G, new_m, s, pdf), ()
+
+            rm0 = vary(jnp.full((B,), neg_inf, dt))
+            s0 = vary(jnp.zeros((B,), dt))
+            pdf0 = vary(jnp.zeros((B, G.shape[1]), pdt))
+            (m, me, mm, G, rm, s, pdf), _ = jax.lax.scan(
+                step, (m, me, mm, G, rm0, s0, pdf0), None, length=n)
+            levid = jnp.log(jnp.maximum(s, 1e-300)) + rm
+            pdf = pdf * jnp.exp(rm - levid)[:, None]
+            lmap = rm
+        else:
+            # Pass A: exact lmap/levid via online max + rescaled sum-exp.
+            def step_a(carry, _):
+                m, me, mm, rm, s = carry
+                lnp = lnp_of(m, me, mm)
+                t_max = jnp.max(lnp, axis=1)
+                new_m = jnp.maximum(rm, t_max)
+                s = (s * jnp.exp(rm - new_m)
+                     + jnp.sum(jnp.exp(lnp - new_m[:, None]), axis=1))
+                m, me, mm = rotate(m, me, mm)
+                return (m, me, mm, new_m, s), ()
+
+            rm0 = vary(jnp.full((B,), neg_inf, dt))
+            s0 = vary(jnp.zeros((B,), dt))
+            (m, me, mm, lmap, s), _ = jax.lax.scan(
+                step_a, (m, me, mm, rm0, s0), None, length=n)
+            levid = jnp.log(jnp.maximum(s, 1e-300)) + lmap
+
+            # Pass B: exact reference threshold against the final lmap.
+            log_thr = jnp.log(wt_thresh)
+
+            def step_b(carry, _):
+                m, me, mm, G, pdf = carry
+                lnp = lnp_of(m, me, mm)
+                w = jnp.exp(lnp - levid[:, None])
+                w = jnp.where(lnp > log_thr + lmap[:, None], w, 0.0)
+                pdf = pdf + w @ G
+                m, me, mm, G = rotate(m, me, mm, G)
+                return (m, me, mm, G, pdf), ()
+
+            pdf0 = vary(jnp.zeros((B, G.shape[1]), pdt))
+            (m, me, mm, G, pdf), _ = jax.lax.scan(
+                step_b, (m, me, mm, G, pdf0), None, length=n)
+
+        norm = jnp.sum(pdf, axis=1, keepdims=True)
+        pdf = jnp.where(norm > 0, pdf / jnp.where(norm > 0, norm, 1.0),
+                        0.0)
+        return pdf, lmap, levid
+
+    data_spec = P(OBJ_AXIS, None)
+    return jax.jit(jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(data_spec, data_spec, data_spec, data_spec, data_spec,
+                  data_spec, data_spec),
         out_specs=(P(OBJ_AXIS, None), P(OBJ_AXIS), P(OBJ_AXIS))))
 
 

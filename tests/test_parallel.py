@@ -99,6 +99,50 @@ def test_model_sharded_step_matches_replicated(problem):
                                rtol=1e-8, atol=1e-12)
 
 
+def test_ring_step_matches_single_device(problem, mesh):
+    """Ring rotation (objects AND models sharded over the same 1-D axis,
+    model shards ppermuted around the ring) == replicated results, for
+    the exact-threshold two-rotation path and the flash-style
+    single-rotation (wt_thresh=None) path."""
+    import jax.numpy as jnp
+
+    from frankenz_tpu.ops import kde as K
+    from frankenz_tpu.ops import likelihood as L
+    from frankenz_tpu.parallel import ring_fit_predict_step
+
+    d, de, dm, m, me, mm = problem
+    # Model count must divide the ring size.
+    m, me, mm = m[:48], me[:48], mm[:48]
+    rng = np.random.default_rng(5)
+    G = np.asarray(K.kernel_matrix(rng.uniform(0, 3, 48),
+                                   np.full(48, 0.1),
+                                   np.linspace(0, 3, 64)))
+
+    res = L.logprob(d, de, dm, m, me, mm)
+    lnp = res.lnprob
+    want_lmap = np.asarray(jnp.max(lnp, axis=1))
+    want_levid = np.asarray(jax.scipy.special.logsumexp(lnp, axis=1))
+
+    for wt_thresh in (1e-3, None):
+        step = ring_fit_predict_step(mesh, wt_thresh=wt_thresh)
+        ds, des, dms = shard_objects(mesh, d, de, dm)
+        ms, mes, mms, Gs = shard_objects(mesh, m, me, mm, G)
+        pdf, lmap, levid = step(ds, des, dms, ms, mes, mms, Gs)
+        wt = jnp.exp(lnp - want_levid[:, None])
+        if wt_thresh is not None:
+            wt = K.threshold_weights(wt, wt_thresh, None)
+        want_pdf = np.asarray(wt @ jnp.asarray(G))
+        want_pdf = want_pdf / want_pdf.sum(axis=1, keepdims=True)
+        np.testing.assert_allclose(np.asarray(lmap), want_lmap,
+                                   rtol=1e-10, err_msg=str(wt_thresh))
+        np.testing.assert_allclose(np.asarray(levid), want_levid,
+                                   rtol=1e-10, err_msg=str(wt_thresh))
+        np.testing.assert_allclose(np.asarray(pdf), want_pdf,
+                                   rtol=1e-8, atol=1e-12,
+                                   err_msg=str(wt_thresh))
+        assert len(pdf.sharding.device_set) == 8
+
+
 def test_catalog_io(mesh):
     from frankenz_tpu.parallel import (catalog_batches,
                                        catalog_from_process_shards,
