@@ -24,6 +24,39 @@ Layer map (mirrors reference layers; see SURVEY.md):
 
 __version__ = "0.1.0"
 
+import os as _os
+import tempfile as _tempfile
+
+import jax as _jax
+
+
+def _default_compilation_cache():
+    """Enable JAX's persistent compilation cache when the user hasn't.
+
+    Remote/accelerator compiles dominate cold-start latency for every
+    public entry point (each fitter pipeline is one large jitted
+    program); a disk cache makes every process after the first start
+    warm.  Respects any user configuration: an existing
+    ``JAX_COMPILATION_CACHE_DIR`` env var or an already-set
+    ``jax_compilation_cache_dir`` wins, and failures (read-only
+    filesystems) are silently ignored.
+    """
+    if _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return
+    try:
+        if _jax.config.jax_compilation_cache_dir is not None:
+            return
+        path = _os.path.join(_tempfile.gettempdir(),
+                             "frankenz_tpu_jax_cache")
+        _jax.config.update("jax_compilation_cache_dir", path)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                           0.5)
+    except Exception:
+        pass
+
+
+_default_compilation_cache()
+
 from . import config  # noqa: F401
 from . import ops  # noqa: F401
 from . import models  # noqa: F401
