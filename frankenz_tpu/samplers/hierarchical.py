@@ -262,3 +262,28 @@ class hierarchical_sampler:
                 self.samples_lnp.append(lnps[:, it])
         self._chain_state = samples[:, -1, :]
         return self
+
+    def sample(self, Niter, alpha=None, pos_init=None, thin=5,
+               ref_sample=None, beta=None, rng=None, seed=None,
+               verbose=True, nchains=1, mesh=None):
+        """Generator yielding one `(pos, lnpost)` per (thinned) sample.
+
+        Reference: samplers.py:429-535 — the generator behind `run_mcmc`.
+        The whole chain is computed on-device up front and the samples
+        are then yielded in order.  Like the reference generator, this
+        does NOT append to the stored chain — only `run_mcmc` does.
+        """
+        del verbose
+        keep = (list(self.samples), list(self.samples_lnp),
+                self._chain_state)
+        try:
+            self.run_mcmc(Niter, alpha=alpha, pos_init=pos_init,
+                          thin=thin, ref_sample=ref_sample, beta=beta,
+                          rng=rng, seed=seed, verbose=False,
+                          nchains=nchains, mesh=mesh)
+            out = list(zip(self.samples[len(keep[0]):],
+                           self.samples_lnp[len(keep[1]):]))
+        finally:
+            self.samples, self.samples_lnp, self._chain_state = keep
+        for pos, lnpost in out:
+            yield pos, lnpost

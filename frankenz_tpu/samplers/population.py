@@ -327,3 +327,30 @@ class population_sampler:
                 self.samples_lnp.append(lnps[:, it])
         self._chain_state = samples[:, -1, :]
         return self
+
+    def sample(self, Niter, logprior_nz=None, pos_init=None, thin=400,
+               mh_steps=3, rng=None, seed=None, verbose=True, nchains=1,
+               prior_args=(), prior_kwargs=None, mesh=None):
+        """Generator yielding one `(pos, lnpost)` per (thinned) sample.
+
+        Reference: samplers.py:200-308 — the generator behind `run_mcmc`.
+        The whole chain is computed on-device up front (sequential MCMC
+        steps stream poorly over a device boundary) and the samples are
+        then yielded in order.  Like the reference generator, this does
+        NOT append to the stored chain — only `run_mcmc` does.
+        """
+        del verbose
+        keep = (list(self.samples), list(self.samples_lnp),
+                self._chain_state)
+        try:
+            self.run_mcmc(Niter, logprior_nz=logprior_nz,
+                          pos_init=pos_init, thin=thin, mh_steps=mh_steps,
+                          rng=rng, seed=seed, verbose=False,
+                          nchains=nchains, prior_args=prior_args,
+                          prior_kwargs=prior_kwargs, mesh=mesh)
+            out = list(zip(self.samples[len(keep[0]):],
+                           self.samples_lnp[len(keep[1]):]))
+        finally:
+            self.samples, self.samples_lnp, self._chain_state = keep
+        for pos, lnpost in out:
+            yield pos, lnpost

@@ -50,6 +50,12 @@ def test_samplers_and_sim_names():
     for name in ("loglike_nz", "population_sampler",
                  "hierarchical_sampler"):
         assert hasattr(samplers, name)
+    # Reference sampler class surface (samplers.py:83-535): reset,
+    # results, run_mcmc, AND the sample generator.
+    for cls in (samplers.population_sampler,
+                samplers.hierarchical_sampler):
+        for meth in ("reset", "results", "run_mcmc", "sample"):
+            assert hasattr(cls, meth), (cls, meth)
     # Reference simulate.py __all__ (simulate.py:22-23).
     for name in ("mag_err", "draw_mag", "draw_type_given_mag",
                  "draw_redshift_given_type_mag", "draw_ztm", "MockSurvey"):

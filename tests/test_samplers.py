@@ -145,3 +145,21 @@ def test_hierarchical_with_reference_sample(mock_pdfs):
     assert samples.shape == (10, 20)
     assert np.isfinite(lnps).all()
     np.testing.assert_allclose(samples.sum(axis=1), 1.0, atol=1e-3)
+
+
+def test_sample_generators_match_run_mcmc(mock_pdfs):
+    """The reference-parity `sample` generators yield the same chain a
+    seeded run_mcmc stores, without mutating sampler state."""
+    pdfs, nz_true, ztrue = mock_pdfs
+    for cls, kw in ((population_sampler, dict(thin=10, mh_steps=2)),
+                    (hierarchical_sampler, dict(thin=3))):
+        s = cls(pdfs)
+        got = list(s.sample(4, seed=11, **kw))
+        assert len(got) == 4
+        assert s.samples == [] and s.samples_lnp == []  # not mutated
+        assert s._chain_state is None
+        s.run_mcmc(4, seed=11, verbose=False, **kw)
+        want, want_lnp = s.results
+        for i, (pos, lnp) in enumerate(got):
+            np.testing.assert_array_equal(pos, want[i])
+            np.testing.assert_allclose(lnp, want_lnp[i])
