@@ -192,7 +192,7 @@ def main():
     nmodel = int(os.environ.get("BENCH_NMODEL", 100_000))
     nfilt = int(os.environ.get("BENCH_NFILT", 5))
     ngrid = int(os.environ.get("BENCH_NGRID", 301))
-    batch = int(os.environ.get("BENCH_BATCH", 32768))
+    batch = int(os.environ.get("BENCH_BATCH", 65536))
 
     from frankenz_tpu.ops import PDFDict, kernel_matrix_dict
     from frankenz_tpu.ops import kde as _kde
