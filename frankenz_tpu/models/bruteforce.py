@@ -67,10 +67,7 @@ def _gof_weights(lnprob):
     return lmap, levid, jnp.exp(lnprob - levid[:, None])
 
 
-@jax.jit
-def _norm_rows(pdf):
-    norm = jnp.sum(pdf, axis=1, keepdims=True)
-    return jnp.where(norm > 0, pdf / jnp.where(norm > 0, norm, 1.0), 0.0)
+_norm_rows = jax.jit(_kde.norm_rows)
 
 
 def _batch_slices(n, batch_size):
@@ -120,10 +117,7 @@ def _sharded_fp_step(mesh, obj_axis, use_pallas, lprob_spec, wt_thresh,
                                 lprob_spec=lprob_spec)
             lmap, levid, wt = _gof_weights(res[2])
             pdf = _kde.kde_stack(wt, G, wt_thresh, cdf_thresh)
-        norm = jnp.sum(pdf, axis=1, keepdims=True)
-        pdf = jnp.where(norm > 0, pdf / jnp.where(norm > 0, norm, 1.0),
-                        0.0)
-        return pdf, lmap, levid
+        return _kde.norm_rows(pdf), lmap, levid
 
     dspec = P(obj_axis, None)
     rspec = P(None, None)
@@ -404,8 +398,7 @@ class BruteForce:
         lprob_args = lprob_args or ()
         lprob_kwargs = lprob_kwargs or {}
 
-        spec = (lprob_func if lprob_func is not _like.logprob else None,
-                tuple(lprob_args), tuple(sorted(lprob_kwargs.items())))
+        spec = _like.static_spec(lprob_func, lprob_args, lprob_kwargs)
 
         def fused(d, de, dm, m, me, mm, G):
             res = _bf_lprob_jit(d, de, dm, m, me, mm, lprob_spec=spec)
@@ -542,9 +535,7 @@ class BruteForce:
                 G, dim_prior=dim_prior, ignore_model_err=ignore_model_err,
                 free_scale=free_scale, wt_thresh=wt_thresh,
                 full_mask=full_mask)
-            norm = jnp.sum(pdf_b, axis=1, keepdims=True)
-            pdf_b = jnp.where(norm > 0,
-                              pdf_b / jnp.where(norm > 0, norm, 1.0), 0.0)
+            pdf_b = _kde.norm_rows(pdf_b)
             parts.append((pdf_b, lmap_b, levid_b))
 
         parts = jax.device_get(parts)

@@ -97,11 +97,7 @@ def _gof_weights(lnprob):
     return lmap, levid, jnp.exp(lnprob - levid[:, None])
 
 
-@jax.jit
-def _norm_rows(pdf):
-    """Normalize PDF rows to sum 1 (zero rows stay zero)."""
-    norm = jnp.sum(pdf, axis=1, keepdims=True)
-    return jnp.where(norm > 0, pdf / jnp.where(norm > 0, norm, 1.0), 0.0)
+_norm_rows = jax.jit(_kde.norm_rows)
 
 
 def _resolve_feature_map(feature_map, fmap_args, fmap_kwargs):
@@ -430,9 +426,7 @@ class NearestNeighbors:
         ndata = data.shape[0]
         batch_size = min(batch_size, max(256, ndata))
         self._alloc_fits(ndata, k, track_scale)
-        lprob_spec = (None if lprob_func is _like.logprob else lprob_func,
-                      tuple(lprob_args or ()),
-                      tuple(sorted((lprob_kwargs or {}).items())))
+        lprob_spec = _like.static_spec(lprob_func, lprob_args, lprob_kwargs)
 
         parts = []
         for i0, n, jq, d, de, dm in self._data_batches(
@@ -573,9 +567,7 @@ class NearestNeighbors:
             self._alloc_fits(ndata, k, track_scale)
         model_labels = np.asarray(model_labels)
         model_label_errs = np.asarray(model_label_errs)
-        lprob_spec = (None if lprob_func is _like.logprob else lprob_func,
-                      tuple(lprob_args or ()),
-                      tuple(sorted((lprob_kwargs or {}).items())))
+        lprob_spec = _like.static_spec(lprob_func, lprob_args, lprob_kwargs)
         use_dict, ngrid, lab = _kde.pack_label_spec(
             label_dict, label_grid, model_labels, model_label_errs,
             dx=dx, sig_thresh=sig_thresh)

@@ -49,6 +49,7 @@ NumPy state (SURVEY.md section 7, "RNG parity").
 from __future__ import annotations
 
 import functools
+import time
 
 import numpy as np
 import jax
@@ -58,6 +59,7 @@ from jax.experimental import pallas as pl
 from ..ops import kde as _kde
 from ..ops import likelihood as _like
 from .bruteforce import _batch_slices, _pad_rows
+from ..utils.progress import progress_iter, train_note
 
 __all__ = ["SelfOrganizingMap", "GrowingNeuralGas", "_Network",
            "learn_linear", "learn_geometric", "learn_harmonic",
@@ -176,9 +178,7 @@ def _node_pdf_weights_jit(lwt):
 @jax.jit
 def _density_scale_jit(pdf, levid):
     """Normalize PDF rows, then scale by exp(levid) (networks.py:495-496)."""
-    norm = jnp.sum(pdf, axis=1, keepdims=True)
-    pdf = jnp.where(norm > 0, pdf / jnp.where(norm > 0, norm, 1.0), 0.0)
-    return pdf * jnp.exp(levid)[:, None]
+    return _kde.norm_rows(pdf) * jnp.exp(levid)[:, None]
 
 
 @functools.partial(jax.jit, static_argnames=("lpnet_spec", "wt_thresh",
@@ -281,9 +281,7 @@ def _union_fp_jit(x, xe, xm, nodes_occ, members, models, models_err,
         pdf = _kde._kde_stack_gathered_grid_jit(labels[safe],
                                                 label_errs[safe], wt, grid,
                                                 dx, sig_thresh)
-    norm = jnp.sum(pdf, axis=1, keepdims=True)
-    pdf = jnp.where(norm > 0, pdf / jnp.where(norm > 0, norm, 1.0), 0.0)
-    return pdf, lmap, levid, nuniq
+    return _kde.norm_rows(pdf), lmap, levid, nuniq
 
 
 @functools.lru_cache(maxsize=None)
@@ -357,9 +355,7 @@ def _stack_node_pdfs_jit(lwt, node_pdfs_occ):
     levid = jax.scipy.special.logsumexp(lwt, axis=1)
     wt = jnp.exp(lwt - levid[:, None])
     pdf = wt @ node_pdfs_occ
-    norm = jnp.sum(pdf, axis=1, keepdims=True)
-    pdf = jnp.where(norm > 0, pdf / jnp.where(norm > 0, norm, 1.0), 0.0)
-    return pdf, lmap, levid
+    return _kde.norm_rows(pdf), lmap, levid
 
 
 class _Network:
@@ -428,7 +424,6 @@ class _Network:
         normalized log-weights, and scales.  Results land in the padded
         member tables.
         """
-        del verbose
         if lpnet_func is None:
             lpnet_func = _like.logprob
         lpnet_args = lpnet_args or ()
@@ -451,9 +446,7 @@ class _Network:
         # slab shrink is a direct wall-clock win.
         cap = min(int(max_nodes_per_model), nnode)
         cap1 = min(_POPULATE_PHASE1_CAP, cap)
-        lpnet_spec = (None if lpnet_func is _like.logprob else lpnet_func,
-                      tuple(lpnet_args),
-                      tuple(sorted(lpnet_kwargs.items())))
+        lpnet_spec = _like.static_spec(lpnet_func, lpnet_args, lpnet_kwargs)
 
         def batch(x, xe, xm, bcap):
             return _populate_batch_jit(x, xe, xm, nodes,
@@ -492,7 +485,9 @@ class _Network:
 
         tail_idx = []
         tail_max = 0
-        for i0, n, part in parts:
+        for i0, n, part in progress_iter(parts, total=self.NMODEL,
+                                         label="Mapping models",
+                                         verbose=verbose, sizes=True):
             cnt, top_lw, top_node, top_scale, top_serr, bmu, lmap, levid = \
                 jax.device_get(part)
             cnt = cnt[:n]
@@ -614,7 +609,6 @@ class _Network:
         exp(levid) to reflect object density (networks.py:495-496); empty
         nodes get zero PDFs and -inf GOF.
         """
-        del verbose
         if label_dict is None and label_grid is None:
             raise ValueError("`label_dict` or `label_grid` must be "
                              "specified.")
@@ -661,7 +655,9 @@ class _Network:
         pdfs = np.zeros((nnode, ngrid), np.float32)
         lmap = np.full(nnode, -np.inf, np.float32)
         levid = np.full(nnode, -np.inf, np.float32)
-        for i0, n in _batch_slices(nnode, batch_size):
+        for i0, n in progress_iter(_batch_slices(nnode, batch_size),
+                                   total=nnode, label="Generating node PDF",
+                                   verbose=verbose, sizes=True):
             idx = _pad_rows(idx_tab[i0:i0 + n], batch_size)
             lwt = _pad_rows(lw_tab[i0:i0 + n], batch_size)
             safe = np.maximum(idx, 0)
@@ -729,7 +725,6 @@ class _Network:
         evaluate `lprob_func` exactly on the union — stored in kNN-style
         padded grids.
         """
-        del verbose
         data = np.atleast_2d(np.asarray(data, float))
         data_err = np.atleast_2d(np.asarray(data_err, float))
         data_mask = np.atleast_2d(np.asarray(data_mask, float))
@@ -745,9 +740,7 @@ class _Network:
             "free_scale": True, "ignore_model_err": True,
             "return_scale": True}
 
-        lpnet_spec = (None if lpnet_func is _like.logprob else lpnet_func,
-                      tuple(lpnet_args),
-                      tuple(sorted(lpnet_kwargs.items())))
+        lpnet_spec = _like.static_spec(lpnet_func, lpnet_args, lpnet_kwargs)
 
         def node_fit(x, xe, xm):
             return _node_fit_jit(x, xe, xm, nodes_occ,
@@ -766,7 +759,9 @@ class _Network:
             if track_scale:
                 self.fit_scale = np.ones((ndata, nocc), np.float32)
                 self.fit_scale_err = np.zeros((ndata, nocc), np.float32)
-            for i0, n in _batch_slices(ndata, batch_size):
+            for i0, n in progress_iter(
+                    _batch_slices(ndata, batch_size), total=ndata,
+                    label="Fitting object", verbose=verbose, sizes=True):
                 x = jnp.asarray(_pad_rows(data[i0:i0 + n], batch_size))
                 xe = jnp.asarray(_pad_rows(data_err[i0:i0 + n], batch_size))
                 xm = jnp.asarray(_pad_rows(data_mask[i0:i0 + n],
@@ -818,9 +813,7 @@ class _Network:
 
         from .knn import _gathered_lprob_jit
 
-        lprob_spec = (None if lprob_func is _like.logprob else lprob_func,
-                      tuple(lprob_args or ()),
-                      tuple(sorted((lprob_kwargs or {}).items())))
+        lprob_spec = _like.static_spec(lprob_func, lprob_args, lprob_kwargs)
 
         def union_lprob(x, xe, xm, idx):
             return _gathered_lprob_jit(x, xe, xm, idx, idx >= 0,
@@ -871,7 +864,9 @@ class _Network:
                                                             np.float32)
 
         parts = []
-        for i0, n in _batch_slices(ndata, batch_size):
+        for i0, n in progress_iter(
+                _batch_slices(ndata, batch_size), total=ndata,
+                label="Fitting object", verbose=verbose, sizes=True):
             x = jnp.asarray(_pad_rows(data[i0:i0 + n], batch_size))
             xe = jnp.asarray(_pad_rows(data_err[i0:i0 + n], batch_size))
             xm = jnp.asarray(_pad_rows(data_mask[i0:i0 + n], batch_size))
@@ -925,7 +920,9 @@ class _Network:
             pdfs = np.zeros((ndata, ngrid), np.float32)
             lmap = np.zeros(ndata, np.float32)
             levid = np.zeros(ndata, np.float32)
-            for i0, n in _batch_slices(ndata, batch_size):
+            for i0, n in progress_iter(
+                    _batch_slices(ndata, batch_size), total=ndata,
+                    label="Generating PDF", verbose=verbose, sizes=True):
                 lwt = _pad_rows(logwt[i0:i0 + n], batch_size)
                 pdf_b, lmap_b, levid_b = stack(jnp.asarray(lwt))
                 pdfs[i0:i0 + n] = np.asarray(pdf_b[:n])
@@ -1004,14 +1001,15 @@ class _Network:
             discrete=discrete, nodes_only=nodes_only,
             batch_size=batch_size, wt_thresh=wt_thresh,
             cdf_thresh=cdf_thresh, max_sel_nodes=max_sel_nodes,
-            max_neighbors=max_neighbors, mesh=mesh)
+            max_neighbors=max_neighbors, mesh=mesh, verbose=verbose)
 
     def _fit_predict_fused(self, data, data_err, data_mask, model_labels,
                            model_label_errs, lprob_func, label_dict,
                            label_grid, kde_args, kde_kwargs, lprob_args,
                            lprob_kwargs, return_gof, discrete, nodes_only,
                            batch_size, wt_thresh, cdf_thresh,
-                           max_sel_nodes, max_neighbors, mesh=None):
+                           max_sel_nodes, max_neighbors, mesh=None,
+                           verbose=True):
         """save_fits=False streaming fit_predict (see fit_predict)."""
         data = np.atleast_2d(np.asarray(data, float))
         data_err = np.atleast_2d(np.asarray(data_err, float))
@@ -1027,9 +1025,8 @@ class _Network:
         lpnet_kwargs = self.lpnet_kwargs or {
             "free_scale": True, "ignore_model_err": True,
             "return_scale": True}
-        lpnet_spec = (None if lpnet_func is _like.logprob else lpnet_func,
-                      tuple(self.lpnet_args or ()),
-                      tuple(sorted(lpnet_kwargs.items())))
+        lpnet_spec = _like.static_spec(lpnet_func, self.lpnet_args,
+                                       lpnet_kwargs)
         dx, sig_thresh, kde_wt, kde_cdf = _kde.resolve_kde_opts(
             kde_args, kde_kwargs, wt_thresh, cdf_thresh)
         model_labels = np.asarray(model_labels)
@@ -1128,7 +1125,9 @@ class _Network:
                 levid[i0:i0 + n] = levid_b[:n]
 
         parts = []
-        for i0, n in _batch_slices(ndata, batch_size):
+        for i0, n in progress_iter(
+                _batch_slices(ndata, batch_size), total=ndata,
+                label="Generating PDF", verbose=verbose, sizes=True):
             x = jnp.asarray(_pad_rows(data[i0:i0 + n], batch_size))
             xe = jnp.asarray(_pad_rows(data_err[i0:i0 + n], batch_size))
             xm = jnp.asarray(_pad_rows(data_mask[i0:i0 + n], batch_size))
@@ -1338,7 +1337,6 @@ class SelfOrganizingMap(_Network):
                       lprob_args=None, lprob_kwargs=None, track_scale=False,
                       learn_args=None, learn_kwargs=None, neighbor_args=None,
                       neighbor_kwargs=None, verbose=True, use_pallas=None):
-        del verbose
         if models is None:
             models = self._models_np
             models_err = self._models_err_np
@@ -1383,21 +1381,27 @@ class SelfOrganizingMap(_Network):
             init = np.asarray(nodes_init, float)
 
         nsteps = niter * nbatch
+        t0 = time.time()
         draws = rng.integers(0, nmodel, size=nsteps)
         times = np.linspace(0.0, 1.0, nsteps)
 
-        lprob_spec = (None if lprob_func is _like.logprob else lprob_func,
-                      tuple(lprob_args),
-                      tuple(sorted(lprob_kwargs.items())))
+        lprob_spec = _like.static_spec(lprob_func, lprob_args, lprob_kwargs)
         learn_spec = (learn_fn, tuple(learn_args),
                       tuple(sorted(learn_kwargs.items())))
         neighbor_spec = (neighbor_fn, tuple(neighbor_args),
                          tuple(sorted(neighbor_kwargs.items())))
 
         # Mega-kernel eligibility: default free-scale error-free color
-        # likelihood, named schedules, wt_thresh mode, modest lattice.
+        # likelihood, named schedules, wt_thresh mode, and a lattice whose
+        # VMEM-resident buffers fit the Mosaic scoped limit (16 MB, with
+        # conservative accounting): three (N, 128) f32 node/position
+        # buffers live across all grid steps plus three (chunk, 128) draw
+        # slabs, so budget 12 MB => N <= ~7.3K nodes (nside <= 85 at
+        # nproj=2); larger lattices use the lax.scan path.
         kw = dict(lprob_spec[2])
         nb_rate = neighbor_kwargs.get("rate", "harmonic")
+        mega_chunk = 512
+        mega_max_nodes = (12 * 2**20 - 3 * mega_chunk * 512) // 1536
         mega_ok = (
             lprob_spec[0] is None and not lprob_spec[1]
             and kw.get("free_scale") is True
@@ -1413,7 +1417,7 @@ class SelfOrganizingMap(_Network):
             and isinstance(nb_rate, str) and nb_rate in ("linear",
                                                          "geometric",
                                                          "harmonic")
-            and self.NNODE <= 16384)
+            and self.NNODE <= mega_max_nodes)
         if use_pallas is None:
             from ..ops import fused as _fz
             use_pallas = mega_ok and _fz.pallas_supported()
@@ -1421,7 +1425,8 @@ class SelfOrganizingMap(_Network):
             raise ValueError("use_pallas=True requires the default "
                              "free-scale error-free likelihood, named "
                              "learn/neighbor schedules, wt_thresh mode, "
-                             "and <= 16384 nodes")
+                             "and <= {} nodes (VMEM-resident node "
+                             "buffers)".format(mega_max_nodes))
         if use_pallas:
             from ..ops.fused import pallas_supported
 
@@ -1432,7 +1437,7 @@ class SelfOrganizingMap(_Network):
             ok = (np.isfinite(x) & np.isfinite(xe) & (xe > 0) & (xm == 1))
             iv = np.where(ok, 1.0 / np.where(ok, xe, 1.0) ** 2, 0.0)
             x = np.where(ok, x, 0.0)
-            chunk = 512
+            chunk = mega_chunk
             npad = -(-nsteps // chunk) * chunk
             x_seq = np.zeros((npad, 128), np.float32)
             xraw_seq = np.zeros((npad, 128), np.float32)
@@ -1460,6 +1465,7 @@ class SelfOrganizingMap(_Network):
                 chunk=chunk, interpret=not pallas_supported())
             self.nodes = np.asarray(jax.device_get(out),
                                     float)[:, :init.shape[1]]
+            train_note(verbose, "SOM training (mega-kernel)", nsteps, t0)
             return self
 
         nodes, _ = _som_train_jit(
@@ -1473,6 +1479,7 @@ class SelfOrganizingMap(_Network):
             wt_thresh=wt_thresh, cdf_thresh=cdf_thresh,
             track_scale=bool(track_scale), nside=nside)
         self.nodes = np.asarray(jax.device_get(nodes), float)
+        train_note(verbose, "SOM training", nsteps, t0)
         return self
 
 
@@ -1653,7 +1660,6 @@ class GrowingNeuralGas(_Network):
                       err_kernel=None, lprob_func=None, rng=None, seed=None,
                       lprob_args=None, lprob_kwargs=None, track_scale=False,
                       verbose=True):
-        del verbose
         if graph_init is not None:
             raise NotImplementedError(
                 "graph_init resume is not supported; retrain or checkpoint "
@@ -1680,6 +1686,7 @@ class GrowingNeuralGas(_Network):
 
         rng = rng if rng is not None else np.random.default_rng(seed)
         nsteps = niter * nbatch
+        t0 = time.time()
         draws = rng.integers(0, nmodel, size=nsteps)
         i1, i2 = rng.choice(nmodel, size=2, replace=False)
 
@@ -1694,9 +1701,7 @@ class GrowingNeuralGas(_Network):
         ages0 = np.full((N, N), -1, np.int32)
         ages0[0, 1] = ages0[1, 0] = 0
 
-        lprob_spec = (None if lprob_func is _like.logprob else lprob_func,
-                      tuple(lprob_args),
-                      tuple(sorted(lprob_kwargs.items())))
+        lprob_spec = _like.static_spec(lprob_func, lprob_args, lprob_kwargs)
         pos, err, alive, ages, nalive = _gng_train_jit(
             jnp.asarray(pos0), jnp.asarray(alive0), jnp.asarray(ages0),
             jnp.asarray(draws), jnp.asarray(models, jnp.float32),
@@ -1719,6 +1724,7 @@ class GrowingNeuralGas(_Network):
         # space for plotting (first two feature dims).
         self.nodes_pos = self.nodes[:, :2] if self.nodes.shape[1] >= 2 \
             else self.nodes
+        train_note(verbose, "GNG training", nsteps, t0)
         return self
 
     def edges(self):

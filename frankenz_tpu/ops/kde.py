@@ -51,6 +51,7 @@ import jax.numpy as jnp
 from jax.scipy.special import erf
 
 __all__ = [
+    "norm_rows",
     "gaussian",
     "gaussian_bin",
     "PDFDict",
@@ -78,14 +79,32 @@ def resolve_kde_opts(kde_args=None, kde_kwargs=None, wt_thresh=1e-3,
     (the dict variant honors only the thresholds, like
     `gauss_kde_dict`).  Fitter-level `wt_thresh`/`cdf_thresh` arguments
     act as defaults that `kde_kwargs` can override.
+
+    Only ONE positional kde_arg is accepted: the reference spells the
+    call `gauss_kde(y, y_std, x, y_wt=wt, *kde_args, ...)`, so a second
+    positional would collide with the keyword `y_wt` and raise there
+    too — pass `sig_thresh` etc. through `kde_kwargs`.
     """
     args = tuple(kde_args or ())
+    if len(args) > 1:
+        raise TypeError(
+            "kde_args accepts at most one positional value (dx): the "
+            "reference call gauss_kde(y, y_std, x, y_wt=wt, *kde_args) "
+            "raises on more (collision with y_wt). Pass sig_thresh / "
+            "wt_thresh / cdf_thresh via kde_kwargs.")
     kw = dict(kde_kwargs or {})
     dx = args[0] if args else kw.get("dx")
     sig_thresh = float(kw.get("sig_thresh", 5.0))
     wt_thresh = kw.get("wt_thresh", wt_thresh)
     cdf_thresh = kw.get("cdf_thresh", cdf_thresh)
     return dx, sig_thresh, wt_thresh, cdf_thresh
+
+def norm_rows(pdf):
+    """Normalize PDF rows to sum 1; all-zero rows stay zero (the fitters'
+    shared per-object normalization, bruteforce.py:370, :629)."""
+    norm = jnp.sum(pdf, axis=1, keepdims=True)
+    return jnp.where(norm > 0, pdf / jnp.where(norm > 0, norm, 1.0), 0.0)
+
 
 _SQRT_2PI = 2.5066282746310002
 

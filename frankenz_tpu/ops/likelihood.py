@@ -49,7 +49,7 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.special import gammaln, xlogy
 
-__all__ = [
+__all__ = ["static_spec", 
     "LoglikeResult",
     "LogprobResult",
     "loglike",
@@ -396,6 +396,21 @@ def loglike(data, data_err, data_mask, models, models_err, models_mask,
     return _loglike_fixed_jit(
         data, data_err, data_mask, models, models_err, models_mask,
         clean=True, ignore_model_err=ignore_model_err, dim_prior=dim_prior)
+
+
+def static_spec(func, args=None, kwargs=None):
+    """Hashable (func-or-None, args, sorted-kwargs-items) key for the
+    module-level jitted fitter programs.
+
+    The default `logprob` canonicalizes to None so every fitter instance
+    (and every call site spelling) shares ONE compiled program — a site
+    that skipped the canonicalization would silently fork the global jit
+    cache and pay a fresh device compile per fitter instance
+    (tests/test_recompile.py pins the cache sizes).
+    """
+    return (None if func is None or func is logprob else func,
+            tuple(args or ()),
+            tuple(sorted((kwargs or {}).items())))
 
 
 def logprob(data, data_err, data_mask, models, models_err, models_mask,

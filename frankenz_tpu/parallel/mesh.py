@@ -144,9 +144,7 @@ def sharded_fit_predict_step(mesh, lprob_func=None, wt_thresh=1e-3,
         levid = jax.scipy.special.logsumexp(lnprob, axis=1)
         wt = jnp.exp(lnprob - levid[:, None])
         pdf = _kde.kde_stack(wt, G, wt_thresh, cdf_thresh)
-        norm = jnp.sum(pdf, axis=1, keepdims=True)
-        pdf = jnp.where(norm > 0, pdf / jnp.where(norm > 0, norm, 1.0), 0.0)
-        return pdf, lmap, levid
+        return _kde.norm_rows(pdf), lmap, levid
 
     return f
 
@@ -171,6 +169,7 @@ def model_sharded_fit_predict_step(mesh, wt_thresh=1e-3, dim_prior=True,
     Built with `jax.shard_map`; data enters sharded (objects on
     OBJ_AXIS, models/G on MODEL_AXIS).
     """
+    from ..ops import kde as _kde
     from ..ops import likelihood as _like
 
     def local_step(d, de, dm, m, me, mm, G):
@@ -186,10 +185,7 @@ def model_sharded_fit_predict_step(mesh, wt_thresh=1e-3, dim_prior=True,
             keep = lnp > jnp.log(wt_thresh) + lmap[:, None]
             wt = jnp.where(keep, wt, 0.0)
         pdf = jax.lax.psum(wt @ G, MODEL_AXIS)
-        norm = jnp.sum(pdf, axis=1, keepdims=True)
-        pdf = jnp.where(norm > 0, pdf / jnp.where(norm > 0, norm, 1.0),
-                        0.0)
-        return pdf, lmap, levid
+        return _kde.norm_rows(pdf), lmap, levid
 
     data_spec = P(OBJ_AXIS, None)
     model_spec = P(MODEL_AXIS, None)
@@ -232,6 +228,7 @@ def ring_fit_predict_step(mesh, wt_thresh=1e-3, dim_prior=True,
     Reference N/A (single-threaded NumPy); semantics match
     `bruteforce.py:359-360` weights + `pdf.py:508-516` thresholding.
     """
+    from ..ops import kde as _kde
     from ..ops import likelihood as _like
 
     n = int(np.prod(mesh.devices.shape))
@@ -313,10 +310,7 @@ def ring_fit_predict_step(mesh, wt_thresh=1e-3, dim_prior=True,
             (m, me, mm, G, pdf), _ = jax.lax.scan(
                 step_b, (m, me, mm, G, pdf0), None, length=n)
 
-        norm = jnp.sum(pdf, axis=1, keepdims=True)
-        pdf = jnp.where(norm > 0, pdf / jnp.where(norm > 0, norm, 1.0),
-                        0.0)
-        return pdf, lmap, levid
+        return _kde.norm_rows(pdf), lmap, levid
 
     data_spec = P(OBJ_AXIS, None)
     return jax.jit(jax.shard_map(

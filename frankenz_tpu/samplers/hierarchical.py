@@ -20,9 +20,13 @@ from __future__ import annotations
 
 import functools
 
+import time
+
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+from ..utils.progress import train_note
 from jax.scipy.special import gammaln, xlogy
 
 __all__ = ["hierarchical_sampler", "multinomial_logpmf", "dirichlet_logpdf"]
@@ -181,7 +185,7 @@ class hierarchical_sampler:
         distribution-equivalent, not bitwise-equal, to single-device
         runs) and the bin counts reduce with one `psum` per sweep.
         """
-        del verbose
+        t0 = time.time()
         nobs, nbins = self.pdfs.shape
         alpha = np.ones(nbins) if alpha is None else np.asarray(alpha, float)
         beta = np.ones(nbins) if beta is None else np.asarray(beta, float)
@@ -261,6 +265,7 @@ class hierarchical_sampler:
                 self.samples.append(samples[:, it, :])
                 self.samples_lnp.append(lnps[:, it])
         self._chain_state = samples[:, -1, :]
+        train_note(verbose, "hierarchical MCMC", Niter, t0)
         return self
 
     def sample(self, Niter, alpha=None, pos_init=None, thin=5,

@@ -25,9 +25,13 @@ from __future__ import annotations
 
 import functools
 
+import time
+
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+from ..utils.progress import train_note
 
 __all__ = ["loglike_nz", "population_sampler"]
 
@@ -257,7 +261,7 @@ class population_sampler:
         uniform rows, which shift every lnpost by the same constant
         (corrected in the stored values) and leave acceptances exact.
         """
-        del verbose
+        t0 = time.time()
         prior_kwargs = prior_kwargs or {}
         nobs, nbins = self.pdfs.shape
         if logprior_nz is None:
@@ -326,6 +330,7 @@ class population_sampler:
                 self.samples.append(samples[:, it, :])
                 self.samples_lnp.append(lnps[:, it])
         self._chain_state = samples[:, -1, :]
+        train_note(verbose, "population MCMC", Niter, t0)
         return self
 
     def sample(self, Niter, logprior_nz=None, pos_init=None, thin=400,

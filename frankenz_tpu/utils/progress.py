@@ -11,7 +11,7 @@ from __future__ import annotations
 import sys
 import time
 
-__all__ = ["progress_iter"]
+__all__ = ["progress_iter", "train_note"]
 
 
 def progress_iter(iterable, total=None, label="", verbose=True, sizes=False):
@@ -34,4 +34,16 @@ def progress_iter(iterable, total=None, label="", verbose=True, sizes=False):
             sys.stderr.flush()
     if verbose:
         sys.stderr.write("\n")
+        sys.stderr.flush()
+
+
+def train_note(verbose, label, nsteps, t0):
+    """One-line completion summary for single-device-call training runs
+    (SOM/GNG scans, sampler chains): the whole loop executes inside one
+    compiled program, so per-step reference-style progress would have to
+    split the call — a summary preserves the verbose contract instead."""
+    if verbose:
+        dt = max(time.time() - t0, 1e-9)
+        sys.stderr.write("\r{}: {} steps in {:.2f}s ({:.0f}/s)\n".format(
+            label, nsteps, dt, nsteps / dt))
         sys.stderr.flush()

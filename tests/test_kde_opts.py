@@ -141,3 +141,16 @@ def test_network_node_pdfs_threshold_members(problem):
                                  wt_thresh=wt_thresh)
         pdf = pdf / pdf.sum() * np.exp(levid)
         np.testing.assert_allclose(got, pdf, rtol=1e-4, atol=1e-6)
+
+
+def test_kde_args_two_positionals_raise():
+    """Reference parity: gauss_kde(y, y_std, x, y_wt=wt, *kde_args)
+    raises on a second positional (collision with y_wt) — so do we,
+    instead of silently dropping it."""
+    import pytest
+
+    from frankenz_tpu.ops.kde import resolve_kde_opts
+
+    resolve_kde_opts(kde_args=(0.01,))  # one positional (dx) is fine
+    with pytest.raises(TypeError, match="y_wt"):
+        resolve_kde_opts(kde_args=(0.01, None, 3.0))

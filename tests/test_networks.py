@@ -129,7 +129,7 @@ def test_populate_tail_escalation_matches_single_phase(blob_problem,
            som.nodes_scales_err.copy(), som.models_lmap.copy(),
            som.models_levid.copy())
     monkeypatch.setattr(nw, "_POPULATE_PHASE1_CAP", 64)
-    som.populate_network(wt_thresh=1e-300, verbose=False)
+    som.populate_network(wt_thresh=1e-6, verbose=False)
     np.testing.assert_array_equal(got[0], som.nodes_Nmatch)
     np.testing.assert_array_equal(got[1], som.nodes_idxs)
     np.testing.assert_array_equal(got[2], som.nodes_logwts)
@@ -328,3 +328,15 @@ def test_som_pallas_mega_kernel_masked_bands():
     b = SelfOrganizingMap(models, me2, mm2)
     b.train_network(use_pallas=True, **kw)
     np.testing.assert_allclose(b.nodes, a.nodes, rtol=2e-4, atol=2e-4)
+
+
+def test_som_mega_kernel_vmem_bound():
+    """Lattices whose VMEM-resident buffers exceed the Mosaic scoped
+    limit must refuse use_pallas=True (and never auto-select it) instead
+    of failing at Mosaic compile time on hardware."""
+    rng = np.random.default_rng(0)
+    m = rng.uniform(1, 10, (8000, 3)).astype(np.float32)
+    som = SelfOrganizingMap(m, 0.05 * m, np.ones_like(m))
+    with pytest.raises(ValueError, match="nodes"):
+        som.train_network(nside=88, nproj=2, niter=1, nbatch=1, seed=0,
+                          use_pallas=True, verbose=False)
