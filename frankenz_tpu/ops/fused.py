@@ -146,7 +146,8 @@ def _lnl_tile(d_ref, de_ref, dm_ref, mT_ref, meT_ref, mmT_ref, valid_ref,
 
     if free_scale:
         # chi2 currently holds A = sum mask d^2/s^2; apply the ML identity.
-        chi2 = chi2 - (inter * inter) * _fast_recip(shape)
+        chi2 = chi2 - (inter * inter) * _fast_recip(
+            jnp.maximum(shape, 1e-30))
         dof_shift = 1.0  # dof = Ndim - 1 (pdf.py:228)
     else:
         dof_shift = 0.0
@@ -163,11 +164,11 @@ def _lnl_tile(d_ref, de_ref, dm_ref, mT_ref, meT_ref, mmT_ref, valid_ref,
 
         if full_mask:
             a1 = 0.5 * (nfilt - dof_shift) - 1.0
-            lnl = (a1 * jnp.log(jnp.maximum(chi2, 1e-300)) if a1 != 0.0
+            lnl = (a1 * jnp.log(jnp.maximum(chi2, 1e-30)) if a1 != 0.0
                    else 0.0) - 0.5 * chi2 - tab(nfilt)
         else:
             a1 = 0.5 * (ndim - dof_shift) - 1.0
-            safe_log = jnp.log(jnp.maximum(chi2, 1e-300))
+            safe_log = jnp.log(jnp.maximum(chi2, 1e-30))
             xl = jnp.where(a1 == 0.0, 0.0, a1 * safe_log)
             norm = jnp.full_like(chi2, float("inf"))
             for nd in range(1, nfilt + 1):
@@ -218,7 +219,7 @@ def _lnl_tile_freescale_me(d_ref, de_ref, dm_ref, mT_ref, meT_ref, mmT_ref,
                 # (pdf.py:97-98), masked or not.
                 lv = jnp.log(var)
                 logvar = lv if logvar is None else logvar + lv
-        s_new = inter * _fast_recip(shape)
+        s_new = inter * _fast_recip(jnp.maximum(shape, 1e-30))
         chi2 = A - inter * s_new  # ML identity (exact in real arithmetic)
         return s_new, chi2, logvar, ndim
 
@@ -236,11 +237,11 @@ def _lnl_tile_freescale_me(d_ref, de_ref, dm_ref, mT_ref, meT_ref, mmT_ref,
 
         if full_mask:
             a1 = 0.5 * (nfilt - 1.0) - 1.0
-            lnl = (a1 * jnp.log(jnp.maximum(chi2, 1e-300)) if a1 != 0.0
+            lnl = (a1 * jnp.log(jnp.maximum(chi2, 1e-30)) if a1 != 0.0
                    else 0.0) - 0.5 * chi2 - tab(nfilt)
         else:
             a1 = 0.5 * (ndim - 1.0) - 1.0
-            safe_log = jnp.log(jnp.maximum(chi2, 1e-300))
+            safe_log = jnp.log(jnp.maximum(chi2, 1e-30))
             xl = jnp.where(a1 == 0.0, 0.0, a1 * safe_log)
             norm = jnp.full_like(chi2, float("inf"))
             for nd in range(1, nfilt + 1):
@@ -493,7 +494,7 @@ def _fused_call_fullmask_dimprior(d, de, mT, meT, G, *, ignore_model_err,
     )(d, de, mT, meT)
 
     def lnl_of(c):
-        safe = jnp.maximum(c, 1e-300)
+        safe = jnp.maximum(c, 1e-30)
         return (a1 * jnp.log(safe) if a1 != 0.0 else 0.0) - 0.5 * c - norm
 
     lmap = jnp.maximum(jnp.where(below >= 0.0, lnl_of(below), -jnp.inf),
@@ -521,7 +522,7 @@ def _fused_call_fullmask_dimprior(d, de, mT, meT, G, *, ignore_model_err,
     # pdf is in exp(lnl - lmap) scale; convert to the exp(lnl - levid)
     # convention; all-zero-weight rows (insane outliers past the chi2
     # clamp) degrade gracefully to zero PDFs.
-    levid = jnp.where(s > 0, jnp.log(jnp.maximum(s, 1e-300)) + lmap,
+    levid = jnp.where(s > 0, jnp.log(jnp.maximum(s, 1e-30)) + lmap,
                       -jnp.inf)
     pdf = jnp.where(s > 0, pdf * jnp.exp(lmap - levid), 0.0)
     return pdf, lmap[:, 0], levid[:, 0]
@@ -629,6 +630,13 @@ def fused_fit_pdf(data, data_err, data_mask, models, models_err,
     PDFs (Nobj, Ngrid) and the GOF metrics.  Results match the XLA path
     (logprob -> logsumexp -> threshold_weights -> kde_stack) to float32
     roundoff; the caller normalizes PDFs.
+
+    Caveat (``free_scale=True`` with model errors kept): the bounded
+    in-tile scale iteration matches the XLA while_loop to its ltol on
+    fully-observed photometry, but on HEAVILY masked rows (few valid
+    bands) the fixed-point can sit far from the XLA path's early-exited
+    value — prefer the XLA path (the BruteForce auto-selection already
+    does) when masks knock out many bands.
 
     Shapes are padded internally: objects to `tb`, models to `tm` (padded
     models get lnl = -inf and zero kernel rows), grid columns to 128

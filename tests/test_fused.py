@@ -223,3 +223,45 @@ def test_fused_all_masked_object(problem):
     assert np.asarray(pdf[0]).sum() == 0.0
     assert np.asarray(lmap)[0] == -np.inf
     assert np.isfinite(np.asarray(pdf[1:])).all()
+
+
+def test_masked_zero_overlap_pairs_do_not_poison_rows():
+    """float32 regression: a (datum, model) pair with NO overlapping
+    bands has chi2 == 0 and ndim == 0; the old log floor (1e-300)
+    underflowed to 0 in f32, so the tile computed inf - inf = NaN and the
+    NaN poisoned the whole row's online max (row silently zeroed).  The
+    row max must instead match the NaN-cleaned XLA reference."""
+    import numpy as np
+    from scipy.special import logsumexp
+
+    from frankenz_tpu.ops import fused as fz
+    from frankenz_tpu.ops import likelihood as lk
+
+    rng = np.random.default_rng(7)
+    B, M, F = 64, 512, 5
+    m = rng.uniform(1, 10, (M, F)).astype(np.float32)
+    me = (0.05 * m).astype(np.float32)
+    mm = (rng.uniform(size=(M, F)) > 0.3).astype(np.float32)
+    d = (m[rng.integers(0, M, B)]
+         + rng.normal(0, 0.3, (B, F))).astype(np.float32)
+    de = np.full((B, F), 0.3, np.float32)
+    dm = (rng.uniform(size=(B, F)) > 0.3).astype(np.float32)
+    dm[0] = [1, 0, 0, 0, 0]  # guarantees zero-overlap pairs exist
+    assert (dm[0] * mm[np.all(mm[:, :1] == 0, axis=1)]).sum(axis=-1).size
+    G = np.asarray(np.ones((M, 128), np.float32))
+
+    for fs, dp in ((False, True), (False, False)):
+        pdf, lmap, levid = fz.fused_fit_pdf(
+            d, de, dm, m, me, mm, jnp.asarray(G), wt_thresh=1e-3,
+            full_mask=False, free_scale=fs, dim_prior=dp, interpret=True)
+        res = lk.logprob(jnp.asarray(d), jnp.asarray(de), jnp.asarray(dm),
+                         jnp.asarray(m), jnp.asarray(me), jnp.asarray(mm),
+                         free_scale=fs, dim_prior=dp)
+        lnp = np.asarray(res.lnprob)
+        lnp = np.where(np.isnan(lnp), -np.inf, lnp)  # 0-overlap pairs
+        lm2 = np.max(lnp, 1)
+        lv2 = logsumexp(lnp, axis=1)
+        lmap, levid = np.asarray(lmap), np.asarray(levid)
+        assert np.isfinite(lmap).all(), "poisoned rows"
+        np.testing.assert_allclose(lmap, lm2, rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(levid, lv2, rtol=1e-3, atol=1e-3)
