@@ -273,7 +273,7 @@ def ring_fit_predict_step(mesh, wt_thresh=1e-3, dim_prior=True,
             pdf0 = vary(jnp.zeros((B, G.shape[1]), pdt))
             (m, me, mm, G, rm, s, pdf), _ = jax.lax.scan(
                 step, (m, me, mm, G, rm0, s0, pdf0), None, length=n)
-            levid = jnp.log(jnp.maximum(s, 1e-300)) + rm
+            levid = jnp.log(jnp.maximum(s, jnp.finfo(s.dtype).tiny)) + rm
             pdf = pdf * jnp.exp(rm - levid)[:, None]
             lmap = rm
         else:
@@ -292,7 +292,7 @@ def ring_fit_predict_step(mesh, wt_thresh=1e-3, dim_prior=True,
             s0 = vary(jnp.zeros((B,), dt))
             (m, me, mm, lmap, s), _ = jax.lax.scan(
                 step_a, (m, me, mm, rm0, s0), None, length=n)
-            levid = jnp.log(jnp.maximum(s, 1e-300)) + lmap
+            levid = jnp.log(jnp.maximum(s, jnp.finfo(s.dtype).tiny)) + lmap
 
             # Pass B: exact reference threshold against the final lmap.
             log_thr = jnp.log(wt_thresh)
