@@ -164,8 +164,7 @@ class BruteForce:
     def _lprob_step(self, lprob_func, lprob_args, lprob_kwargs):
         """Batched lprob evaluation returning the 7-field tuple (cached
         globally via `_bf_lprob_jit`; args/kwargs must be hashable)."""
-        spec = (lprob_func, tuple(lprob_args or ()),
-                tuple(sorted((lprob_kwargs or {}).items())))
+        spec = _like.static_spec(lprob_func, lprob_args, lprob_kwargs)
 
         def step(d, de, dm, m, me, mm):
             return _bf_lprob_jit(d, de, dm, m, me, mm, lprob_spec=spec)
@@ -447,7 +446,6 @@ class BruteForce:
         """
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        del verbose
         obj_axis = mesh.axis_names[0]
         ndev = int(mesh.size)
         ndata = data.shape[0]
@@ -455,9 +453,7 @@ class BruteForce:
         batch_size = -(-batch_size // ndev) * ndev
         kw = lprob_kwargs or {}
         full_mask = self._full_mask and bool(np.all(data_mask == 1))
-        lprob_spec = (lprob_func if lprob_func is not _like.logprob
-                      else None, tuple(lprob_args or ()),
-                      tuple(sorted(kw.items())))
+        lprob_spec = _like.static_spec(lprob_func, lprob_args, kw)
         step = _sharded_fp_step(
             mesh, obj_axis, use_pallas, lprob_spec, wt_thresh, cdf_thresh,
             kw.get("dim_prior", True), kw.get("ignore_model_err", False),
@@ -485,7 +481,11 @@ class BruteForce:
         lmap = np.zeros(ndata, np.float32)
         levid = np.zeros(ndata, np.float32)
         parts = []
-        for i0, n in _batch_slices(ndata, batch_size):
+        # Dispatch is async; the single bulk device_get below is where
+        # the wall time goes, so progress reports dispatched batches.
+        for i0, n in progress_iter(_batch_slices(ndata, batch_size),
+                                   total=ndata, label="Dispatching batch",
+                                   verbose=verbose, sizes=True):
             sl = slice(i0, i0 + batch_size)
             d = jax.device_put(data_p[sl], dspec)
             de = jax.device_put(err_p[sl], dspec)

@@ -1069,9 +1069,8 @@ class _Network:
             member_tab = self.nodes_bmus if discrete else self.nodes_idxs
             members_dev = jnp.asarray(member_tab[occ])
             cap_sel = min(max_sel_nodes, nocc)
-            lprob_spec = (None if lprob_func is _like.logprob
-                          else lprob_func, tuple(lprob_args or ()),
-                          tuple(sorted((lprob_kwargs or {}).items())))
+            lprob_spec = _like.static_spec(lprob_func, lprob_args,
+                                           lprob_kwargs)
             use_dict, ngrid, lab = _kde.pack_label_spec(
                 label_dict, label_grid, model_labels, model_label_errs,
                 dx=dx, sig_thresh=sig_thresh)
@@ -1396,7 +1395,7 @@ class SelfOrganizingMap(_Network):
         # VMEM-resident buffers fit the Mosaic scoped limit (16 MB, with
         # conservative accounting): three (N, 128) f32 node/position
         # buffers live across all grid steps plus three (chunk, 128) draw
-        # slabs, so budget 12 MB => N <= ~7.3K nodes (nside <= 85 at
+        # slabs, so budget 12 MB => N <= 7680 nodes (nside <= 87 at
         # nproj=2); larger lattices use the lax.scan path.
         kw = dict(lprob_spec[2])
         nb_rate = neighbor_kwargs.get("rate", "harmonic")

@@ -183,7 +183,13 @@ def _loglike_fixed_jit(data, data_err, data_mask, models, models_err,
         d, de, dm, m, me, mm,
         ignore_model_err=ignore_model_err, need_logvar=not dim_prior)
     if dim_prior:
+        # Zero-overlap pairs (Ndim == 0): the chi^2 log-pdf with 0 dof is
+        # inf - inf = NaN in the reference (pdf.py:90-93, degenerate
+        # input); a NaN would poison the caller's max/logsumexp and
+        # silently zero the whole object's PDF, so such pairs carry no
+        # evidence: lnl = -inf (consistent with the fused kernels).
         lnl = _chi2_dim_logpdf(0.5 * ndim, chi2, max_ndim=d.shape[1])
+        lnl = jnp.where(ndim > 0, lnl, -jnp.inf)
     else:
         lnl = -0.5 * chi2 - 0.5 * (ndim * _LOG_2PI + logvar)
     return LoglikeResult(lnl, ndim, chi2)
@@ -237,13 +243,19 @@ def _loglike_free_jit(data, data_err, data_mask, models, models_err,
         inter = (d * inv_var) @ (mm * m).T
         shape_vals = inv_var @ (mm * m * m).T
         A = (d * d * inv_var) @ mm.T
-        scale = inter / shape_vals
+        # Guarded divide: zero-overlap pairs (and all-zero-flux models)
+        # have shape == 0; 0/0 = NaN would poison downstream
+        # max/logsumexp (see _loglike_fixed_jit).
+        scale = inter / jnp.maximum(shape_vals, jnp.finfo(dt).tiny)
         chi2 = A - inter * scale  # = A - inter^2/shape
         logvar = jnp.sum(jnp.log(de * de), axis=1, keepdims=True)
         lnl = -0.5 * chi2 - 0.5 * (ndim * _LOG_2PI + logvar)
         if dim_prior:
+            # dof = Ndim - 1 needs Ndim >= 2; degenerate pairs carry no
+            # evidence (fused-kernel-consistent -inf).
             lnl = _chi2_dim_logpdf(0.5 * (ndim - 1.0), chi2,
                                    max_ndim=d.shape[1])
+            lnl = jnp.where(ndim >= 2, lnl, -jnp.inf)
         if return_scale:
             return LoglikeResult(lnl, ndim, chi2, scale,
                                  jnp.sqrt(1.0 / shape_vals))
@@ -297,7 +309,10 @@ def _loglike_free_jit(data, data_err, data_mask, models, models_err,
             # Reference sums log(tot_var) over *all* filters
             # (pdf.py:97-98), masked or not.
             logvar = logvar + jnp.log(var)
-        scale = inter / shape
+        # Guarded divide: shape == 0 for zero-overlap pairs (see the MXU
+        # path) — 0/0 NaN would also make the convergence loop spin to
+        # max_iter (NaN never satisfies the |delta lnl| test).
+        scale = inter / jnp.maximum(shape, jnp.finfo(dt).tiny)
         chi2 = A - inter * scale
         lnl = -0.5 * chi2 - 0.5 * (ndim * _LOG_2PI + logvar)
         return scale, shape, chi2, lnl, A
@@ -340,6 +355,8 @@ def _loglike_free_jit(data, data_err, data_mask, models, models_err,
     if dim_prior:
         lnl = _chi2_dim_logpdf(0.5 * (ndim - 1.0), chi2,
                                max_ndim=d.shape[1])
+        # dof = Ndim - 1 needs Ndim >= 2 (see the MXU path).
+        lnl = jnp.where(ndim >= 2, lnl, -jnp.inf)
 
     if return_scale:
         scale_err = jnp.sqrt(1.0 / shape_vals)

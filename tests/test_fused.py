@@ -265,3 +265,20 @@ def test_masked_zero_overlap_pairs_do_not_poison_rows():
         assert np.isfinite(lmap).all(), "poisoned rows"
         np.testing.assert_allclose(lmap, lm2, rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(levid, lv2, rtol=1e-3, atol=1e-3)
+
+    # Free-scale tiles floor `shape` before the reciprocal: zero-overlap
+    # pairs must not poison rows here either (values intentionally NOT
+    # compared to XLA — the bounded fixed point is documented to diverge
+    # from the early-exited while_loop on heavily masked rows).
+    for fs, dp in ((True, True), (True, False)):
+        pdf, lmap, levid = fz.fused_fit_pdf(
+            d, de, dm, m, me, mm, jnp.asarray(G), wt_thresh=1e-3,
+            full_mask=False, free_scale=fs, dim_prior=dp, interpret=True)
+        lmap = np.asarray(lmap)
+        assert not np.isnan(lmap).any(), (fs, dp)
+        assert np.isfinite(np.asarray(pdf)).all(), (fs, dp)
+        # Rows with >= 2 valid bands have dof >= 1 against most models
+        # and must stay finite; rows below that are LEGITIMATELY -inf
+        # under dof = Ndim - 1 (no usable evidence), never NaN.
+        rich = dm.sum(axis=1) >= 3
+        assert np.isfinite(lmap[rich]).all(), (fs, dp)
