@@ -154,25 +154,39 @@ def config3():
     som.train_network(nside=50, nproj=2, niter=2000, nbatch=50, seed=1,
                       verbose=False)
     t_train = time.time() - t0
+    t0 = time.time()  # warm repeat: trace/compile amortized
+    som.train_network(nside=50, nproj=2, niter=2000, nbatch=50, seed=1,
+                      verbose=False)
+    t_train_w = time.time() - t0
     t0 = time.time()
     som.populate_network(verbose=False)
     t_pop = time.time() - t0
+    t0 = time.time()
+    som.populate_network(verbose=False)
+    t_pop_w = time.time() - t0
     d = (m[rng.integers(0, 100_000, 10_000)]
          + rng.normal(0, 0.3, (10_000, 5))).astype(np.float32)
     de = np.full((10_000, 5), 0.3, np.float32)
+    fit_kw = dict(label_grid=grid, nodes_only=True, verbose=False,
+                  batch_size=2048, save_fits=False)
     t0 = time.time()
     som.fit_predict(d, de, np.ones_like(d), z, np.full(100_000, 0.05),
-                    label_grid=grid, nodes_only=True, verbose=False,
-                    batch_size=2048, save_fits=False)
+                    **fit_kw)
     t_fit = time.time() - t0
+    t0 = time.time()
+    som.fit_predict(d, de, np.ones_like(d), z, np.full(100_000, 0.05),
+                    **fit_kw)
+    t_fit_w = time.time() - t0
     gng = GrowingNeuralGas(m, me, np.ones_like(m))
     t0 = time.time()
     gng.train_network(niter=5000, nbatch=50, max_nodes=2500, seed=2,
                       verbose=False)
     t_gng = time.time() - t0
-    _emit("config3_som_gng", 10_000 / t_fit, "obj/s",
-          som_train_s=round(t_train, 2), populate_s=round(t_pop, 2),
-          som_fit_s=round(t_fit, 2), gng_train_s=round(t_gng, 2),
+    _emit("config3_som_gng", 10_000 / t_fit_w, "obj/s",
+          som_train_s=round(t_train, 2), som_train_warm_s=round(t_train_w, 2),
+          populate_s=round(t_pop, 2), populate_warm_s=round(t_pop_w, 2),
+          som_fit_s=round(t_fit, 2), som_fit_warm_s=round(t_fit_w, 2),
+          gng_train_s=round(t_gng, 2),
           gng_nodes=int(gng.NNODE))
 
 
