@@ -83,6 +83,38 @@ def test_som_checkpoint(tmp_path):
     assert som2.fit_lnprob.shape[0] == 5
 
 
+def test_gng_and_knn_checkpoint_roundtrip(tmp_path):
+    """Round-trip the remaining fitter classes' persistent state."""
+    from frankenz_tpu.models import GrowingNeuralGas
+
+    rng = np.random.default_rng(5)
+    models = rng.uniform(1, 10, (120, 3))
+    me = 0.05 * models
+    gng = GrowingNeuralGas(models, me, np.ones_like(models))
+    gng.train_network(niter=30, nbatch=10, max_nodes=20, seed=1,
+                      verbose=False)
+    gng.populate_network(verbose=False)
+    path = save(str(tmp_path / "gng"), gng, use_orbax=False)
+    gng2 = GrowingNeuralGas(models, me, np.ones_like(models))
+    restore(path, gng2)
+    np.testing.assert_array_equal(gng2.nodes, gng.nodes)
+    np.testing.assert_array_equal(gng2.edge_ages, gng.edge_ages)
+    np.testing.assert_array_equal(gng2.nodes_idxs, gng.nodes_idxs)
+    assert gng2.NNODE == gng.NNODE
+
+    nn = NearestNeighbors(models, me, np.ones_like(models), K=3, seed=2,
+                          verbose=False)
+    data = models[:8] + rng.normal(0, 0.1, (8, 3))
+    nn.fit(data, np.full_like(data, 0.1), np.ones_like(data), k=5,
+           verbose=False, rng=np.random.default_rng(1))
+    path = save(str(tmp_path / "knn"), nn, use_orbax=False)
+    nn2 = NearestNeighbors(models, me, np.ones_like(models), K=3, seed=2,
+                           verbose=False)
+    restore(path, nn2)
+    np.testing.assert_array_equal(nn2.neighbors, nn.neighbors)
+    np.testing.assert_array_equal(nn2.fit_lnprob, nn.fit_lnprob)
+
+
 def test_metrics_registry():
     m = Metrics()
     with m.timer("fit", items=100, item_counter="pairs"):
