@@ -46,8 +46,15 @@ def _default_compilation_cache():
     try:
         if _jax.config.jax_compilation_cache_dir is not None:
             return
+        # Per-user path (uid suffix) created 0o700: on shared hosts a
+        # world-writable fixed tempdir path would collide across users
+        # and let any local user pre-seed the compiled-program cache.
+        uid = _os.getuid() if hasattr(_os, "getuid") else "u"
         path = _os.path.join(_tempfile.gettempdir(),
-                             "frankenz_tpu_jax_cache")
+                             f"frankenz_tpu_jax_cache_{uid}")
+        _os.makedirs(path, mode=0o700, exist_ok=True)
+        if hasattr(_os, "getuid") and _os.stat(path).st_uid != _os.getuid():
+            return  # pre-existing dir owned by someone else: don't trust it
         _jax.config.update("jax_compilation_cache_dir", path)
         _jax.config.update("jax_persistent_cache_min_compile_time_secs",
                            0.5)

@@ -99,6 +99,7 @@ def resolve_kde_opts(kde_args=None, kde_kwargs=None, wt_thresh=1e-3,
     cdf_thresh = kw.get("cdf_thresh", cdf_thresh)
     return dx, sig_thresh, wt_thresh, cdf_thresh
 
+
 def norm_rows(pdf):
     """Normalize PDF rows to sum 1; all-zero rows stay zero (the fitters'
     shared per-object normalization, bruteforce.py:370, :629)."""

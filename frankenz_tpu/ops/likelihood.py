@@ -49,7 +49,7 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.special import gammaln, xlogy
 
-__all__ = ["static_spec", 
+__all__ = ["static_spec",
     "LoglikeResult",
     "LogprobResult",
     "loglike",

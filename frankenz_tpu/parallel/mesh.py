@@ -310,6 +310,13 @@ def ring_fit_predict_step(mesh, wt_thresh=1e-3, dim_prior=True,
             (m, me, mm, G, pdf), _ = jax.lax.scan(
                 step_b, (m, me, mm, G, pdf0), None, length=n)
 
+        # The online max was seeded with finfo.min (a finite sentinel, to
+        # avoid -inf minus -inf NaNs in the rescales).  Objects with no
+        # finite pair likelihood (fully masked) still carry it here —
+        # convert back to the -inf the materializing/sharded paths return.
+        dead = s <= 0
+        lmap = jnp.where(dead, -jnp.inf, lmap)
+        levid = jnp.where(dead, -jnp.inf, levid)
         return _kde.norm_rows(pdf), lmap, levid
 
     data_spec = P(OBJ_AXIS, None)

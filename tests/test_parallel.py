@@ -143,6 +143,33 @@ def test_ring_step_matches_single_device(problem, mesh):
         assert len(pdf.sharding.device_set) == 8
 
 
+def test_ring_step_all_masked_object_returns_neg_inf(problem, mesh):
+    """A fully-masked object must come back with lmap = levid = -inf and a
+    zero PDF from the ring path too (same contract as the materializing
+    and object-sharded paths) — not the finite finfo.min scan sentinel."""
+    from frankenz_tpu.ops import kde as K
+    from frankenz_tpu.parallel import ring_fit_predict_step
+
+    d, de, dm, m, me, mm = problem
+    m, me, mm = m[:48], me[:48], mm[:48]
+    dm = dm.copy()
+    dm[3] = 0.0  # object 3 has no usable bands anywhere
+    rng = np.random.default_rng(5)
+    G = np.asarray(K.kernel_matrix(rng.uniform(0, 3, 48),
+                                   np.full(48, 0.1),
+                                   np.linspace(0, 3, 64)))
+    for wt_thresh in (1e-3, None):
+        step = ring_fit_predict_step(mesh, wt_thresh=wt_thresh)
+        ds, des, dms = shard_objects(mesh, d, de, dm)
+        ms, mes, mms, Gs = shard_objects(mesh, m, me, mm, G)
+        pdf, lmap, levid = step(ds, des, dms, ms, mes, mms, Gs)
+        lmap, levid, pdf = (np.asarray(x) for x in (lmap, levid, pdf))
+        assert lmap[3] == -np.inf, wt_thresh
+        assert levid[3] == -np.inf, wt_thresh
+        np.testing.assert_array_equal(pdf[3], 0.0)
+        assert np.isfinite(lmap[[0, 1, 2]]).all()
+
+
 def test_catalog_io(mesh):
     from frankenz_tpu.parallel import (catalog_batches,
                                        catalog_from_process_shards,
