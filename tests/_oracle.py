@@ -101,64 +101,73 @@ def gaussian(mu, std, x):
     return np.exp(-0.5 * ((x - mu) / std) ** 2) / (np.sqrt(2 * np.pi) * std)
 
 
+def _select_weights(y_wt, wt_thresh, cdf_thresh):
+    """Indices of retained mixture components (SURVEY.md section 2.3):
+    weights above ``wt_thresh * max`` when a weight threshold is given,
+    else everything but the lightest ``cdf_thresh`` tail of the
+    ascending-sorted cumulative weight mass."""
+    if wt_thresh is not None:
+        return np.flatnonzero(y_wt > wt_thresh * np.max(y_wt))
+    order = np.argsort(y_wt)
+    cdf = np.cumsum(y_wt[order])
+    cdf = cdf / cdf[-1]
+    return order[cdf <= 1.0 - cdf_thresh]
+
+
 def gauss_kde_1(y, y_std, x, y_wt, sig_thresh=5.0, wt_thresh=1e-3,
                 cdf_thresh=2e-4):
-    """Single-PDF truncated-Gaussian KDE stack on grid `x`."""
+    """Single-PDF truncated-Gaussian KDE stack on grid `x`.
+
+    Window-mask formulation: each retained component contributes a
+    Gaussian evaluated on the grid points whose integer index falls
+    inside [center - halfwidth, center + halfwidth), where center is the
+    component's (floor-quantized) grid position and halfwidth the
+    quantized ``sig_thresh`` truncation radius; the contribution is
+    renormalized to unit mass over those retained points.  Off-grid
+    components simply have empty windows.  (The exclusive upper bound
+    makes the window asymmetric by one cell — the reference's
+    discretization, kept for parity.)
+    """
     nx = len(x)
     dx = x[1] - x[0]
-    centers = np.array((y - x[0]) / dx, dtype=int)
-    offsets = np.array(sig_thresh * y_std / dx, dtype=int)
-    uppers = centers + offsets
-    lowers = centers - offsets
-    uppers[uppers > nx] = nx
-    lowers[lowers < 0] = 0
-    # Sane off-grid handling (documented deviation from the reference's
-    # negative-slice artifact; see frankenz_tpu/ops/kde.py docstring).
-    uppers[uppers < 0] = 0
-
-    if wt_thresh is not None:
-        sel = np.flatnonzero(y_wt > wt_thresh * np.max(y_wt))
-    else:
-        order = np.argsort(y_wt)
-        cdf = np.cumsum(y_wt[order])
-        cdf = cdf / cdf[-1]
-        sel = order[cdf <= 1.0 - cdf_thresh]
+    centers = np.asarray((y - x[0]) / dx, dtype=int)
+    halfwidths = np.asarray(sig_thresh * y_std / dx, dtype=int)
+    gidx = np.arange(nx)
 
     pdf = np.zeros(nx)
-    for i in sel:
-        lo, hi = lowers[i], uppers[i]
-        vals = gaussian(y[i], y_std[i], x[lo:hi])
+    for i in _select_weights(y_wt, wt_thresh, cdf_thresh):
+        inside = ((gidx >= centers[i] - halfwidths[i])
+                  & (gidx < centers[i] + halfwidths[i]))
+        vals = gaussian(y[i], y_std[i], x[inside])
         norm = vals.sum()
         if norm != 0.0:
-            pdf[lo:hi] += y_wt[i] / norm * vals
+            pdf[inside] += y_wt[i] / norm * vals
     return pdf
 
 
 def gauss_kde_dict_1(pdfdict, y_idx, y_std_idx, y_wt, wt_thresh=1e-3,
                      cdf_thresh=2e-4):
-    """Single-PDF dictionary KDE stack (edge-renormalized kernels)."""
+    """Single-PDF dictionary KDE stack (edge-renormalized kernels).
+
+    Window-mask formulation: a dictionary kernel of half-width w is a
+    (2w+1)-vector whose element j sits at grid index pos - w + j.  The
+    in-grid part of the window is selected with a boolean mask, and the
+    retained kernel mass (the same quantity the reference reads off a
+    precomputed kernel CDF) is just the kernel sum over that mask —
+    contributions are divided by it so every stacked kernel integrates
+    to its weight over the grid.
+    """
     nx = pdfdict.Ngrid
     pdf = np.zeros(nx)
-    if wt_thresh is not None:
-        sel = np.flatnonzero(y_wt > wt_thresh * np.max(y_wt))
-    else:
-        order = np.argsort(y_wt)
-        cdf = np.cumsum(y_wt[order])
-        cdf = cdf / cdf[-1]
-        sel = order[cdf <= 1.0 - cdf_thresh]
-    for i in sel:
-        idx = int(y_std_idx[i])
+    for i in _select_weights(y_wt, wt_thresh, cdf_thresh):
         pos = int(y_idx[i])
-        kernel = np.asarray(pdfdict.sigma_dict[idx])
-        width = int(pdfdict.sigma_width[idx])
-        kcdf = np.asarray(pdfdict.sigma_dict_cdf[idx])
-        low, high = max(pos - width, 0), min(pos + width + 1, nx)
-        if high <= low:
+        kidx = int(y_std_idx[i])
+        kernel = np.asarray(pdfdict.sigma_dict[kidx])
+        width = int(pdfdict.sigma_width[kidx])
+        gidx = pos + np.arange(-width, width + 1)
+        inside = (gidx >= 0) & (gidx < nx)
+        if not inside.any():
             continue
-        lpad, hpad = low - (pos - width), high - (pos + width + 1)
-        if lpad == 0:
-            norm = kcdf[hpad - 1]
-        else:
-            norm = kcdf[hpad - 1] - kcdf[lpad - 1]
-        pdf[low:high] += (y_wt[i] / norm) * kernel[lpad:2 * width + 1 + hpad]
+        norm = kernel[inside].sum()
+        pdf[gidx[inside]] += (y_wt[i] / norm) * kernel[inside]
     return pdf
