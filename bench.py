@@ -47,8 +47,13 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 def _emit(metric, value, unit, **detail):
+    """One JSON line; carries the package's structured-metrics registry
+    snapshot (counters filled by the fitter pipelines themselves)."""
+    from frankenz_tpu.utils.metrics import metrics
+
     print(json.dumps({"metric": metric, "value": float(f"{value:.4g}"),
-                      "unit": unit, "detail": detail}))
+                      "unit": unit, "detail": detail,
+                      "metrics": metrics.snapshot()}))
 
 
 # Peak dense-matmul throughput per chip (bf16 FLOPs/s), for the MFU
@@ -283,17 +288,22 @@ def main():
     out = step(d_all[:batch], de_all[:batch], dm_all[:batch])
     jax.block_until_ready(out)
 
+    from frankenz_tpu.utils.metrics import metrics
+
     nbatch = nobj // batch
     nz = jnp.zeros(ngrid, jnp.float32)
     t0 = time.time()
-    for i in range(nbatch):
-        s = i * batch
-        nz_b, lmap, levid = step(
-            jax.lax.dynamic_slice_in_dim(d_all, s, batch),
-            jax.lax.dynamic_slice_in_dim(de_all, s, batch),
-            jax.lax.dynamic_slice_in_dim(dm_all, s, batch))
-        nz = nz + nz_b
-    jax.block_until_ready(nz)
+    with metrics.timer("bench.config4", items=nbatch * batch * nmodel,
+                       item_counter="chi2_pair_evals"):
+        for i in range(nbatch):
+            s = i * batch
+            nz_b, lmap, levid = step(
+                jax.lax.dynamic_slice_in_dim(d_all, s, batch),
+                jax.lax.dynamic_slice_in_dim(de_all, s, batch),
+                jax.lax.dynamic_slice_in_dim(dm_all, s, batch))
+            nz = nz + nz_b
+        jax.block_until_ready(nz)
+    metrics.count("pdf_stacks", nbatch * batch)
     elapsed = time.time() - t0
 
     npairs = nbatch * batch * nmodel
@@ -324,6 +334,7 @@ def main():
             "flops_per_pair": flops_per_pair,
             "peak_bf16_flops": peak,
         },
+        "metrics": metrics.snapshot(),
     }
     print(json.dumps(result))
 

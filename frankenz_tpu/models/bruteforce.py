@@ -41,6 +41,7 @@ import jax.numpy as jnp
 from ..ops import fused as _fused
 from ..ops import kde as _kde
 from ..ops import likelihood as _like
+from ..utils.metrics import metrics as _metrics
 from ..utils.progress import progress_iter
 
 __all__ = ["BruteForce"]
@@ -199,6 +200,15 @@ class BruteForce:
         if scale_err is not None and self.fit_scale_err is not None:
             self.fit_scale_err[sl] = np.asarray(scale_err[:n], np.float32)
 
+    def _fp_metrics(self, ndata):
+        """fit_predict telemetry: one phase timer + the BASELINE counters
+        (chi^2 pair-evals, per-object PDF stacks) on the global registry
+        (SURVEY.md section 5, metrics/observability)."""
+        _metrics.count("pdf_stacks", ndata)
+        return _metrics.timer("bruteforce.fit_predict",
+                              items=ndata * self.NMODEL,
+                              item_counter="chi2_pair_evals")
+
     def _kernel_G(self, model_labels, model_label_errs, label_dict,
                   label_grid, dx=None, sig_thresh=5.0):
         """(Nmodel, Ngrid) row-normalized kernel matrix + the grid.
@@ -244,15 +254,18 @@ class BruteForce:
         step = self._lprob_step(lprob_func, lprob_args, lprob_kwargs)
         self._alloc_fits(ndata, track_scale)
 
-        for i0, n in progress_iter(_batch_slices(ndata, batch_size),
-                                   total=ndata, label="Fitting object",
-                                   sizes=True, verbose=verbose):
-            d = _pad_rows(data[i0:i0 + n], batch_size)
-            de = _pad_rows(data_err[i0:i0 + n], batch_size)
-            dm = _pad_rows(data_mask[i0:i0 + n], batch_size)
-            res = step(d, de, dm, self.models, self.models_err,
-                       self.models_mask)
-            self._store_fits(i0, n, res)
+        with _metrics.timer("bruteforce.fit",
+                            items=ndata * self.NMODEL,
+                            item_counter="chi2_pair_evals"):
+            for i0, n in progress_iter(_batch_slices(ndata, batch_size),
+                                       total=ndata, label="Fitting object",
+                                       sizes=True, verbose=verbose):
+                d = _pad_rows(data[i0:i0 + n], batch_size)
+                de = _pad_rows(data_err[i0:i0 + n], batch_size)
+                dm = _pad_rows(data_mask[i0:i0 + n], batch_size)
+                res = step(d, de, dm, self.models, self.models_err,
+                           self.models_mask)
+                self._store_fits(i0, n, res)
         return self
 
     def predict(self, model_labels, model_label_errs, label_dict=None,
@@ -289,14 +302,17 @@ class BruteForce:
         pdfs = np.zeros((ndata, ngrid), np.float32)
         lmap = np.zeros(ndata, np.float32)
         levid = np.zeros(ndata, np.float32)
-        for i0, n in progress_iter(_batch_slices(ndata, batch_size),
-                                   total=ndata, label="Generating PDF",
-                                   sizes=True, verbose=verbose):
-            lwt = _pad_rows(logwt[i0:i0 + n].astype(np.float32), batch_size)
-            pdf_b, lmap_b, levid_b = stack(lwt, G)
-            pdfs[i0:i0 + n] = np.asarray(pdf_b[:n])
-            lmap[i0:i0 + n] = np.asarray(lmap_b[:n])
-            levid[i0:i0 + n] = np.asarray(levid_b[:n])
+        with _metrics.timer("bruteforce.predict", items=ndata,
+                            item_counter="pdf_stacks"):
+            for i0, n in progress_iter(_batch_slices(ndata, batch_size),
+                                       total=ndata, label="Generating PDF",
+                                       sizes=True, verbose=verbose):
+                lwt = _pad_rows(logwt[i0:i0 + n].astype(np.float32),
+                                batch_size)
+                pdf_b, lmap_b, levid_b = stack(lwt, G)
+                pdfs[i0:i0 + n] = np.asarray(pdf_b[:n])
+                lmap[i0:i0 + n] = np.asarray(lmap_b[:n])
+                levid[i0:i0 + n] = np.asarray(levid_b[:n])
 
         if return_gof:
             return pdfs, (lmap, levid)
@@ -384,14 +400,16 @@ class BruteForce:
                                  "only; save_fits/track_scale are "
                                  "unsupported (run per-host fit() for "
                                  "stored grids)")
-            return self._fit_predict_sharded(
-                data, data_err, data_mask, G, lprob_func, lprob_args,
-                lprob_kwargs, wt_thresh, cdf_thresh, batch_size, mesh,
-                bool(use_fused), return_gof, verbose)
+            with self._fp_metrics(ndata):
+                return self._fit_predict_sharded(
+                    data, data_err, data_mask, G, lprob_func, lprob_args,
+                    lprob_kwargs, wt_thresh, cdf_thresh, batch_size, mesh,
+                    bool(use_fused), return_gof, verbose)
         if use_fused:
-            return self._fit_predict_fused(
-                data, data_err, data_mask, G, lprob_kwargs or {},
-                wt_thresh, batch_size, return_gof, verbose)
+            with self._fp_metrics(ndata):
+                return self._fit_predict_fused(
+                    data, data_err, data_mask, G, lprob_kwargs or {},
+                    wt_thresh, batch_size, return_gof, verbose)
         if lprob_func is None:
             lprob_func = _like.logprob
         lprob_args = lprob_args or ()
@@ -412,21 +430,23 @@ class BruteForce:
         pdfs = np.zeros((ndata, ngrid), np.float32)
         lmap = np.zeros(ndata, np.float32)
         levid = np.zeros(ndata, np.float32)
-        for i0, n in progress_iter(_batch_slices(ndata, batch_size),
-                                   total=ndata, label="Fitting object",
-                                   sizes=True, verbose=verbose):
-            d = _pad_rows(data[i0:i0 + n], batch_size)
-            de = _pad_rows(data_err[i0:i0 + n], batch_size)
-            dm = _pad_rows(data_mask[i0:i0 + n], batch_size)
-            pdf_b, lmap_b, levid_b, res = fused(
-                d, de, dm, self.models, self.models_err, self.models_mask, G)
-            pdfs[i0:i0 + n] = np.asarray(pdf_b[:n])
-            lmap[i0:i0 + n] = np.asarray(lmap_b[:n])
-            levid[i0:i0 + n] = np.asarray(levid_b[:n])
-            if save_fits:
-                full = res[:5] + ((res[5] if len(res) > 5 else None),
-                                  (res[6] if len(res) > 6 else None))
-                self._store_fits(i0, n, full)
+        with self._fp_metrics(ndata):
+            for i0, n in progress_iter(_batch_slices(ndata, batch_size),
+                                       total=ndata, label="Fitting object",
+                                       sizes=True, verbose=verbose):
+                d = _pad_rows(data[i0:i0 + n], batch_size)
+                de = _pad_rows(data_err[i0:i0 + n], batch_size)
+                dm = _pad_rows(data_mask[i0:i0 + n], batch_size)
+                pdf_b, lmap_b, levid_b, res = fused(
+                    d, de, dm, self.models, self.models_err,
+                    self.models_mask, G)
+                pdfs[i0:i0 + n] = np.asarray(pdf_b[:n])
+                lmap[i0:i0 + n] = np.asarray(lmap_b[:n])
+                levid[i0:i0 + n] = np.asarray(levid_b[:n])
+                if save_fits:
+                    full = res[:5] + ((res[5] if len(res) > 5 else None),
+                                      (res[6] if len(res) > 6 else None))
+                    self._store_fits(i0, n, full)
 
         if return_gof:
             return pdfs, (lmap, levid)

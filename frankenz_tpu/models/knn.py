@@ -42,6 +42,7 @@ import jax.numpy as jnp
 from ..ops import kde as _kde
 from ..ops import likelihood as _like
 from ..ops import transforms as _tf
+from ..utils.metrics import metrics as _metrics
 from ..utils.progress import progress_iter
 from .bruteforce import _batch_slices, _pad_rows, default_batch_size
 
@@ -622,21 +623,28 @@ class NearestNeighbors:
                 if save_fits:
                     self._store(j0, jn, jidx, jnidx, jres)
 
+        # Telemetry (SURVEY.md section 5): ensemble-search distance pairs,
+        # exact chi^2 evals on the padded neighbor unions, PDF stacks.
+        _metrics.count("knn_search_pairs", ndata * self.K * self.NMODEL)
+        _metrics.count("chi2_pair_evals", ndata * self.K * k)
+        _metrics.count("pdf_stacks", ndata)
         parts = []
-        for i0, n, jq, d, de, dm in self._data_batches(
-                data, data_err, data_mask, batch_size, rng):
-            out = fused(jnp.asarray(jq), jnp.asarray(d), jnp.asarray(de),
-                        jnp.asarray(dm))
-            parts.append((i0, n, out))
-            if len(parts) >= 32:
-                drain(parts)
-                parts = []
-            if verbose:
-                import sys
-                sys.stderr.write("\rFitting object {0}/{1}"
-                                 .format(min(i0 + n, ndata), ndata))
-        # Bulk readback after all batches are dispatched (async pipeline).
-        drain(parts)
+        with _metrics.timer("knn.fit_predict"):
+            for i0, n, jq, d, de, dm in self._data_batches(
+                    data, data_err, data_mask, batch_size, rng):
+                out = fused(jnp.asarray(jq), jnp.asarray(d),
+                            jnp.asarray(de), jnp.asarray(dm))
+                parts.append((i0, n, out))
+                if len(parts) >= 32:
+                    drain(parts)
+                    parts = []
+                if verbose:
+                    import sys
+                    sys.stderr.write("\rFitting object {0}/{1}"
+                                     .format(min(i0 + n, ndata), ndata))
+            # Bulk readback after all batches are dispatched (async
+            # pipeline).
+            drain(parts)
         if verbose:
             import sys
             sys.stderr.write("\n")
