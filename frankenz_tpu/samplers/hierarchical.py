@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..utils.progress import train_note
+from .base import ChainSampler
 from jax.scipy.special import gammaln, xlogy
 
 __all__ = ["hierarchical_sampler", "multinomial_logpmf", "dirichlet_logpdf"]
@@ -55,8 +56,8 @@ def dirichlet_logpdf(x, alpha):
 @functools.partial(jax.jit,
                    static_argnames=("nref", "nobs", "thin", "has_ref",
                                     "axis_name"))
-def _hier_run(keys, pos0, pdfs, alpha, beta, ref, ref_norm, valid=None, *,
-              nref, nobs, thin, has_ref, axis_name=None):
+def _hier_run(keys, pos0, pdfs, alpha, beta, ref, ref_norm, valid=None,
+              ref0=None, *, nref, nobs, thin, has_ref, axis_name=None):
     """All chains x all samples in one compiled program (cached globally
     across run_mcmc calls by the static (nref, nobs, thin, has_ref) key).
 
@@ -67,6 +68,10 @@ def _hier_run(keys, pos0, pdfs, alpha, beta, ref, ref_norm, valid=None, *,
     bin counts reduce with one `psum`; `valid` masks padded objects out
     of the counts.  The population-level draws use the unfolded
     (replicated) keys, so chain state is identical on every shard.
+
+    `ref0` (nchains, Nbins) seeds the reference-count part of the Gibbs
+    carry (defaults to `ref`); the final carry is returned as a third
+    output so block-streaming callers (`sample`) can resume exactly.
     """
     nbins = pos0.shape[-1]
     # Hoisted: the per-object log-PDF matrix is loop-invariant; only the
@@ -101,18 +106,21 @@ def _hier_run(keys, pos0, pdfs, alpha, beta, ref, ref_norm, valid=None, *,
         lnprior = dirichlet_logpdf(pos, alpha + ref_counts)
         return (pos, ref_counts), lnlike + lnprior + lnpriorref
 
-    def run_one_chain(chain_keys, p0):
+    def run_one_chain(chain_keys, p0, rc0):
         def outer(carry, key):
             carry, lnps = jax.lax.scan(sweep, carry,
                                        jax.random.split(key, thin))
             pos, _ = carry
             return carry, (pos, lnps[-1])
 
-        carry0 = (p0, ref if has_ref else jnp.zeros(nbins, p0.dtype))
-        _, (samples, lnps) = jax.lax.scan(outer, carry0, chain_keys)
-        return samples, lnps
+        (_, rc_final), (samples, lnps) = jax.lax.scan(
+            outer, (p0, rc0), chain_keys)
+        return samples, lnps, rc_final
 
-    return jax.vmap(run_one_chain)(keys, pos0)
+    if ref0 is None:
+        rc0 = ref if has_ref else jnp.zeros(nbins, pos0.dtype)
+        ref0 = jnp.broadcast_to(rc0, pos0.shape).astype(pos0.dtype)
+    return jax.vmap(run_one_chain)(keys, pos0, ref0)
 
 
 @functools.lru_cache(maxsize=None)
@@ -120,58 +128,95 @@ def _hier_run_sharded(mesh, obj_axis, nref, nobs, thin, has_ref):
     """Mesh-sharded Gibbs runner (see `_hier_run`)."""
     from jax.sharding import PartitionSpec as P
 
-    def local(keys, pos0, pdfs, alpha, beta, ref, ref_norm, valid):
+    def local(keys, pos0, pdfs, alpha, beta, ref, ref_norm, valid, ref0):
         return _hier_run(keys, pos0, pdfs, alpha, beta, ref, ref_norm,
-                         valid, nref=nref, nobs=nobs, thin=thin,
+                         valid, ref0, nref=nref, nobs=nobs, thin=thin,
                          has_ref=has_ref, axis_name=obj_axis)
 
     return jax.jit(jax.shard_map(
         local, mesh=mesh,
         in_specs=(P(), P(), P(obj_axis, None), P(), P(), P(), P(),
-                  P(obj_axis)),
-        out_specs=(P(), P()), check_vma=False))
+                  P(obj_axis), P()),
+        out_specs=(P(), P(), P()), check_vma=False))
 
 
-class hierarchical_sampler:
+class hierarchical_sampler(ChainSampler):
     """Collapsed Gibbs sampler over (z_g, rho) (samplers.py:311-535).
 
     Extra capability vs the reference: `nchains` vmapped parallel chains
     (see `population_sampler` for the results layout).
     """
 
-    def __init__(self, pdfs):
-        # Host-side float64: mixed-precision inputs (e.g. float32 PDFs
-        # from the fitters) would otherwise promote inconsistently inside
-        # the scan carry (jnp.asarray downcasts uniformly when x64 is
-        # disabled, so on-device dtype stays consistent either way).
-        self.pdfs = np.asarray(pdfs, float)
-        self.samples = []
-        self.samples_lnp = []
-        self._chain_state = None
+    def _resolve_hyper(self, alpha, beta, ref_sample):
+        """Flat alpha/beta defaults + reference-sample normalization
+        (samplers.py:365-380)."""
+        nbins = self.pdfs.shape[1]
+        alpha = (np.ones(nbins) if alpha is None
+                 else np.asarray(alpha, float))
+        beta = np.ones(nbins) if beta is None else np.asarray(beta, float)
+        has_ref = ref_sample is not None
+        if has_ref:
+            ref_sample = np.asarray(ref_sample, float)
+            ref_norm = ref_sample + beta
+            ref_norm = ref_norm / ref_norm.sum()
+            nref = float(ref_sample.sum())
+        else:
+            ref_sample = np.zeros(nbins)
+            ref_norm = np.ones(nbins) / nbins
+            nref = 0.0
+        return alpha, beta, ref_sample, ref_norm, nref, has_ref
 
-    def reset(self):
-        """Re-initialize the sampler."""
-        self.samples = []
-        self.samples_lnp = []
-        self._chain_state = None
+    def _make_runner(self, mesh, hyper, thin):
+        """`run(keys, pos, ref0) -> (samples, lnps, ref_final)` closure
+        with the PDF matrix (sharded when `mesh` is given) and hyper
+        arrays staged once."""
+        alpha, beta, ref_sample, ref_norm, nref, has_ref = hyper
+        nobs, nbins = self.pdfs.shape
+        alpha_j, beta_j = jnp.asarray(alpha), jnp.asarray(beta)
+        ref_j, ref_norm_j = jnp.asarray(ref_sample), jnp.asarray(ref_norm)
+        if mesh is None:
+            pdfs = jnp.asarray(self.pdfs)
 
-    @property
-    def results(self):
-        s = np.array(self.samples)
-        lnp = np.array(self.samples_lnp)
-        if s.ndim == 3:
-            s = s.reshape(-1, s.shape[-1])
-            lnp = lnp.reshape(-1)
-        return s, lnp
+            def run(keys, pos, ref0):
+                return _hier_run(keys, jnp.asarray(pos), pdfs, alpha_j,
+                                 beta_j, ref_j, ref_norm_j, None, ref0,
+                                 nref=nref, nobs=nobs, thin=thin,
+                                 has_ref=has_ref)
 
-    @property
-    def results_by_chain(self):
-        s = np.array(self.samples)
-        lnp = np.array(self.samples_lnp)
-        if s.ndim == 2:
-            s = s[:, None, :]
-            lnp = lnp[:, None]
-        return s, lnp
+            return run
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        obj_axis = mesh.axis_names[0]
+        ndev = int(mesh.size)
+        npad = (-nobs) % ndev
+        pdfs_np = self.pdfs
+        valid = np.ones(nobs + npad, np.float64)
+        if npad:
+            pdfs_np = np.concatenate(
+                [self.pdfs, np.full((npad, nbins), 1.0 / nbins,
+                                    self.pdfs.dtype)], axis=0)
+            valid[nobs:] = 0.0
+        dspec = NamedSharding(mesh, P(obj_axis))
+        rep = NamedSharding(mesh, P())
+        runner = _hier_run_sharded(mesh, obj_axis, nref, nobs, thin,
+                                   has_ref)
+        pdfs_s = jax.device_put(jnp.asarray(pdfs_np), dspec)
+        valid_s = jax.device_put(jnp.asarray(valid), dspec)
+        hyper_s = [jax.device_put(x, rep)
+                   for x in (alpha_j, beta_j, ref_j, ref_norm_j)]
+
+        def run(keys, pos, ref0):
+            pos = jnp.asarray(pos)
+            if ref0 is None:
+                rc0 = ref_j if has_ref else jnp.zeros(nbins, pos.dtype)
+                ref0 = jnp.broadcast_to(rc0, pos.shape).astype(pos.dtype)
+            return runner(jax.device_put(keys, rep),
+                          jax.device_put(pos, rep), pdfs_s, *hyper_s,
+                          valid_s,
+                          jax.device_put(jnp.asarray(ref0), rep))
+
+        return run
 
     def run_mcmc(self, Niter, alpha=None, pos_init=None, thin=5,
                  ref_sample=None, beta=None, rng=None, seed=None,
@@ -186,109 +231,48 @@ class hierarchical_sampler:
         runs) and the bin counts reduce with one `psum` per sweep.
         """
         t0 = time.time()
-        nobs, nbins = self.pdfs.shape
-        alpha = np.ones(nbins) if alpha is None else np.asarray(alpha, float)
-        beta = np.ones(nbins) if beta is None else np.asarray(beta, float)
-
-        has_ref = ref_sample is not None
-        if has_ref:
-            ref_sample = np.asarray(ref_sample, float)
-            ref_norm = ref_sample + beta
-            ref_norm = ref_norm / ref_norm.sum()
-            nref = float(ref_sample.sum())
-        else:
-            ref_sample = np.zeros(nbins)
-            ref_norm = np.ones(nbins) / nbins
-            nref = 0.0
-
-        if pos_init is None:
-            if self._chain_state is not None:
-                pos0 = self._chain_state
-            elif self.samples:
-                pos0 = np.atleast_2d(np.asarray(self.samples[-1]))
-            else:
-                stack = self.pdfs.sum(axis=0) / self.pdfs.sum()
-                pos0 = np.tile(stack, (nchains, 1))
-        else:
-            pos0 = np.atleast_2d(np.asarray(pos_init, float))
-        if pos0.shape[0] != nchains:
-            pos0 = np.tile(pos0[0], (nchains, 1))
-
-        key = jax.random.key(seed if seed is not None
-                             else (rng.integers(2**31) if rng is not None
-                                   else np.random.default_rng().integers(
-                                       2**31)))
-        pdfs = jnp.asarray(self.pdfs)
-        alpha_j = jnp.asarray(alpha)
-        beta_j = jnp.asarray(beta)
-        ref_j = jnp.asarray(ref_sample)
-        ref_norm_j = jnp.asarray(ref_norm)
-
-        keys = jax.random.split(key, (nchains, Niter))
-        if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            obj_axis = mesh.axis_names[0]
-            ndev = int(mesh.size)
-            npad = (-nobs) % ndev
-            pdfs_np = self.pdfs
-            valid = np.ones(nobs + npad, np.float64)
-            if npad:
-                pdfs_np = np.concatenate(
-                    [self.pdfs, np.full((npad, nbins), 1.0 / nbins,
-                                        self.pdfs.dtype)], axis=0)
-                valid[nobs:] = 0.0
-            dspec = NamedSharding(mesh, P(obj_axis))
-            rep = NamedSharding(mesh, P())
-            runner = _hier_run_sharded(mesh, obj_axis, nref, nobs, thin,
-                                       has_ref)
-            samples, lnps = runner(
-                jax.device_put(keys, rep),
-                jax.device_put(jnp.asarray(pos0), rep),
-                jax.device_put(jnp.asarray(pdfs_np), dspec),
-                jax.device_put(alpha_j, rep), jax.device_put(beta_j, rep),
-                jax.device_put(ref_j, rep),
-                jax.device_put(ref_norm_j, rep),
-                jax.device_put(jnp.asarray(valid), dspec))
-        else:
-            samples, lnps = _hier_run(
-                keys, jnp.asarray(pos0), pdfs, alpha_j, beta_j, ref_j,
-                ref_norm_j, nref=nref, nobs=nobs, thin=thin,
-                has_ref=has_ref)
-        samples = np.asarray(samples)
-        lnps = np.asarray(lnps)
-        for it in range(Niter):
-            if nchains == 1:
-                self.samples.append(samples[0, it])
-                self.samples_lnp.append(float(lnps[0, it]))
-            else:
-                self.samples.append(samples[:, it, :])
-                self.samples_lnp.append(lnps[:, it])
-        self._chain_state = samples[:, -1, :]
+        hyper = self._resolve_hyper(alpha, beta, ref_sample)
+        pos0 = self._resolve_pos0(pos_init, nchains)
+        keys = jax.random.split(self._resolve_key(seed, rng),
+                                (nchains, Niter))
+        run = self._make_runner(mesh, hyper, thin)
+        samples, lnps, _ = run(keys, pos0, None)
+        self._store_run(np.asarray(samples), np.asarray(lnps), nchains,
+                        Niter)
         train_note(verbose, "hierarchical MCMC", Niter, t0)
         return self
 
     def sample(self, Niter, alpha=None, pos_init=None, thin=5,
                ref_sample=None, beta=None, rng=None, seed=None,
-               verbose=True, nchains=1, mesh=None):
-        """Generator yielding one `(pos, lnpost)` per (thinned) sample.
+               verbose=True, nchains=1, mesh=None, block=1):
+        """Generator yielding one `(pos, lnpost)` per (thinned) sample,
+        AS THE CHAIN RUNS.
 
-        Reference: samplers.py:429-535 — the generator behind `run_mcmc`.
-        The whole chain is computed on-device up front and the samples
-        are then yielded in order.  Like the reference generator, this
-        does NOT append to the stored chain — only `run_mcmc` does.
+        Reference: samplers.py:429-535 — the streaming generator behind
+        `run_mcmc`, preserved for its monitoring / early-stop use-case:
+        the chain advances `block` thinned samples per device call (one
+        compiled scan, cached across blocks), resuming each block from
+        the previous block's full Gibbs carry (position AND reference
+        counts), so the first yield costs O(block*thin) sweeps rather
+        than O(Niter*thin).  `run_mcmc` stays the single-call fast path;
+        like the reference generator, this does NOT append to the stored
+        chain — only `run_mcmc` does.
         """
         del verbose
-        keep = (list(self.samples), list(self.samples_lnp),
-                self._chain_state)
-        try:
-            self.run_mcmc(Niter, alpha=alpha, pos_init=pos_init,
-                          thin=thin, ref_sample=ref_sample, beta=beta,
-                          rng=rng, seed=seed, verbose=False,
-                          nchains=nchains, mesh=mesh)
-            out = list(zip(self.samples[len(keep[0]):],
-                           self.samples_lnp[len(keep[1]):]))
-        finally:
-            self.samples, self.samples_lnp, self._chain_state = keep
-        for pos, lnpost in out:
-            yield pos, lnpost
+        hyper = self._resolve_hyper(alpha, beta, ref_sample)
+        pos = self._resolve_pos0(pos_init, nchains)
+        keys = jax.random.split(self._resolve_key(seed, rng),
+                                (nchains, Niter))
+        run = self._make_runner(mesh, hyper, thin)
+        ref0 = None
+        for i0 in range(0, Niter, block):
+            nb = min(block, Niter - i0)
+            samples, lnps, rc = run(keys[:, i0:i0 + nb], pos, ref0)
+            samples = np.asarray(samples)
+            lnps = np.asarray(lnps)
+            pos, ref0 = samples[:, -1, :], rc
+            for it in range(nb):
+                if nchains == 1:
+                    yield samples[0, it], float(lnps[0, it])
+                else:
+                    yield samples[:, it, :], lnps[:, it]

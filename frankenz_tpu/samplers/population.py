@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from ..utils.progress import train_note
+from .base import ChainSampler
 
 __all__ = ["loglike_nz", "population_sampler"]
 
@@ -95,7 +96,8 @@ class _BoundPrior:
 
 @functools.partial(jax.jit, static_argnames=("prior", "thin", "mh_steps",
                                              "axis_name"))
-def _pop_run(keys, pos0, pdfs, *, prior, thin, mh_steps, axis_name=None):
+def _pop_run(keys, pos0, pdfs, carry0=None, *, prior, thin, mh_steps,
+             axis_name=None):
     """All chains x all samples in one compiled program, cached globally
     across run_mcmc calls by the static (prior, thin, mh_steps) key.
 
@@ -104,6 +106,11 @@ def _pop_run(keys, pos0, pdfs, *, prior, thin, mh_steps, axis_name=None):
     per-object log-likelihood sums become `psum` collectives while the
     chain state stays replicated — the multi-chip layout for catalogs
     too large for one chip.
+
+    `carry0`, if given, is the exact per-chain ``(overlap, lnpost)``
+    MH state from a previous call (else recomputed from `pos0`); the
+    final carry is returned as a third output so block-streaming callers
+    (`sample`) resume bitwise-identically to one uninterrupted run.
     """
     # Row-major transpose for the per-step pair columns: a dynamic
     # column extraction (pdfs[:, i]) is a lane-dimension dynamic slice
@@ -116,21 +123,23 @@ def _pop_run(keys, pos0, pdfs, *, prior, thin, mh_steps, axis_name=None):
         s = jnp.sum(jnp.log(ov))
         return s if axis_name is None else jax.lax.psum(s, axis_name)
 
-    def run_one_chain(chain_keys, p0):
-        overlap0 = pdfs @ p0
-        lnpost0 = lnsum(overlap0) + prior(p0)
-
+    def run_one_chain(chain_keys, p0, ov0, lnp0):
         def outer(state, key):
             state, _ = jax.lax.scan(step, state,
                                     jax.random.split(key, thin))
             pos, overlap, lnpost = state
             return state, (pos, lnpost)
 
-        _, (samples, lnps) = jax.lax.scan(
-            outer, (p0, overlap0, lnpost0), chain_keys)
-        return samples, lnps
+        (_, ov_f, lnp_f), (samples, lnps) = jax.lax.scan(
+            outer, (p0, ov0, lnp0), chain_keys)
+        return samples, lnps, (ov_f, lnp_f)
 
-    return jax.vmap(run_one_chain)(keys, pos0)
+    if carry0 is None:
+        ov0 = jax.vmap(lambda p: pdfs @ p)(pos0)
+        lnp0 = jax.vmap(lambda ov, p: lnsum(ov) + prior(p))(ov0, pos0)
+    else:
+        ov0, lnp0 = carry0
+    return jax.vmap(run_one_chain)(keys, pos0, ov0, lnp0)
 
 
 def _chain_step(pdfsT, logprior_nz, mh_steps, axis_name=None):
@@ -189,22 +198,33 @@ def _chain_step(pdfsT, logprior_nz, mh_steps, axis_name=None):
 
 
 @functools.lru_cache(maxsize=None)
-def _pop_run_sharded(mesh, obj_axis, prior, thin, mh_steps):
+def _pop_run_sharded(mesh, obj_axis, prior, thin, mh_steps,
+                     has_carry=False):
     """Mesh-sharded chain runner: PDF rows shard over objects, chain
     state replicates, and each log-likelihood reduction is one `psum`
-    over ICI — the layout for catalogs beyond one chip's HBM."""
+    over ICI — the layout for catalogs beyond one chip's HBM.
+
+    The returned MH carry's overlap stays sharded over objects (it is
+    shard-local state); with ``has_carry`` a previous call's carry is
+    accepted back for exact block-streaming resume.
+    """
     from jax.sharding import PartitionSpec as P
 
-    def local(keys, pos0, pdfs):
-        return _pop_run(keys, pos0, pdfs, prior=prior, thin=thin,
-                        mh_steps=mh_steps, axis_name=obj_axis)
+    carry_spec = (P(None, obj_axis), P())
+
+    def local(keys, pos0, pdfs, *carry):
+        return _pop_run(keys, pos0, pdfs, carry if has_carry else None,
+                        prior=prior, thin=thin, mh_steps=mh_steps,
+                        axis_name=obj_axis)
 
     return jax.jit(jax.shard_map(
-        local, mesh=mesh, in_specs=(P(), P(), P(obj_axis, None)),
-        out_specs=(P(), P()), check_vma=False))
+        local, mesh=mesh,
+        in_specs=(P(), P(), P(obj_axis, None))
+        + (carry_spec if has_carry else ()),
+        out_specs=(P(), P(), carry_spec), check_vma=False))
 
 
-class population_sampler:
+class population_sampler(ChainSampler):
     """MH-in-Gibbs sampler over N(z) bin heights (samplers.py:83-308).
 
     Extra capability vs the reference: `nchains` vmapped parallel chains
@@ -213,41 +233,48 @@ class population_sampler:
     view).
     """
 
-    def __init__(self, pdfs):
-        # Host-side float64: mixed-precision inputs (e.g. float32 PDFs
-        # from the fitters) would otherwise promote inconsistently inside
-        # the scan carry (jnp.asarray downcasts uniformly when x64 is
-        # disabled, so on-device dtype stays consistent either way).
-        self.pdfs = np.asarray(pdfs, float)
-        self.samples = []
-        self.samples_lnp = []
-        self._chain_state = None
+    def _resolve_prior(self, logprior_nz, prior_args, prior_kwargs):
+        prior_kwargs = prior_kwargs or {}
+        if logprior_nz is None:
+            return _zero_prior
+        if prior_args or prior_kwargs:
+            return _BoundPrior(logprior_nz, prior_args, prior_kwargs)
+        return logprior_nz
 
-    def reset(self):
-        """Re-initialize the sampler."""
-        self.samples = []
-        self.samples_lnp = []
-        self._chain_state = None
+    def _sharded_inputs(self, mesh, pos0, thin, mh_steps, prior):
+        """(runner, sharded pdfs, per-chain lnpost shift) for `mesh`.
 
-    @property
-    def results(self):
-        """(samples, lnpost) arrays; multi-chain samples interleaved."""
-        s = np.array(self.samples)
-        lnp = np.array(self.samples_lnp)
-        if s.ndim == 3:  # (Niter, nchains, Nbins) -> interleaved
-            s = s.reshape(-1, s.shape[-1])
-            lnp = lnp.reshape(-1)
-        return s, lnp
+        Objects pad to the device count with uniform rows; pair moves
+        preserve sum(pos), so the pads shift every lnpost by the same
+        per-chain constant (subtracted from stored values).
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
-    @property
-    def results_by_chain(self):
-        """(Niter, nchains, Nbins) samples + (Niter, nchains) lnpost."""
-        s = np.array(self.samples)
-        lnp = np.array(self.samples_lnp)
-        if s.ndim == 2:
-            s = s[:, None, :]
-            lnp = lnp[:, None]
-        return s, lnp
+        nobs, nbins = self.pdfs.shape
+        obj_axis = mesh.axis_names[0]
+        ndev = int(mesh.size)
+        npad = (-nobs) % ndev
+        pdfs_np = self.pdfs
+        lnp_shift = 0.0
+        if npad:
+            pad = np.full((npad, nbins), 1.0 / nbins, self.pdfs.dtype)
+            pdfs_np = np.concatenate([self.pdfs, pad], axis=0)
+            lnp_shift = npad * np.log(
+                np.asarray(pos0).sum(axis=1) / nbins)[:, None]
+        pdfs = jax.device_put(jnp.asarray(pdfs_np),
+                              NamedSharding(mesh, P(obj_axis)))
+        rep = NamedSharding(mesh, P())
+
+        def run(keys, pos, carry=None):
+            runner = _pop_run_sharded(mesh, obj_axis, prior, thin,
+                                      mh_steps, carry is not None)
+            args = (jax.device_put(keys, rep),
+                    jax.device_put(jnp.asarray(pos), rep), pdfs)
+            if carry is not None:
+                args = args + tuple(carry)
+            return runner(*args)
+
+        return run, lnp_shift
 
     def run_mcmc(self, Niter, logprior_nz=None, pos_init=None, thin=400,
                  mh_steps=3, rng=None, seed=None, verbose=True,
@@ -262,100 +289,69 @@ class population_sampler:
         (corrected in the stored values) and leave acceptances exact.
         """
         t0 = time.time()
-        prior_kwargs = prior_kwargs or {}
-        nobs, nbins = self.pdfs.shape
-        if logprior_nz is None:
-            prior = _zero_prior
-        elif prior_args or prior_kwargs:
-            prior = _BoundPrior(logprior_nz, prior_args, prior_kwargs)
-        else:
-            prior = logprior_nz
-
-        if pos_init is None:
-            if self._chain_state is not None:
-                pos0 = self._chain_state
-            elif self.samples:
-                pos0 = np.atleast_2d(np.asarray(self.samples[-1]))
-            else:
-                stack = self.pdfs.sum(axis=0) / self.pdfs.sum()
-                pos0 = np.tile(stack, (nchains, 1))
-        else:
-            pos0 = np.atleast_2d(np.asarray(pos_init, float))
-        if pos0.ndim == 1:
-            pos0 = pos0[None, :]
-        if pos0.shape[0] != nchains:
-            pos0 = np.tile(pos0[0], (nchains, 1))
-
-        key = jax.random.key(seed if seed is not None
-                             else (rng.integers(2**31) if rng is not None
-                                   else np.random.default_rng().integers(
-                                       2**31)))
-        keys = jax.random.split(key, (nchains, Niter))
+        prior = self._resolve_prior(logprior_nz, prior_args, prior_kwargs)
+        pos0 = self._resolve_pos0(pos_init, nchains)
+        keys = jax.random.split(self._resolve_key(seed, rng),
+                                (nchains, Niter))
         lnp_shift = 0.0
         if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            obj_axis = mesh.axis_names[0]
-            ndev = int(mesh.size)
-            npad = (-nobs) % ndev
-            pdfs_np = self.pdfs
-            if npad:
-                # Uniform pad rows: overlap = sum(pos)/Nbins, and pair
-                # proposals preserve sum(pos) — a CONSTANT lnpost shift
-                # per chain (sum(pos0) need not be 1), exact otherwise.
-                pad = np.full((npad, nbins), 1.0 / nbins, self.pdfs.dtype)
-                pdfs_np = np.concatenate([self.pdfs, pad], axis=0)
-                lnp_shift = npad * np.log(
-                    np.asarray(pos0).sum(axis=1) / nbins)[:, None]
-            pdfs = jax.device_put(jnp.asarray(pdfs_np),
-                                  NamedSharding(mesh, P(obj_axis)))
-            runner = _pop_run_sharded(mesh, obj_axis, prior, thin,
-                                      mh_steps)
-            rep = NamedSharding(mesh, P())
-            samples, lnps = runner(jax.device_put(keys, rep),
-                                   jax.device_put(jnp.asarray(pos0), rep),
-                                   pdfs)
+            run, lnp_shift = self._sharded_inputs(mesh, pos0, thin,
+                                                  mh_steps, prior)
+            samples, lnps, _ = run(keys, pos0)
         else:
-            pdfs = jnp.asarray(self.pdfs)
-            samples, lnps = _pop_run(keys, jnp.asarray(pos0), pdfs,
-                                     prior=prior, thin=thin,
-                                     mh_steps=mh_steps)
+            samples, lnps, _ = _pop_run(keys, jnp.asarray(pos0),
+                                        jnp.asarray(self.pdfs),
+                                        prior=prior, thin=thin,
+                                        mh_steps=mh_steps)
         samples = np.asarray(samples)  # (nchains, Niter, Nbins)
         lnps = np.asarray(lnps) - lnp_shift
-        for it in range(Niter):
-            if nchains == 1:
-                self.samples.append(samples[0, it])
-                self.samples_lnp.append(float(lnps[0, it]))
-            else:
-                self.samples.append(samples[:, it, :])
-                self.samples_lnp.append(lnps[:, it])
-        self._chain_state = samples[:, -1, :]
+        self._store_run(samples, lnps, nchains, Niter)
         train_note(verbose, "population MCMC", Niter, t0)
         return self
 
     def sample(self, Niter, logprior_nz=None, pos_init=None, thin=400,
                mh_steps=3, rng=None, seed=None, verbose=True, nchains=1,
-               prior_args=(), prior_kwargs=None, mesh=None):
-        """Generator yielding one `(pos, lnpost)` per (thinned) sample.
+               prior_args=(), prior_kwargs=None, mesh=None, block=1):
+        """Generator yielding one `(pos, lnpost)` per (thinned) sample,
+        AS THE CHAIN RUNS.
 
-        Reference: samplers.py:200-308 — the generator behind `run_mcmc`.
-        The whole chain is computed on-device up front (sequential MCMC
-        steps stream poorly over a device boundary) and the samples are
-        then yielded in order.  Like the reference generator, this does
-        NOT append to the stored chain — only `run_mcmc` does.
+        Reference: samplers.py:200-308 — the streaming generator behind
+        `run_mcmc`, preserved for its monitoring / early-stop use-case:
+        the chain advances `block` thinned samples per device call (the
+        per-block scan compiles once — the block shape is constant), so
+        the first yield costs O(block*thin*mh_steps) proposals, NOT
+        O(Niter*...).  Blocks resume from the previous block's exact MH
+        carry (position, overlap, lnpost), so for a given seed the
+        stream is bitwise-identical to `run_mcmc`.  `run_mcmc` stays the
+        single-device-call fast path; like the reference generator, this
+        does NOT append to the stored chain — only `run_mcmc` does.
         """
         del verbose
-        keep = (list(self.samples), list(self.samples_lnp),
-                self._chain_state)
-        try:
-            self.run_mcmc(Niter, logprior_nz=logprior_nz,
-                          pos_init=pos_init, thin=thin, mh_steps=mh_steps,
-                          rng=rng, seed=seed, verbose=False,
-                          nchains=nchains, prior_args=prior_args,
-                          prior_kwargs=prior_kwargs, mesh=mesh)
-            out = list(zip(self.samples[len(keep[0]):],
-                           self.samples_lnp[len(keep[1]):]))
-        finally:
-            self.samples, self.samples_lnp, self._chain_state = keep
-        for pos, lnpost in out:
-            yield pos, lnpost
+        prior = self._resolve_prior(logprior_nz, prior_args, prior_kwargs)
+        pos = self._resolve_pos0(pos_init, nchains)
+        keys = jax.random.split(self._resolve_key(seed, rng),
+                                (nchains, Niter))
+        if mesh is not None:
+            run, lnp_shift = self._sharded_inputs(mesh, pos, thin,
+                                                  mh_steps, prior)
+        else:
+            lnp_shift = 0.0
+            pdfs = jnp.asarray(self.pdfs)
+
+            def run(kb, p, carry=None):
+                return _pop_run(kb, jnp.asarray(p), pdfs, carry,
+                                prior=prior, thin=thin,
+                                mh_steps=mh_steps)
+
+        carry = None
+        for i0 in range(0, Niter, block):
+            nb = min(block, Niter - i0)
+            samples, lnps, carry = run(keys[:, i0:i0 + nb], pos, carry)
+            samples = np.asarray(samples)
+            lnps = np.asarray(lnps) - lnp_shift
+            pos = samples[:, -1, :]
+            for it in range(nb):
+                if nchains == 1:
+                    yield samples[0, it], float(lnps[0, it])
+                else:
+                    yield samples[:, it, :], lnps[:, it]
