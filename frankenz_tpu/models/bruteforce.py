@@ -86,6 +86,32 @@ def _pad_rows(arr, batch_size):
                                          arr.dtype)], axis=0)
 
 
+def resume_fit_rows(obj, resume, checkpoint_file, ndata):
+    """Restore a mid-fit checkpoint onto `obj`; returns completed rows.
+
+    SURVEY.md section 5 (failure detection): the reference survives
+    crashes only because fit state fills `self` as it goes
+    (bruteforce.py:183-189); here the same consistent prefix is
+    periodically persisted and restored.  Shared by every fitter's
+    batch-checkpointing fit loop.
+    """
+    from ..utils import checkpoint as _ckpt
+
+    if not resume:
+        return 0
+    if not checkpoint_file:
+        raise ValueError("resume=True requires checkpoint_file")
+    if not _ckpt.exists(checkpoint_file):
+        return 0
+    _ckpt.restore(checkpoint_file, obj)
+    done = int(getattr(obj, "_fit_rows_done", 0) or 0)
+    if obj.NDATA != ndata:
+        raise ValueError(
+            f"checkpoint was taken for NDATA={obj.NDATA}, resuming "
+            f"fit has ndata={ndata}")
+    return done
+
+
 def default_batch_size(nmodel, budget_elems=1 << 26):
     """Object-batch size keeping the (B, M) grid near `budget_elems`."""
     b = max(64, int(budget_elems // max(nmodel, 1)))
@@ -157,6 +183,7 @@ class BruteForce:
         self.fit_chi2 = None
         self.fit_scale = None
         self.fit_scale_err = None
+        self._fit_rows_done = 0
 
     # ------------------------------------------------------------------
     # internals
@@ -237,14 +264,23 @@ class BruteForce:
 
     def fit(self, data, data_err, data_mask, lprob_func=None,
             lprob_args=None, lprob_kwargs=None, track_scale=False,
-            verbose=True, batch_size=None):
+            verbose=True, batch_size=None, checkpoint_every=None,
+            checkpoint_file=None, resume=False):
         """Fit all models to all data; store the full posterior grids.
 
         Reference: `bruteforce.py:66-125`.  Stores the seven saved-fit
         arrays as host NumPy float32 (the reference uses float64; float32
         halves the 7*Ndata*Nmodel footprint and is far beyond the 1e-3
         weight-threshold resolution any downstream consumer uses).
+
+        With `checkpoint_every=N`, the saved-fit state (a consistent
+        prefix) is written to `checkpoint_file` every N batches via
+        `utils.checkpoint`; `resume=True` restores an existing checkpoint
+        and continues from the first incomplete batch, reproducing the
+        uninterrupted results exactly.
         """
+        from ..utils import checkpoint as _ckpt
+
         data = np.atleast_2d(np.asarray(data))
         data_err = np.atleast_2d(np.asarray(data_err))
         data_mask = np.atleast_2d(np.asarray(data_mask))
@@ -252,20 +288,30 @@ class BruteForce:
         if batch_size is None:
             batch_size = default_batch_size(self.NMODEL)
         step = self._lprob_step(lprob_func, lprob_args, lprob_kwargs)
-        self._alloc_fits(ndata, track_scale)
+        done = resume_fit_rows(self, resume, checkpoint_file, ndata)
+        if not done:
+            self._alloc_fits(ndata, track_scale)
+        self._fit_rows_done = done
 
+        nb = 0
         with _metrics.timer("bruteforce.fit",
-                            items=ndata * self.NMODEL,
+                            items=(ndata - done) * self.NMODEL,
                             item_counter="chi2_pair_evals"):
             for i0, n in progress_iter(_batch_slices(ndata, batch_size),
                                        total=ndata, label="Fitting object",
                                        sizes=True, verbose=verbose):
+                if i0 + n <= done:
+                    continue
                 d = _pad_rows(data[i0:i0 + n], batch_size)
                 de = _pad_rows(data_err[i0:i0 + n], batch_size)
                 dm = _pad_rows(data_mask[i0:i0 + n], batch_size)
                 res = step(d, de, dm, self.models, self.models_err,
                            self.models_mask)
                 self._store_fits(i0, n, res)
+                self._fit_rows_done = i0 + n
+                nb += 1
+                if checkpoint_every and nb % checkpoint_every == 0:
+                    _ckpt.save(checkpoint_file, self)
         return self
 
     def predict(self, model_labels, model_label_errs, label_dict=None,

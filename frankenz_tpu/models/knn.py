@@ -319,6 +319,7 @@ class NearestNeighbors:
         self.fit_chi2 = None
         self.fit_scale = None
         self.fit_scale_err = None
+        self._fit_rows_done = 0
 
         # K Monte-Carlo feature ensembles (knn.py:158-188): jitter the
         # models by their errors, map to feature space, store (K, M, Nf).
@@ -413,12 +414,21 @@ class NearestNeighbors:
     def fit(self, data, data_err, data_mask, lprob_func=None, rng=None,
             k=20, eps=1e-3, lp_norm=2, distance_upper_bound=np.inf,
             lprob_args=None, lprob_kwargs=None, track_scale=False,
-            verbose=True, batch_size=4096, approx=False):
+            verbose=True, batch_size=4096, approx=False,
+            checkpoint_every=None, checkpoint_file=None, resume=False):
         """KMCkNN fit: neighbor union + exact posteriors on the union.
 
         Reference: knn.py:190-388.  Stores `neighbors` / `Nneighbors` and
         the (Ndata, K*k) padded fit grids.
+
+        `checkpoint_every=N` persists the fit prefix every N batches;
+        `resume=True` (same seeded `rng`) continues from the checkpoint
+        with identical results — skipped batches still consume the
+        query-jitter stream, so the remaining draws line up.
         """
+        from ..utils import checkpoint as _ckpt
+        from .bruteforce import resume_fit_rows
+
         del eps  # exact search
         data = np.atleast_2d(np.asarray(data, float))
         data_err = np.atleast_2d(np.asarray(data_err, float))
@@ -426,12 +436,23 @@ class NearestNeighbors:
         rng = rng or self.rng
         ndata = data.shape[0]
         batch_size = min(batch_size, max(256, ndata))
-        self._alloc_fits(ndata, k, track_scale)
+        done = resume_fit_rows(self, resume, checkpoint_file, ndata)
+        if not done:
+            self._alloc_fits(ndata, k, track_scale)
+        self._fit_rows_done = done
         lprob_spec = _like.static_spec(lprob_func, lprob_args, lprob_kwargs)
 
+        def flush(parts):
+            for j0, jn, jidx, jnidx, jres in jax.device_get(parts):
+                self._store(j0, jn, jidx, jnidx, jres)
+                self._fit_rows_done = j0 + jn
+
+        nb = 0
         parts = []
         for i0, n, jq, d, de, dm in self._data_batches(
                 data, data_err, data_mask, batch_size, rng):
+            if i0 + n <= done:
+                continue  # jitter stream already consumed by the yield
             idx, valid, nidx, res = _knn_fit_batch_jit(
                 jnp.asarray(jq), jnp.asarray(d), jnp.asarray(de),
                 jnp.asarray(dm), self.features, self.features_sqnorm,
@@ -440,17 +461,20 @@ class NearestNeighbors:
                 approx=approx, fmap_spec=self.fmap_spec,
                 lprob_spec=lprob_spec)
             parts.append((i0, n, idx, nidx, res))
-            if len(parts) >= 32:
-                for j0, jn, jidx, jnidx, jres in jax.device_get(parts):
-                    self._store(j0, jn, jidx, jnidx, jres)
+            nb += 1
+            if checkpoint_every and nb % checkpoint_every == 0:
+                flush(parts)
+                parts = []
+                _ckpt.save(checkpoint_file, self)
+            elif len(parts) >= 32:
+                flush(parts)
                 parts = []
             if verbose:
                 import sys
                 sys.stderr.write("\rFitting object {0}/{1}"
                                  .format(min(i0 + n, ndata), ndata))
         # Bulk readback after all batches are dispatched (async pipeline).
-        for i0, n, idx, nidx, res in jax.device_get(parts):
-            self._store(i0, n, idx, nidx, res)
+        flush(parts)
         if verbose:
             import sys
             sys.stderr.write("\n")

@@ -403,6 +403,7 @@ class _Network:
         self.fit_chi2 = None
         self.fit_scale = None
         self.fit_scale_err = None
+        self._fit_rows_done = 0
 
         self.lpnet_func = None
         self.lpnet_args = ()
@@ -712,7 +713,8 @@ class _Network:
             nodes_only=False, wt_thresh=1e-3, cdf_thresh=2e-4,
             lprob_args=None, lprob_kwargs=None, track_scale=False,
             discrete=False, verbose=True, batch_size=256,
-            max_sel_nodes=24, max_neighbors=4096):
+            max_sel_nodes=24, max_neighbors=4096, checkpoint_every=None,
+            checkpoint_file=None, resume=False):
         """Fit data against the network (networks.py:696-936).
 
         nodes_only=True: stop at the node fits — `fit_lnprob` is the dense
@@ -724,12 +726,21 @@ class _Network:
         at `max_neighbors`, raising if the cap would truncate) and
         evaluate `lprob_func` exactly on the union — stored in kNN-style
         padded grids.
+
+        `checkpoint_every=N` persists the fit prefix every N batches via
+        `utils.checkpoint`; `resume=True` continues from an existing
+        checkpoint with identical results.
         """
+        from ..utils import checkpoint as _ckpt
+        from .bruteforce import resume_fit_rows
+
         data = np.atleast_2d(np.asarray(data, float))
         data_err = np.atleast_2d(np.asarray(data_err, float))
         data_mask = np.atleast_2d(np.asarray(data_mask, float))
         ndata = data.shape[0]
+        done = resume_fit_rows(self, resume, checkpoint_file, ndata)
         self.NDATA = ndata
+        self._fit_rows_done = done
         self.nodes_only = nodes_only
         occ = self._occupied()
         nocc = len(occ)
@@ -749,19 +760,25 @@ class _Network:
                                  cdf_thresh=cdf_thresh)
 
         if nodes_only:
-            self.neighbors = occ.astype(np.int32)
-            self.Nneighbors = np.full(ndata, nocc, np.int32)
-            self.fit_lnprior = np.zeros((ndata, nocc), np.float32)
-            self.fit_lnlike = np.zeros((ndata, nocc), np.float32)
-            self.fit_lnprob = np.full((ndata, nocc), -np.inf, np.float32)
-            self.fit_Ndim = np.zeros((ndata, nocc), np.int32)
-            self.fit_chi2 = np.full((ndata, nocc), np.inf, np.float32)
-            if track_scale:
-                self.fit_scale = np.ones((ndata, nocc), np.float32)
-                self.fit_scale_err = np.zeros((ndata, nocc), np.float32)
+            if not done:
+                self.neighbors = occ.astype(np.int32)
+                self.Nneighbors = np.full(ndata, nocc, np.int32)
+                self.fit_lnprior = np.zeros((ndata, nocc), np.float32)
+                self.fit_lnlike = np.zeros((ndata, nocc), np.float32)
+                self.fit_lnprob = np.full((ndata, nocc), -np.inf,
+                                          np.float32)
+                self.fit_Ndim = np.zeros((ndata, nocc), np.int32)
+                self.fit_chi2 = np.full((ndata, nocc), np.inf, np.float32)
+                if track_scale:
+                    self.fit_scale = np.ones((ndata, nocc), np.float32)
+                    self.fit_scale_err = np.zeros((ndata, nocc),
+                                                  np.float32)
+            nb = 0
             for i0, n in progress_iter(
                     _batch_slices(ndata, batch_size), total=ndata,
                     label="Fitting object", verbose=verbose, sizes=True):
+                if i0 + n <= done:
+                    continue
                 x = jnp.asarray(_pad_rows(data[i0:i0 + n], batch_size))
                 xe = jnp.asarray(_pad_rows(data_err[i0:i0 + n], batch_size))
                 xm = jnp.asarray(_pad_rows(data_mask[i0:i0 + n],
@@ -779,6 +796,10 @@ class _Network:
                     self.fit_scale[sl] = np.asarray(res[5][:n], np.float32)
                     self.fit_scale_err[sl] = np.asarray(res[6][:n],
                                                         np.float32)
+                self._fit_rows_done = i0 + n
+                nb += 1
+                if checkpoint_every and nb % checkpoint_every == 0:
+                    _ckpt.save(checkpoint_file, self)
             return self
 
         # --- exact-union path ---
@@ -786,21 +807,22 @@ class _Network:
         member_occ = member_tab[occ]  # (Nocc, maxm)
         cap_sel = min(max_sel_nodes, nocc)
 
-        self.neighbors = np.full((ndata, max_neighbors), -99, np.int32)
-        self.Nneighbors = np.zeros(ndata, np.int32)
-        inf = np.inf
-        shape = (ndata, max_neighbors)
-        self.fit_lnprior = np.full(shape, -inf, np.float32)
-        self.fit_lnlike = np.full(shape, -inf, np.float32)
-        self.fit_lnprob = np.full(shape, -inf, np.float32)
-        self.fit_Ndim = np.zeros(shape, np.int32)
-        self.fit_chi2 = np.full(shape, inf, np.float32)
-        if track_scale:
-            self.fit_scale = np.ones(shape, np.float32)
-            self.fit_scale_err = np.zeros(shape, np.float32)
-        else:
-            self.fit_scale = None
-            self.fit_scale_err = None
+        if not done:
+            self.neighbors = np.full((ndata, max_neighbors), -99, np.int32)
+            self.Nneighbors = np.zeros(ndata, np.int32)
+            inf = np.inf
+            shape = (ndata, max_neighbors)
+            self.fit_lnprior = np.full(shape, -inf, np.float32)
+            self.fit_lnlike = np.full(shape, -inf, np.float32)
+            self.fit_lnprob = np.full(shape, -inf, np.float32)
+            self.fit_Ndim = np.zeros(shape, np.int32)
+            self.fit_chi2 = np.full(shape, inf, np.float32)
+            if track_scale:
+                self.fit_scale = np.ones(shape, np.float32)
+                self.fit_scale_err = np.zeros(shape, np.float32)
+            else:
+                self.fit_scale = None
+                self.fit_scale_err = None
 
         members_dev = jnp.asarray(member_occ)
 
@@ -862,18 +884,27 @@ class _Network:
                                                         np.float32)
                     self.fit_scale_err[sl, :w] = np.asarray(res_h[6][:n],
                                                             np.float32)
+                self._fit_rows_done = i0 + n
 
+        nb = 0
         parts = []
         for i0, n in progress_iter(
                 _batch_slices(ndata, batch_size), total=ndata,
                 label="Fitting object", verbose=verbose, sizes=True):
+            if i0 + n <= done:
+                continue
             x = jnp.asarray(_pad_rows(data[i0:i0 + n], batch_size))
             xe = jnp.asarray(_pad_rows(data_err[i0:i0 + n], batch_size))
             xm = jnp.asarray(_pad_rows(data_mask[i0:i0 + n], batch_size))
             idx, nuniq = gather_union(x, xe, xm)
             res = union_lprob(x, xe, xm, idx)
             parts.append((i0, n, idx, nuniq, res))
-            if len(parts) >= 64:
+            nb += 1
+            if checkpoint_every and nb % checkpoint_every == 0:
+                flush(parts)
+                parts = []
+                _ckpt.save(checkpoint_file, self)
+            elif len(parts) >= 64:
                 flush(parts)
                 parts = []
         flush(parts)
@@ -1202,8 +1233,8 @@ def _learn_value(name, t, start, end):
     return 1.0 / ((1.0 - t) / start + t / end)  # harmonic
 
 
-def _make_som_mega_kernel(*, chunk, nsteps, nproj, nside, wt_thresh,
-                          dim_prior, learn_name, lstart, lend,
+def _make_som_mega_kernel(*, chunk, nsteps, nsteps_total, nproj, nside,
+                          wt_thresh, dim_prior, learn_name, lstart, lend,
                           neighbor_name, nb_rate, nstart, nend):
     """Whole-training-run SOM kernel body: the node table lives in the
     output ref across sequential grid steps; each grid step streams a
@@ -1213,9 +1244,16 @@ def _make_som_mega_kernel(*, chunk, nsteps, nproj, nside, wt_thresh,
     Cleaned-data semantics (pdf.py:310-311) arrive pre-baked: masked /
     non-finite / zero-error bands carry iv = 0 and x = 0 (as do the lane
     pads), so they vanish from every sum and Ndim = #(iv > 0).
+
+    `nsteps` is the number of live steps in THIS dispatch; the traced
+    `off_ref` scalar is the global index of its first step and
+    `nsteps_total` the whole run's length, so a run chunked for
+    checkpointing (train_network(checkpoint_every=...)) walks the
+    learning-rate/neighborhood schedules identically to one dispatch.
     """
 
-    def kernel(x_ref, xraw_ref, iv_ref, nodes0_ref, pos_ref, nodes_ref):
+    def kernel(x_ref, xraw_ref, iv_ref, nodes0_ref, pos_ref, off_ref,
+               nodes_ref):
         g = pl.program_id(0)
 
         @pl.when(g == 0)
@@ -1224,7 +1262,8 @@ def _make_som_mega_kernel(*, chunk, nsteps, nproj, nside, wt_thresh,
 
         def step(c, _):
             i = g * chunk + c
-            t = i.astype(jnp.float32) / float(max(nsteps - 1, 1))
+            t = ((off_ref[0, 0] + i.astype(jnp.float32))
+                 / float(max(nsteps_total - 1, 1)))
             x = x_ref[pl.ds(c, 1), :]     # (1, 128): cleaned photometry
             iv = iv_ref[pl.ds(c, 1), :]   # (1, 128): mask/xe^2 (pads 0)
             nodes = nodes_ref[:, :]       # (N, 128)
@@ -1273,29 +1312,32 @@ def _make_som_mega_kernel(*, chunk, nsteps, nproj, nside, wt_thresh,
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("nsteps", "nproj",
-                                             "nside", "wt_thresh",
+@functools.partial(jax.jit, static_argnames=("nsteps", "nsteps_total",
+                                             "nproj", "nside", "wt_thresh",
                                              "dim_prior", "learn_name",
                                              "lstart", "lend",
                                              "neighbor_name", "nb_rate",
                                              "nstart", "nend", "chunk",
                                              "interpret"))
-def _som_train_pallas(nodes0, x_seq, xraw_seq, iv_seq, positions, *, nsteps,
-                      nproj, nside, wt_thresh, dim_prior, learn_name,
-                      lstart, lend, neighbor_name, nb_rate, nstart, nend,
-                      chunk, interpret):
+def _som_train_pallas(nodes0, x_seq, xraw_seq, iv_seq, positions, off, *,
+                      nsteps, nsteps_total, nproj, nside, wt_thresh,
+                      dim_prior, learn_name, lstart, lend, neighbor_name,
+                      nb_rate, nstart, nend, chunk, interpret):
     """Dispatch the SOM mega-kernel.
 
     nodes0: (N, 128) zero-lane-padded node table; x_seq / iv_seq:
     (nsteps padded to a chunk multiple, 128) pre-gathered draw
     photometry and inverse error variances (lane padding: x zeros,
     iv zeros).  Steps past `nsteps` are masked no-ops in-kernel.
+    `off` (a traced (1, 128) scalar-broadcast array) is the global index
+    of the dispatch's first step; see `_make_som_mega_kernel`.
     """
     npad = x_seq.shape[0]
     assert npad % chunk == 0
     kernel = _make_som_mega_kernel(
-        chunk=chunk, nsteps=nsteps, nproj=nproj, nside=nside,
-        wt_thresh=wt_thresh, dim_prior=dim_prior, learn_name=learn_name,
+        chunk=chunk, nsteps=nsteps, nsteps_total=nsteps_total,
+        nproj=nproj, nside=nside, wt_thresh=wt_thresh,
+        dim_prior=dim_prior, learn_name=learn_name,
         lstart=lstart, lend=lend, neighbor_name=neighbor_name,
         nb_rate=nb_rate, nstart=nstart, nend=nend)
     n = nodes0.shape[0]
@@ -1307,11 +1349,12 @@ def _som_train_pallas(nodes0, x_seq, xraw_seq, iv_seq, positions, *, nsteps,
                   pl.BlockSpec((chunk, 128), lambda g: (g, 0)),
                   pl.BlockSpec((chunk, 128), lambda g: (g, 0)),
                   pl.BlockSpec((n, 128), lambda g: (0, 0)),
-                  pl.BlockSpec((n, 128), lambda g: (0, 0))],
+                  pl.BlockSpec((n, 128), lambda g: (0, 0)),
+                  pl.BlockSpec((1, 128), lambda g: (0, 0))],
         out_specs=pl.BlockSpec((n, 128), lambda g: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((n, 128), jnp.float32),
         interpret=interpret,
-    )(x_seq, xraw_seq, iv_seq, nodes0, positions)
+    )(x_seq, xraw_seq, iv_seq, nodes0, positions, off)
 
 
 class SelfOrganizingMap(_Network):
@@ -1335,7 +1378,9 @@ class SelfOrganizingMap(_Network):
                       cdf_thresh=2e-4, rng=None, seed=None,
                       lprob_args=None, lprob_kwargs=None, track_scale=False,
                       learn_args=None, learn_kwargs=None, neighbor_args=None,
-                      neighbor_kwargs=None, verbose=True, use_pallas=None):
+                      neighbor_kwargs=None, verbose=True, use_pallas=None,
+                      checkpoint_every=None, checkpoint_file=None,
+                      resume=False):
         if models is None:
             models = self._models_np
             models_err = self._models_err_np
@@ -1383,6 +1428,34 @@ class SelfOrganizingMap(_Network):
         t0 = time.time()
         draws = rng.integers(0, nmodel, size=nsteps)
         times = np.linspace(0.0, 1.0, nsteps)
+
+        # Mid-run durability (SURVEY.md section 5): the training scan
+        # runs in `checkpoint_every`-step segments with the node table
+        # carried across device calls; the segment composition is exactly
+        # the single-call scan, and `resume=True` (same seed, so the same
+        # regenerated draw sequence) continues from the saved node state.
+        from ..utils import checkpoint as _ckpt
+
+        start = 0
+        if resume:
+            if not checkpoint_file:
+                raise ValueError("resume=True requires checkpoint_file")
+            if _ckpt.exists(checkpoint_file):
+                st = _ckpt.restore(checkpoint_file)
+                if int(st["nsteps_total"]) != nsteps:
+                    raise ValueError("checkpoint was taken for a "
+                                     f"{int(st['nsteps_total'])}-step run, "
+                                     f"resuming one of {nsteps}")
+                init = np.asarray(st["nodes"], float)
+                start = int(st["steps_done"])
+        seg = nsteps if not checkpoint_every else int(checkpoint_every)
+
+        def save_ckpt(nodes_host, steps_done):
+            if checkpoint_every:
+                _ckpt.save(checkpoint_file,
+                           {"nodes": np.asarray(nodes_host, float),
+                            "steps_done": int(steps_done),
+                            "nsteps_total": int(nsteps)})
 
         lprob_spec = _like.static_spec(lprob_func, lprob_args, lprob_kwargs)
         learn_spec = (learn_fn, tuple(learn_args),
@@ -1437,22 +1510,17 @@ class SelfOrganizingMap(_Network):
             iv = np.where(ok, 1.0 / np.where(ok, xe, 1.0) ** 2, 0.0)
             x = np.where(ok, x, 0.0)
             chunk = mega_chunk
-            npad = -(-nsteps // chunk) * chunk
-            x_seq = np.zeros((npad, 128), np.float32)
-            xraw_seq = np.zeros((npad, 128), np.float32)
-            iv_seq = np.zeros((npad, 128), np.float32)
-            x_seq[:nsteps, :x.shape[1]] = x
-            xraw_seq[:nsteps, :x.shape[1]] = models[draws]
-            iv_seq[:nsteps, :x.shape[1]] = iv
-            nodes0 = np.zeros((self.NNODE, 128), np.float32)
-            nodes0[:, :init.shape[1]] = init
+            x_full = np.zeros((nsteps, 128), np.float32)
+            xraw_full = np.zeros((nsteps, 128), np.float32)
+            iv_full = np.zeros((nsteps, 128), np.float32)
+            x_full[:, :x.shape[1]] = x
+            xraw_full[:, :x.shape[1]] = models[draws]
+            iv_full[:, :x.shape[1]] = iv
             pos128 = np.zeros((self.NNODE, 128), np.float32)
             pos128[:, :nproj] = pos
-            out = _som_train_pallas(
-                jnp.asarray(nodes0), jnp.asarray(x_seq),
-                jnp.asarray(xraw_seq),
-                jnp.asarray(iv_seq), jnp.asarray(pos128), nsteps=nsteps,
-                nproj=nproj, nside=nside, wt_thresh=float(wt_thresh),
+            static_kw = dict(
+                nsteps_total=nsteps, nproj=nproj, nside=nside,
+                wt_thresh=float(wt_thresh),
                 dim_prior=bool(kw.get("dim_prior", True)),
                 learn_name=_LEARN_NAMES[learn_fn],
                 lstart=float(learn_kwargs.get("start", 0.5)),
@@ -1462,21 +1530,48 @@ class SelfOrganizingMap(_Network):
                 nstart=float(neighbor_kwargs.get("start", 0.7)),
                 nend=float(neighbor_kwargs.get("end", 0.02)),
                 chunk=chunk, interpret=not pallas_supported())
-            self.nodes = np.asarray(jax.device_get(out),
-                                    float)[:, :init.shape[1]]
+            nodes_cur = init
+            for s0 in range(start, nsteps, seg):
+                ns = min(seg, nsteps - s0)
+                npad = -(-ns // chunk) * chunk
+                x_seq = np.zeros((npad, 128), np.float32)
+                xraw_seq = np.zeros((npad, 128), np.float32)
+                iv_seq = np.zeros((npad, 128), np.float32)
+                x_seq[:ns] = x_full[s0:s0 + ns]
+                xraw_seq[:ns] = xraw_full[s0:s0 + ns]
+                iv_seq[:ns] = iv_full[s0:s0 + ns]
+                nodes0 = np.zeros((self.NNODE, 128), np.float32)
+                nodes0[:, :init.shape[1]] = nodes_cur
+                off = np.full((1, 128), float(s0), np.float32)
+                out = _som_train_pallas(
+                    jnp.asarray(nodes0), jnp.asarray(x_seq),
+                    jnp.asarray(xraw_seq), jnp.asarray(iv_seq),
+                    jnp.asarray(pos128), jnp.asarray(off), nsteps=ns,
+                    **static_kw)
+                nodes_cur = np.asarray(jax.device_get(out),
+                                       float)[:, :init.shape[1]]
+                save_ckpt(nodes_cur, s0 + ns)
+            self.nodes = nodes_cur
             train_note(verbose, "SOM training (mega-kernel)", nsteps, t0)
             return self
 
-        nodes, _ = _som_train_jit(
-            jnp.asarray(init, jnp.float32), jnp.asarray(draws),
-            jnp.asarray(times, jnp.float32),
-            jnp.asarray(models, jnp.float32),
-            jnp.asarray(models_err, jnp.float32),
-            jnp.asarray(models_mask, jnp.float32),
-            jnp.asarray(pos, jnp.float32), lprob_spec=lprob_spec,
-            learn_spec=learn_spec, neighbor_spec=neighbor_spec,
-            wt_thresh=wt_thresh, cdf_thresh=cdf_thresh,
-            track_scale=bool(track_scale), nside=nside)
+        nodes = jnp.asarray(init, jnp.float32)
+        mods_j = jnp.asarray(models, jnp.float32)
+        errs_j = jnp.asarray(models_err, jnp.float32)
+        mask_j = jnp.asarray(models_mask, jnp.float32)
+        pos_j = jnp.asarray(pos, jnp.float32)
+        for s0 in range(start, nsteps, seg):
+            ns = min(seg, nsteps - s0)
+            nodes, _ = _som_train_jit(
+                nodes, jnp.asarray(draws[s0:s0 + ns]),
+                jnp.asarray(times[s0:s0 + ns], jnp.float32),
+                mods_j, errs_j, mask_j, pos_j, lprob_spec=lprob_spec,
+                learn_spec=learn_spec, neighbor_spec=neighbor_spec,
+                wt_thresh=wt_thresh, cdf_thresh=cdf_thresh,
+                track_scale=bool(track_scale), nside=nside)
+            if checkpoint_every:
+                save_ckpt(np.asarray(jax.device_get(nodes), float),
+                          s0 + ns)
         self.nodes = np.asarray(jax.device_get(nodes), float)
         train_note(verbose, "SOM training", nsteps, t0)
         return self
@@ -1486,11 +1581,17 @@ class SelfOrganizingMap(_Network):
                                              "nbatch", "max_age",
                                              "learn_best", "learn_neighbor",
                                              "new_err_dec", "all_err_dec"))
-def _gng_train_jit(pos0, alive0, ages0, draws, mods, errs, mask, *,
+def _gng_train_jit(pos0, err0, alive0, ages0, draws, mods, errs, mask, *,
                    lprob_spec, track_scale, nbatch, max_age, learn_best,
                    learn_neighbor, new_err_dec, all_err_dec):
     """Whole GNG training run as ONE `lax.scan` program (module-level:
-    arrays enter as arguments, not baked closure constants)."""
+    arrays enter as arguments, not baked closure constants).
+
+    The full mutable state (node table, accumulated errors, alive mask,
+    edge ages) enters and leaves as arrays, so a run split into
+    segment calls (train_network(checkpoint_every=...)) composes
+    bitwise-identically to one call as long as segment boundaries align
+    with `nbatch` blocks."""
     lprob_func, lprob_args, lp_kw = lprob_spec
     if lprob_func is None:
         lprob_func = _like.logprob
@@ -1619,8 +1720,7 @@ def _gng_train_jit(pos0, alive0, ages0, draws, mods, errs, mask, *,
             state, _ = jax.lax.scan(dstep, state, idx_row[1:])
         return state, ()
 
-    state0 = (pos0, jnp.zeros(N, jnp.float32), alive0, ages0,
-              jnp.sum(alive0))
+    state0 = (pos0, err0, alive0, ages0, jnp.sum(alive0))
     state, _ = jax.lax.scan(block, state0, draws2)
     # Trailing steps when nsteps is not a block multiple (only possible
     # with hand-built draw arrays; train_network always passes
@@ -1658,7 +1758,8 @@ class GrowingNeuralGas(_Network):
                       new_err_dec=0.5, all_err_dec=0.005, graph_init=None,
                       err_kernel=None, lprob_func=None, rng=None, seed=None,
                       lprob_args=None, lprob_kwargs=None, track_scale=False,
-                      verbose=True):
+                      verbose=True, checkpoint_every=None,
+                      checkpoint_file=None, resume=False):
         if graph_init is not None:
             raise NotImplementedError(
                 "graph_init resume is not supported; retrain or checkpoint "
@@ -1692,6 +1793,7 @@ class GrowingNeuralGas(_Network):
         N = max_nodes
         pos0 = np.zeros((N, models.shape[1]), np.float32)
         pos0[0], pos0[1] = models[i1], models[i2]
+        err0 = np.zeros(N, np.float32)
         alive0 = np.zeros(N, bool)
         alive0[:2] = True
         # NB: int8 ages (to quarter the 25 MB age matrix's HBM traffic)
@@ -1700,17 +1802,58 @@ class GrowingNeuralGas(_Network):
         ages0 = np.full((N, N), -1, np.int32)
         ages0[0, 1] = ages0[1, 0] = 0
 
+        # Mid-run durability: run in nbatch-aligned segments (the insert/
+        # prune block fires on each call's first step, so boundaries must
+        # sit on block starts); full dense state is carried and saved, and
+        # `resume=True` (same seed => same regenerated draws) continues
+        # bitwise-identically.
+        from ..utils import checkpoint as _ckpt
+
+        start = 0
+        if resume:
+            if not checkpoint_file:
+                raise ValueError("resume=True requires checkpoint_file")
+            if _ckpt.exists(checkpoint_file):
+                st = _ckpt.restore(checkpoint_file)
+                if int(st["nsteps_total"]) != nsteps:
+                    raise ValueError("checkpoint was taken for a "
+                                     f"{int(st['nsteps_total'])}-step run, "
+                                     f"resuming one of {nsteps}")
+                pos0 = np.asarray(st["pos"], np.float32)
+                err0 = np.asarray(st["err"], np.float32)
+                alive0 = np.asarray(st["alive"], bool)
+                ages0 = np.asarray(st["ages"], np.int32)
+                start = int(st["steps_done"])
+        if checkpoint_every:
+            seg = max(int(nbatch), -(-int(checkpoint_every) // int(nbatch))
+                      * int(nbatch))
+        else:
+            seg = nsteps
+
         lprob_spec = _like.static_spec(lprob_func, lprob_args, lprob_kwargs)
-        pos, err, alive, ages, nalive = _gng_train_jit(
-            jnp.asarray(pos0), jnp.asarray(alive0), jnp.asarray(ages0),
-            jnp.asarray(draws), jnp.asarray(models, jnp.float32),
-            jnp.asarray(models_err, jnp.float32),
-            jnp.asarray(models_mask, jnp.float32), lprob_spec=lprob_spec,
-            track_scale=bool(track_scale), nbatch=int(nbatch),
-            max_age=int(max_age), learn_best=float(learn_best),
-            learn_neighbor=float(learn_neighbor),
-            new_err_dec=float(new_err_dec),
-            all_err_dec=float(all_err_dec))
+        state = (jnp.asarray(pos0), jnp.asarray(err0), jnp.asarray(alive0),
+                 jnp.asarray(ages0))
+        mods_j = jnp.asarray(models, jnp.float32)
+        errs_j = jnp.asarray(models_err, jnp.float32)
+        mask_j = jnp.asarray(models_mask, jnp.float32)
+        for s0 in range(start, nsteps, seg):
+            ns = min(seg, nsteps - s0)
+            pos, err, alive, ages, nalive = _gng_train_jit(
+                *state, jnp.asarray(draws[s0:s0 + ns]), mods_j, errs_j,
+                mask_j, lprob_spec=lprob_spec,
+                track_scale=bool(track_scale), nbatch=int(nbatch),
+                max_age=int(max_age), learn_best=float(learn_best),
+                learn_neighbor=float(learn_neighbor),
+                new_err_dec=float(new_err_dec),
+                all_err_dec=float(all_err_dec))
+            state = (pos, err, alive, ages)
+            if checkpoint_every:
+                _ckpt.save(checkpoint_file, {
+                    "pos": np.asarray(pos), "err": np.asarray(err),
+                    "alive": np.asarray(alive), "ages": np.asarray(ages),
+                    "steps_done": int(s0 + ns),
+                    "nsteps_total": int(nsteps)})
+        pos, err, alive, ages = state
         alive_np = np.asarray(alive)
         sel = np.flatnonzero(alive_np)
         self.nodes = np.asarray(pos)[sel].astype(float)

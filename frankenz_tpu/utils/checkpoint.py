@@ -21,22 +21,24 @@ import os
 import numpy as np
 import jax
 
-__all__ = ["state_dict", "load_state_dict", "save", "restore"]
+__all__ = ["state_dict", "load_state_dict", "save", "restore", "exists"]
 
 # Attributes that constitute persistent state, per class name.
 _STATE_ATTRS = {
     "BruteForce": ["fit_lnprior", "fit_lnlike", "fit_lnprob", "fit_Ndim",
-                   "fit_chi2", "fit_scale", "fit_scale_err", "NDATA"],
+                   "fit_chi2", "fit_scale", "fit_scale_err", "NDATA",
+                   "_fit_rows_done"],
     "NearestNeighbors": ["fit_lnprior", "fit_lnlike", "fit_lnprob",
                          "fit_Ndim", "fit_chi2", "fit_scale",
                          "fit_scale_err", "neighbors", "Nneighbors",
-                         "NDATA", "k", "features"],
+                         "NDATA", "k", "features", "_fit_rows_done"],
     "_Network": ["nodes", "nodes_pos", "nodes_idxs", "nodes_logwts",
                  "nodes_scales", "nodes_scales_err", "nodes_bmus",
                  "nodes_Nmatch", "nodes_Nbmu", "nodes_only", "models_lmap",
                  "models_levid", "neighbors", "Nneighbors", "fit_lnprior",
                  "fit_lnlike", "fit_lnprob", "fit_Ndim", "fit_chi2",
-                 "fit_scale", "fit_scale_err", "NNODE", "NPROJ", "NDATA"],
+                 "fit_scale", "fit_scale_err", "NNODE", "NPROJ", "NDATA",
+                 "_fit_rows_done"],
     "population_sampler": ["samples", "samples_lnp", "_chain_state"],
     "hierarchical_sampler": ["samples", "samples_lnp", "_chain_state"],
 }
@@ -116,6 +118,13 @@ def restore(path, obj=None):
     if obj is not None:
         return load_state_dict(obj, state)
     return state
+
+
+def exists(path):
+    """True if `path` holds a checkpoint written by `save` (Orbax
+    directory or `.npz` file)."""
+    return (os.path.isdir(path) or os.path.exists(path)
+            or os.path.exists(path + ".npz"))
 
 
 def _orbax():
