@@ -71,6 +71,42 @@ def _peak_flops(device):
     return None
 
 
+def _profile_step(step, slices, nprof=3):
+    """Measure the step's on-device busy time with jax.profiler.
+
+    Runs `nprof` batches under a trace and sums the device-plane events
+    carrying a `jit_` module prefix (each compiled module execution
+    appears once per launch; op-level children are excluded to avoid
+    double counting).  Returns seconds of device busy time per batch,
+    or None when the trace can't be parsed.
+    """
+    import glob
+    import tempfile
+
+    logdir = tempfile.mkdtemp(prefix="bench_prof_")
+    try:
+        jax.profiler.start_trace(logdir)
+        outs = [step(*args) for args in slices[:nprof]]
+        jax.block_until_ready(outs)
+        jax.profiler.stop_trace()
+        files = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
+                          recursive=True)
+        if not files:
+            return None
+        pdta = jax.profiler.ProfileData.from_file(files[0])
+        busy = 0.0
+        for plane in pdta.planes:
+            if "TPU" not in plane.name:
+                continue
+            for line in plane.lines:
+                for ev in line.events:
+                    if ev.name.startswith("jit_"):
+                        busy += (ev.duration_ns or 0) / 1e9
+        return busy / nprof if busy > 0 else None
+    except Exception:
+        return None
+
+
 def config1():
     """Demo-2 mock: BruteForce 5K x 1K."""
     from frankenz_tpu.fitting import BruteForce
@@ -320,12 +356,28 @@ def main():
     flops_per_pair = 2 * gp + 8 * nfilt
     peak = _peak_flops(jax.devices()[0])
     mfu = rate * flops_per_pair / peak if peak else None
+
+    # Profiler-MEASURED utilization (docs/MXU_NOTE.md): device busy time
+    # per batch from a jax.profiler trace, so the MFU denominator is the
+    # time the chip actually spent in the step's compiled modules rather
+    # than wall clock (which includes host dispatch / relay latency).
+    mfu_meas = kernel_ms = None
+    if peak and os.environ.get("BENCH_PROFILE", "1") != "0":
+        slices = [tuple(jax.lax.dynamic_slice_in_dim(a, i * batch, batch)
+                        for a in (d_all, de_all, dm_all))
+                  for i in range(min(3, nbatch))]
+        busy = _profile_step(step, slices)
+        if busy:
+            kernel_ms = round(busy * 1e3, 2)
+            mfu_meas = float(f"{batch * nmodel * flops_per_pair / (busy * peak):.4g}")
     result = {
         "metric": "chi2_evals_per_sec",
         "value": float(f"{rate:.4g}"),
         "unit": "pair-evals/s",
         "vs_baseline": float(f"{rate / north_star:.4g}"),
         "mfu": float(f"{mfu:.4g}") if mfu is not None else None,
+        "mfu_measured": mfu_meas,
+        "device_busy_ms_per_batch": kernel_ms,
         "detail": {
             "nobj": nbatch * batch, "nmodel": nmodel, "nfilt": nfilt,
             "ngrid": ngrid, "batch": batch, "elapsed_s": round(elapsed, 3),

@@ -355,8 +355,46 @@ def _make_onepass_kernel(nfilt, dim_prior, ignore_model_err, gl_table,
 
 
 def _chi2_tile_fullmask(d_ref, de_ref, mT_ref, meT_ref, *, nfilt,
-                        ignore_model_err):
-    """(TB, TM) chi^2 tile with all-ones masks."""
+                        ignore_model_err, mxu=False):
+    """(TB, TM) chi^2 tile with all-ones masks.
+
+    ``mxu=True`` (requires datum-only variance): the masked chi^2
+    expands exactly into ONE contraction over a stacked 2F filter axis
+    (pdf.py:85-87):
+
+        chi2[b, m] = sum_f iv[b,f] d[b,f]^2            (per-row constant)
+                     + [-2 d*iv | iv] @ [m ; m^2]^T    (MXU, K = 2F)
+
+    which moves the O(F) per-pair reduce onto the MXU — the VPU then
+    only runs the O(1)-per-pair epilogue (exp/threshold/compare).
+    MEASURED CAVEATS (v5e, config-4 shapes; see docs/MXU_NOTE.md):
+    the expansion's absolute error is ~|sum d^2 iv| * eps no matter the
+    dot precision (catastrophic cancellation as chi2 -> 0), so this is
+    an approximate opt-in, not a parity path — and Mosaic's default dot
+    runs bf16 passes (~0.4% of term magnitude); HIGHEST (6-pass f32)
+    restores f32-grade sums but costs more than the VPU loop it
+    replaces.  The per-pair variance of the model-error case
+    (sigma_d^2 + sigma_m^2 depends on BOTH operands) breaks the
+    factorization entirely (SURVEY.md section 7, "hard parts").
+    """
+    if mxu:
+        assert ignore_model_err, "per-pair variance breaks the expansion"
+        d = d_ref[:, :]                      # (TB, F)
+        de = de_ref[:, :]
+        iv = _fast_recip(de * de)            # (TB, F)
+        div = d * iv
+        a = jnp.sum(d * div, axis=1, keepdims=True)   # (TB, 1)
+        mT = mT_ref[:, :]                    # (F, TM)
+        # One K=2F dot instead of two K=F dots: Mosaic pads the
+        # contraction dim to 128 lanes either way, so fusing halves the
+        # MXU passes.
+        lhs = jnp.concatenate([-2.0 * div, iv], axis=1)      # (TB, 2F)
+        rhs = jnp.concatenate([mT, mT * mT], axis=0)         # (2F, TM)
+        acc = jnp.dot(lhs, rhs, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+        # max(..., 0): the expansion goes epsilon-negative for
+        # near-perfect matches where the direct form gives ~0.
+        return jnp.maximum(a + acc, 0.0)
     chi2 = None
     for k in range(nfilt):
         dk = d_ref[:, k:k + 1]
@@ -397,7 +435,7 @@ def _half_pow(x, a1):
     return 1.0 / out if a1 < 0 else out
 
 
-def _make_chi2max_kernel(nfilt, ignore_model_err, c0):
+def _make_chi2max_kernel(nfilt, ignore_model_err, c0, mxu=False):
     """Pass A (full-mask, dim-prior): transcendental-free tracking of the
     chi^2 values bracketing c0 = 2*a1, where the unimodal lnl(chi2)
     peaks — lmap is recovered from them on the host side."""
@@ -406,7 +444,8 @@ def _make_chi2max_kernel(nfilt, ignore_model_err, c0):
         j = pl.program_id(1)
         chi2 = jnp.minimum(
             _chi2_tile_fullmask(d, de, mT, meT, nfilt=nfilt,
-                                ignore_model_err=ignore_model_err),
+                                ignore_model_err=ignore_model_err,
+                                mxu=mxu),
             _CHI2_CLAMP)
 
         @pl.when(j == 0)
@@ -426,7 +465,8 @@ def _make_chi2max_kernel(nfilt, ignore_model_err, c0):
     return kernel
 
 
-def _make_chi2stack_kernel(nfilt, ignore_model_err, a1, log_wt_thresh):
+def _make_chi2stack_kernel(nfilt, ignore_model_err, a1, log_wt_thresh,
+                           mxu=False):
     """Pass B (full-mask, dim-prior): w = chi2^a1 * exp(-chi2/2 - shift),
     shift = lmap + gammaln-norm — one exp + one sqrt per pair, no log.
     Accumulates pdf += w @ G and s += sum(w); levid = log(s) + lmap."""
@@ -437,7 +477,8 @@ def _make_chi2stack_kernel(nfilt, ignore_model_err, a1, log_wt_thresh):
         j = pl.program_id(1)
         chi2 = jnp.minimum(
             _chi2_tile_fullmask(d, de, mT, meT, nfilt=nfilt,
-                                ignore_model_err=ignore_model_err),
+                                ignore_model_err=ignore_model_err,
+                                mxu=mxu),
             _CHI2_CLAMP)
         pw = _half_pow(chi2, a1)
         e = jnp.exp(-0.5 * chi2 - shift[:, :])
@@ -464,9 +505,10 @@ def _make_chi2stack_kernel(nfilt, ignore_model_err, a1, log_wt_thresh):
 @functools.partial(
     jax.jit,
     static_argnames=("ignore_model_err", "wt_thresh", "tb", "tm",
-                     "interpret"))
+                     "interpret", "chi2_mxu"))
 def _fused_call_fullmask_dimprior(d, de, mT, meT, G, *, ignore_model_err,
-                                  wt_thresh, tb, tm, interpret):
+                                  wt_thresh, tb, tm, interpret,
+                                  chi2_mxu=False):
     """Specialized full-mask + dim-prior pipeline (see kernels above)."""
     B, F = d.shape
     M = mT.shape[1]
@@ -483,7 +525,7 @@ def _fused_call_fullmask_dimprior(d, de, mT, meT, G, *, ignore_model_err,
         dimension_semantics=("parallel", "arbitrary"))
 
     below, above = pl.pallas_call(
-        _make_chi2max_kernel(F, ignore_model_err, c0),
+        _make_chi2max_kernel(F, ignore_model_err, c0, mxu=chi2_mxu),
         grid=(nb, nm),
         in_specs=[data_spec, data_spec, model_spec, model_spec],
         out_specs=(stat_spec, stat_spec),
@@ -504,7 +546,8 @@ def _fused_call_fullmask_dimprior(d, de, mT, meT, G, *, ignore_model_err,
     log_thresh = None if wt_thresh is None else float(np.log(wt_thresh))
 
     pdf, s = pl.pallas_call(
-        _make_chi2stack_kernel(F, ignore_model_err, a1, log_thresh),
+        _make_chi2stack_kernel(F, ignore_model_err, a1, log_thresh,
+                               mxu=chi2_mxu),
         grid=(nb, nm),
         in_specs=[data_spec, data_spec, model_spec, model_spec,
                   pl.BlockSpec((tm, Gp), lambda i, j: (j, 0)), stat_spec],
@@ -532,14 +575,16 @@ def _fused_call_fullmask_dimprior(d, de, mT, meT, G, *, ignore_model_err,
     jax.jit,
     static_argnames=("dim_prior", "ignore_model_err", "wt_thresh", "tb",
                      "tm", "interpret", "full_mask", "free_scale",
-                     "scale_iters"))
+                     "scale_iters", "chi2_mxu"))
 def _fused_call(d, de, dm, mT, meT, mmT, valid, G, *, dim_prior,
                 ignore_model_err, wt_thresh, tb, tm, interpret,
-                full_mask=False, free_scale=False, scale_iters=0):
+                full_mask=False, free_scale=False, scale_iters=0,
+                chi2_mxu=False):
     if full_mask and dim_prior and not free_scale:
         return _fused_call_fullmask_dimprior(
             d, de, mT, meT, G, ignore_model_err=ignore_model_err,
-            wt_thresh=wt_thresh, tb=tb, tm=tm, interpret=interpret)
+            wt_thresh=wt_thresh, tb=tb, tm=tm, interpret=interpret,
+            chi2_mxu=chi2_mxu)
 
     B, F = d.shape
     M = mT.shape[1]
@@ -622,7 +667,8 @@ def _fused_call(d, de, dm, mT, meT, mmT, valid, G, *, dim_prior,
 def fused_fit_pdf(data, data_err, data_mask, models, models_err,
                   models_mask, G, *, dim_prior=True, ignore_model_err=False,
                   free_scale=False, wt_thresh=1e-3, tb=256, tm=512,
-                  interpret=None, full_mask=None, scale_iters=10):
+                  interpret=None, full_mask=None, scale_iters=10,
+                  chi2_mxu=False):
     """Fused fit->PDF for one object batch.
 
     Parameters mirror `ops.logprob` + a row-normalized kernel matrix `G`
@@ -689,13 +735,20 @@ def fused_fit_pdf(data, data_err, data_mask, models, models_err,
     if Mp != M:
         G = jnp.pad(G, ((0, Mp - M), (0, 0)))
 
+    if chi2_mxu and not (ignore_model_err and full_mask and dim_prior
+                         and not free_scale):
+        raise ValueError(
+            "chi2_mxu requires ignore_model_err=True (per-pair "
+            "sigma_d^2 + sigma_m^2 variance breaks the matmul "
+            "factorization), full_mask=True, dim_prior=True, "
+            "free_scale=False")
     pdf, lmap, levid = _fused_call(
         d, de, dm, m.T, me.T, mm.T, valid, G, dim_prior=dim_prior,
         ignore_model_err=ignore_model_err, wt_thresh=wt_thresh, tb=tb,
         tm=tm, interpret=bool(interpret), full_mask=full_mask,
         free_scale=free_scale,
         scale_iters=int(scale_iters) if free_scale
-        and not ignore_model_err else 0)
+        and not ignore_model_err else 0, chi2_mxu=bool(chi2_mxu))
     pdf, lmap, levid = pdf[:B, :Ngrid], lmap[:B], levid[:B]
     # Degenerate rows (every model at the -inf floor) -> zero PDF, -inf
     # GOF, matching the XLA path's handling of all-masked objects.

@@ -282,3 +282,34 @@ def test_masked_zero_overlap_pairs_do_not_poison_rows():
         # under dof = Ndim - 1 (no usable evidence), never NaN.
         rich = dm.sum(axis=1) >= 3
         assert np.isfinite(lmap[rich]).all(), (fs, dp)
+
+
+def test_chi2_mxu_optin_matches_vpu_path():
+    """The benched-and-rejected MXU chi^2 decomposition (docs/MXU_NOTE.md)
+    stays functional as an opt-in: in interpret mode its dots are exact,
+    so it reproduces the VPU-loop kernel up to the expansion's
+    cancellation noise (the note's reason for rejecting it as a parity
+    path)."""
+    rng = np.random.default_rng(11)
+    B, M, F = 32, 96, 5
+    models = rng.uniform(1, 10, (M, F)).astype(np.float32)
+    data = rng.uniform(1, 10, (B, F)).astype(np.float32)
+    de = np.full((B, F), 0.3, np.float32)
+    ones_d, ones_m = np.ones_like(data), np.ones_like(models)
+    grid = np.linspace(0, 3, 41)
+    G = np.asarray(K.kernel_matrix(rng.uniform(0, 3, M),
+                                   np.full(M, 0.1), grid), np.float32)
+    kw = dict(ignore_model_err=True, wt_thresh=1e-3, full_mask=True,
+              interpret=True)
+    ref = fused_fit_pdf(data, de, ones_d, models, np.zeros_like(models),
+                        ones_m, G, **kw)
+    got = fused_fit_pdf(data, de, ones_d, models, np.zeros_like(models),
+                        ones_m, G, chi2_mxu=True, **kw)
+    for a, b in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
+    # The flag demands the configuration whose algebra it implements.
+    with pytest.raises(ValueError, match="chi2_mxu"):
+        fused_fit_pdf(data, de, ones_d, models, np.zeros_like(models),
+                      ones_m, G, chi2_mxu=True, ignore_model_err=False,
+                      wt_thresh=1e-3, full_mask=True, interpret=True)
