@@ -223,11 +223,15 @@ def config3():
     gng.train_network(niter=5000, nbatch=50, max_nodes=2500, seed=2,
                       verbose=False)
     t_gng = time.time() - t0
+    t0 = time.time()  # warm repeat: trace/compile amortized
+    gng.train_network(niter=5000, nbatch=50, max_nodes=2500, seed=2,
+                      verbose=False)
+    t_gng_w = time.time() - t0
     _emit("config3_som_gng", 10_000 / t_fit_w, "obj/s",
           som_train_s=round(t_train, 2), som_train_warm_s=round(t_train_w, 2),
           populate_s=round(t_pop, 2), populate_warm_s=round(t_pop_w, 2),
           som_fit_s=round(t_fit, 2), som_fit_warm_s=round(t_fit_w, 2),
-          gng_train_s=round(t_gng, 2),
+          gng_train_s=round(t_gng, 2), gng_train_warm_s=round(t_gng_w, 2),
           gng_nodes=int(gng.NNODE))
 
 

@@ -55,6 +55,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from ..ops import kde as _kde
 from ..ops import likelihood as _like
@@ -1581,17 +1582,41 @@ class SelfOrganizingMap(_Network):
                                              "nbatch", "max_age",
                                              "learn_best", "learn_neighbor",
                                              "new_err_dec", "all_err_dec"))
-def _gng_train_jit(pos0, err0, alive0, ages0, draws, mods, errs, mask, *,
+def _gng_train_jit(pos0, err0, alive0, state0, draws, mods, errs, mask, *,
                    lprob_spec, track_scale, nbatch, max_age, learn_best,
                    learn_neighbor, new_err_dec, all_err_dec):
     """Whole GNG training run as ONE `lax.scan` program (module-level:
     arrays enter as arguments, not baked closure constants).
 
     The full mutable state (node table, accumulated errors, alive mask,
-    edge ages) enters and leaves as arrays, so a run split into
+    edge state) enters and leaves as arrays, so a run split into
     segment calls (train_network(checkpoint_every=...)) composes
     bitwise-identically to one call as long as segment boundaries align
-    with `nbatch` blocks."""
+    with `nbatch` blocks.
+
+    Edge bookkeeping (the round-2 hot spot — a dense (N, N) age matrix
+    cost ~25 MB of carry traffic per step at 2500 nodes) is a
+    fixed-degree adjacency table with IMPLICIT aging:
+
+    * ``ids`` (N, K): neighbor node ids per node (-1 = empty slot);
+    * ``c`` (N,): per-node BMU-event counter;
+    * ``sref`` (N, K): per-slot aging anchor.
+
+    The reference ages ALL of the BMU's edges by one per step
+    (symmetrically), so an edge's age is exactly (BMU events of i) +
+    (BMU events of j) since its last reset.  A slot refresh stores
+    ``sref = c[i]``; each BMU event of the NEIGHBOR decrements the slot's
+    ``sref`` by one, giving
+
+        age[i, slot] = c[i] - sref[i, slot]
+
+    with both directions always in agreement.  Aging therefore costs one
+    scalar counter bump plus one (N, K) compare-add pass per step
+    (`ids == bmu`) instead of O(N^2) row/column traffic; ages
+    materialize only in the per-block prune.  ``state0``/returned state
+    pack (ids, sref, c, overflow) where `overflow` counts edge
+    insertions dropped because a node already carried K live edges
+    (K = 32; GNG degrees under max_age pruning are ~10)."""
     lprob_func, lprob_args, lp_kw = lprob_spec
     if lprob_func is None:
         lprob_func = _like.logprob
@@ -1630,8 +1655,33 @@ def _gng_train_jit(pos0, err0, alive0, ages0, draws, mods, errs, mask, *,
             score = -0.5 * chi2
         return jnp.where(alive, score, -jnp.inf), chi2
 
+    K = state0[0].shape[1]
+
+    def _upsert(ids, sref, ov, i, j, ci):
+        """Create or refresh edge slot j in node i's row (age -> 0)."""
+        row = ids[i]
+        match = row == j
+        has = jnp.any(match)
+        occupied = row >= 0
+        free = jnp.argmin(occupied)  # first empty slot
+        slot = jnp.where(has, jnp.argmax(match), free)
+        dropped = jnp.logical_and(~has, jnp.all(occupied))
+        ids = ids.at[i, slot].set(jnp.where(dropped, row[slot], j))
+        refresh = jnp.logical_or(has, ~dropped)
+        sref = sref.at[i, slot].set(jnp.where(refresh, ci,
+                                              sref[i, slot]))
+        return ids, sref, ov + dropped.astype(jnp.int32)
+
+    def _remove(ids, i, j):
+        """Clear edge slot j in node i's row (no-op when absent)."""
+        row = ids[i]
+        match = row == j
+        slot = jnp.argmax(match)
+        return ids.at[i, slot].set(jnp.where(jnp.any(match), -1,
+                                             row[slot]))
+
     def step(state, idx):
-        pos, err, alive, ages, nalive = state
+        pos, err, alive, (ids, sref, c, ov), nalive = state
         x, xe, xm = mods[idx], errs[idx], mask[idx]
         if default_spec and not track_scale:
             lnp, chi2 = _default_lnp_chi2(x, xe, xm, pos, alive)
@@ -1652,47 +1702,59 @@ def _gng_train_jit(pos0, err0, alive0, ages0, draws, mods, errs, mask, *,
         pos = pos.at[bmu].add(learn_best * resid)
         err = err.at[bmu].add(chi2[bmu])
 
-        # Rejuvenate/create the (bmu, bmu2) edge.
-        ages = ages.at[bmu, bmu2].set(0).at[bmu2, bmu].set(0)
+        # Rejuvenate/create the (bmu, bmu2) edge (age -> 0), both rows.
+        ids, sref, ov = _upsert(ids, sref, ov, bmu, bmu2, c[bmu])
+        ids, sref, ov = _upsert(ids, sref, ov, bmu2, bmu, c[bmu2])
 
         # Move the BMU's topological neighbors and age its edges.  The
         # reference resets (bmu, bmu2) to 0 and then ages ALL of bmu's
         # edges (networks.py:2186-2199), so (bmu, bmu2) ends the step at
-        # age 1 — replicated here by aging after the reset.
-        nbr = ages[bmu] >= 0
+        # age 1 — replicated by bumping the counters after the refresh.
+        row = ids[bmu]
+        valid_row = row >= 0
+        nbr = jnp.zeros(N, bool).at[
+            jnp.where(valid_row, row, N)].set(True, mode="drop")
         resid_n = x[None, :] - pos
         pos = pos + jnp.where(nbr[:, None], learn_neighbor * resid_n, 0.0)
-        ages = ages.at[bmu].set(jnp.where(nbr, ages[bmu] + 1, -1))
-        ages = ages.at[:, bmu].set(jnp.where(nbr, ages[:, bmu] + 1, -1))
-        return (pos, err, alive, ages, nalive), ()
+        c = c.at[bmu].add(1)
+        sref = jnp.where(ids == bmu, sref - 1, sref)
+        return (pos, err, alive, (ids, sref, c, ov), nalive), ()
 
     def batch_update(args):
-        pos, err, alive, ages, nalive = args
-        # Prune overage edges.
-        ages = jnp.where(ages >= max_age, -1, ages)
-        deg = jnp.sum(ages >= 0, axis=1)
+        pos, err, alive, (ids, sref, c, ov), nalive = args
+        # Prune overage edges: materialize ages from the counters.
+        age = c[:, None] - sref
+        ids = jnp.where((ids >= 0) & (age >= max_age), -1, ids)
+        deg = jnp.sum(ids >= 0, axis=1)
         alive = alive & (deg > 0)
         nalive = jnp.sum(alive)
 
         # Insert a node at the max-error node if room.
         def insert(args):
-            pos, err, alive, ages, nalive = args
+            pos, err, alive, (ids, sref, c, ov), nalive = args
             e1 = jnp.argmax(jnp.where(alive, err, -jnp.inf))
-            nbr_e = ages[e1] >= 0
-            e2 = jnp.argmax(jnp.where(nbr_e, err, -jnp.inf))
+            row = ids[e1]
+            nbr_err = jnp.where(row >= 0,
+                                err[jnp.maximum(row, 0)], -jnp.inf)
+            e2 = row[jnp.argmax(nbr_err)]
             free = jnp.argmin(alive)  # first dead slot
             err = err.at[e1].multiply(1.0 - new_err_dec)
             err = err.at[e2].multiply(1.0 - new_err_dec)
             pos = pos.at[free].set(0.5 * (pos[e1] + pos[e2]))
             err = err.at[free].set(err[e1])
             alive = alive.at[free].set(True)
-            ages = ages.at[e1, e2].set(-1).at[e2, e1].set(-1)
-            ages = ages.at[free, e1].set(0).at[e1, free].set(0)
-            ages = ages.at[free, e2].set(0).at[e2, free].set(0)
-            return pos, err, alive, ages, nalive + 1
+            ids = _remove(ids, e1, e2)
+            ids = _remove(ids, e2, e1)
+            ids = ids.at[free].set(jnp.full(K, -1, ids.dtype))
+            ids, sref, ov = _upsert(ids, sref, ov, free, e1, c[free])
+            ids, sref, ov = _upsert(ids, sref, ov, free, e2, c[free])
+            ids, sref, ov = _upsert(ids, sref, ov, e1, free, c[e1])
+            ids, sref, ov = _upsert(ids, sref, ov, e2, free, c[e2])
+            return (pos, err, alive, (ids, sref, c, ov), nalive + 1)
 
         return jax.lax.cond(nalive < N, insert, lambda a: a,
-                            (pos, err, alive, ages, nalive))
+                            (pos, err, alive, (ids, sref, c, ov),
+                             nalive))
 
     # Nested scan: the reference fires batch_update at every
     # i %% nbatch == 0 step (AFTER that step's BMU ops,
@@ -1704,8 +1766,8 @@ def _gng_train_jit(pos0, err0, alive0, ages0, draws, mods, errs, mask, *,
     draws2 = draws[:niter_blocks * nbatch].reshape(niter_blocks, nbatch)
 
     def decay(state):
-        pos, err, alive, ages, nalive = state
-        return pos, err * (1.0 - all_err_dec), alive, ages, nalive
+        pos, err, alive, edges, nalive = state
+        return pos, err * (1.0 - all_err_dec), alive, edges, nalive
 
     def dstep(state, idx):
         state, _ = step(state, idx)
@@ -1720,8 +1782,8 @@ def _gng_train_jit(pos0, err0, alive0, ages0, draws, mods, errs, mask, *,
             state, _ = jax.lax.scan(dstep, state, idx_row[1:])
         return state, ()
 
-    state0 = (pos0, err0, alive0, ages0, jnp.sum(alive0))
-    state, _ = jax.lax.scan(block, state0, draws2)
+    carry0 = (pos0, err0, alive0, tuple(state0), jnp.sum(alive0))
+    state, _ = jax.lax.scan(block, carry0, draws2)
     # Trailing steps when nsteps is not a block multiple (only possible
     # with hand-built draw arrays; train_network always passes
     # niter * nbatch).
@@ -1729,6 +1791,321 @@ def _gng_train_jit(pos0, err0, alive0, ages0, draws, mods, errs, mask, *,
     if rem:
         state, _ = jax.lax.scan(dstep, state, draws[-rem:])
     return state
+
+
+def _make_gng_mega_kernel(*, chunk, nsteps, nbatch, max_age, learn_best,
+                          learn_neighbor, new_err_dec, all_err_dec,
+                          dim_prior, n, nfilt):
+    """Whole-training-run GNG kernel body (cf. the SOM mega-kernel).
+
+    All mutable state is VMEM-resident across sequential grid steps and
+    LANE-ORIENTED (nodes on the 128-wide lane axis): node table `posT`
+    (8, Np) [feature f in sublane f], packed per-node scalars `metaT`
+    (8, Np) [sublane 0 err, 1 BMU counter c, 2 alive, metaT[3, 0] edge
+    overflow], and the adjacency arrays `idsT`/`srefT` (K=32, Np) of
+    `_gng_train_jit` (implicit counter-based aging) — everything f32
+    (counts < 2^24 exact), Np = N rounded up to 128 lanes.
+
+    Layout rationale (all measured on v5e at N=2500): a node-per-
+    SUBLANE layout costs ~N/8 tile-ops for every per-node vector op
+    ((N, 1) columns use 1 of 128 lanes -> ~13-24 us/step over the ~30
+    sequential ops of a GNG step); lane orientation makes the same ops
+    (1, Np) row passes (~Np/128 tiles) and fixed-depth sublane
+    reductions, ~10x less.  The XLA scan path pays 25-70 us/step of op
+    dispatch latency regardless — the measured 12-18 s round-2 floor.
+
+    Draws stream in group-packed (chunk, 128) slabs (128 // group_w
+    sequential draws per row, statically rolled into lanes
+    [0, group_w)); per-filter scalars are lane-extracted and multiply
+    static posT sublane rows, so there are no dynamic-lane accesses
+    (unsupported) and no gathers (nonexistent) anywhere.  Index values
+    live as (1, 1) pseudo-scalars.
+    """
+    neg = -3.0e38
+    K = 32
+    group_w = 8
+    while group_w < 128 and group_w < nfilt:
+        group_w *= 2
+    groups = 128 // group_w
+
+    def kernel(xc_ref, iv_ref, xraw_ref, pos0_ref, meta0_ref,
+               ids0_ref, sref0_ref, pos_ref, meta_ref, ids_ref, sref_ref):
+        g = pl.program_id(0)
+
+        @pl.when(g == 0)
+        def _():
+            pos_ref[:, :] = pos0_ref[:, :]
+            meta_ref[:, :] = meta0_ref[:, :]
+            ids_ref[:, :] = ids0_ref[:, :]
+            sref_ref[:, :] = sref0_ref[:, :]
+
+        frow, npl = pos0_ref.shape  # (filter rows, lane-padded nodes)
+        # Mosaic's iota is integer-only; the arithmetic below wants f32.
+        ln = jax.lax.broadcasted_iota(jnp.int32,
+                                      (1, npl), 1).astype(jnp.float32)
+        sub8 = jax.lax.broadcasted_iota(jnp.int32,
+                                        (8, 1), 0).astype(jnp.float32)
+        subf = jax.lax.broadcasted_iota(jnp.int32,
+                                        (frow, 1), 0).astype(jnp.float32)
+        subk = jax.lax.broadcasted_iota(jnp.int32,
+                                        (K, 1), 0).astype(jnp.float32)
+        lid128 = jax.lax.broadcasted_iota(jnp.int32,
+                                          (1, 128), 1).astype(jnp.float32)
+        valid_lane = ln < float(n)
+        big = jnp.float32(1e9)
+
+        def min_index(mask):
+            """(1, 1) lowest REAL node index where (1, Np) `mask` holds
+            (lax.top_k's stable tie order); lane pads excluded."""
+            return jnp.min(jnp.where(
+                jnp.logical_and(mask, valid_lane), ln, big),
+                keepdims=True)
+
+        def pick(mask, x):
+            """(1, 1) value of (1, Np) x at the single-True mask."""
+            return jnp.sum(jnp.where(mask, x, 0.0), keepdims=True)
+
+        def lane_extract(row, j):
+            """(1, 1) lane j of a (1, 128) row (static j)."""
+            return row[:, j:j + 1]
+
+        def upsert(is_col, j11, ci11):
+            """Create/refresh edge slot j in the masked column
+            (age -> 0); returns the overflow increment as (1, 1)."""
+            ids = ids_ref[:, :]
+            match = jnp.logical_and(is_col, ids == j11)
+            has = jnp.max(jnp.where(match, 1.0, 0.0), keepdims=True)
+            free = jnp.min(jnp.where(
+                jnp.logical_and(is_col, ids < 0.0), subk, big),
+                keepdims=True)
+            slot_m = jnp.min(jnp.where(match, subk, big), keepdims=True)
+            slot = jnp.where(has > 0.0, slot_m, free)
+            dropped = jnp.logical_and(has == 0.0, free >= big)
+            sel = jnp.logical_and(jnp.logical_and(is_col, subk == slot),
+                                  jnp.logical_not(dropped))
+            ids_ref[:, :] = jnp.where(sel, j11, ids)
+            sref_ref[:, :] = jnp.where(sel, ci11, sref_ref[:, :])
+            return jnp.where(dropped, 1.0, 0.0)
+
+        def batch_update():
+            meta = meta_ref[:, :]
+            c = meta[1:2, :]
+            alive = meta[2:3, :] > 0.0
+            ids = ids_ref[:, :]
+            # Prune: materialize ages from the counters.
+            age = c - sref_ref[:, :]
+            ids = jnp.where(jnp.logical_and(ids >= 0.0,
+                                            age >= float(max_age)),
+                            -1.0, ids)
+            ids_ref[:, :] = ids
+            deg = jnp.sum((ids >= 0.0).astype(jnp.float32), axis=0,
+                          keepdims=True)
+            alive = jnp.logical_and(alive, deg > 0.0)
+            meta_ref[:, :] = jnp.where(
+                sub8 == 2.0, alive.astype(jnp.float32), meta)
+            nalive = jnp.sum(alive.astype(jnp.float32))
+
+            @pl.when(nalive < float(n))
+            def _():
+                meta = meta_ref[:, :]
+                err = meta[0:1, :]
+                c_row = meta[1:2, :]
+                alive_c = meta[2:3, :] > 0.0
+                e1 = min_index(err == jnp.max(
+                    jnp.where(alive_c, err, neg), keepdims=True))
+                nbr_e1 = jnp.any(ids_ref[:, :] == e1, axis=0,
+                                 keepdims=True)
+                e2 = min_index(err == jnp.max(
+                    jnp.where(nbr_e1, err, neg), keepdims=True))
+                free = min_index(jnp.logical_not(alive_c))
+                is_e1 = ln == e1
+                is_e2 = ln == e2
+                is_free = ln == free
+                dec = 1.0 - new_err_dec
+                err = jnp.where(jnp.logical_or(is_e1, is_e2), err * dec,
+                                err)
+                err = jnp.where(is_free, pick(is_e1, err), err)
+                alive_f = jnp.where(is_free, 1.0,
+                                    alive_c.astype(jnp.float32))
+                # posT[:, free] = midpoint — lane reductions per row.
+                pos = pos_ref[:, :]
+                p_new = 0.5 * (
+                    jnp.sum(jnp.where(is_e1, pos, 0.0), axis=1,
+                            keepdims=True)
+                    + jnp.sum(jnp.where(is_e2, pos, 0.0), axis=1,
+                              keepdims=True))
+                pos_ref[:, :] = jnp.where(is_free, p_new, pos)
+                # Remove (e1, e2) both directions; blank the free col.
+                ids = ids_ref[:, :]
+                kill = jnp.logical_or(
+                    jnp.logical_or(jnp.logical_and(is_e1, ids == e2),
+                                   jnp.logical_and(is_e2, ids == e1)),
+                    is_free)
+                ids_ref[:, :] = jnp.where(kill, -1.0, ids)
+                ov = upsert(is_free, e1, pick(is_free, c_row))
+                ov = ov + upsert(is_free, e2, pick(is_free, c_row))
+                ov = ov + upsert(is_e1, free, pick(is_e1, c_row))
+                ov = ov + upsert(is_e2, free, pick(is_e2, c_row))
+                meta2 = meta_ref[:, :]
+                ov_cell = jnp.logical_and(sub8 == 3.0, ln == 0.0)
+                meta_ref[:, :] = jnp.where(
+                    sub8 == 0.0, err,
+                    jnp.where(sub8 == 2.0, alive_f,
+                              jnp.where(ov_cell, meta2 + ov, meta2)))
+
+        def one_step(i, xcg, ivg, xrg):
+            """One BMU step; the draw arrives as (1, 128) group rows
+            with photometry in lanes [0, group_w)."""
+
+            @pl.when(i < nsteps)
+            def _():
+                # Per-draw constants, on-chip: A = sum x^2 iv and the
+                # chi2-prior exponent from Ndim (pdf.py:226-229).
+                xivg = xcg * ivg
+                A = jnp.sum(xcg * xivg, keepdims=True)
+                ndim = jnp.sum((ivg > 0.0).astype(jnp.float32),
+                               keepdims=True)
+                a1 = 0.5 * (ndim - 1.0) - 1.0
+                meta = meta_ref[:, :]
+                c = meta[1:2, :]
+                alive = meta[2:3, :] > 0.0
+                pos = pos_ref[:, :]
+
+                # Free-scale error-free score (pdf.py:180-194): filter
+                # scalars multiply static posT sublane rows.
+                inter = None
+                shape = None
+                xcol = None
+                for f in range(nfilt):
+                    xiv_f = lane_extract(xivg, f)
+                    iv_f = lane_extract(ivg, f)
+                    xr_f = lane_extract(xrg, f)
+                    pf = pos[f:f + 1, :]
+                    it = pf * xiv_f
+                    sh = (pf * pf) * iv_f
+                    inter = it if inter is None else inter + it
+                    shape = sh if shape is None else shape + sh
+                    xcontrib = jnp.where(subf == float(f), xr_f, 0.0)
+                    xcol = xcontrib if xcol is None else xcol + xcontrib
+                chi2 = A - inter * (inter / jnp.maximum(shape, 1e-30))
+                if dim_prior:
+                    score = (a1 * jnp.log(jnp.maximum(chi2, 1e-30))
+                             - 0.5 * chi2)
+                else:
+                    score = -0.5 * chi2
+                score = jnp.where(alive, score, neg)
+                bmu = min_index(score == jnp.max(score, keepdims=True))
+                is_bmu = ln == bmu
+                score2 = jnp.where(is_bmu, neg, score)
+                bmu2 = min_index(score2 == jnp.max(score2,
+                                                   keepdims=True))
+                is_bmu2 = ln == bmu2
+
+                # Edge refresh BEFORE the counter bump, so (bmu, bmu2)
+                # ends the step at age 1 (networks.py:2186-2199).
+                ov = upsert(is_bmu, bmu2, pick(is_bmu, c))
+                ov = ov + upsert(is_bmu2, bmu, pick(is_bmu2, c))
+
+                # Symmetry makes the neighbor mask a sublane reduce:
+                # node n is adjacent to bmu iff its own id slots
+                # contain bmu.
+                nbr = jnp.any(ids_ref[:, :] == bmu, axis=0,
+                              keepdims=True)
+                upd = (jnp.where(is_bmu, learn_best, 0.0)
+                       + jnp.where(nbr, learn_neighbor, 0.0))
+                pos_ref[:, :] = pos + upd * (xcol - pos)
+
+                # Implicit aging: bump c[bmu]; neighbor anchors drop.
+                sref = sref_ref[:, :]
+                sref_ref[:, :] = jnp.where(ids_ref[:, :] == bmu,
+                                           sref - 1.0, sref)
+                err_new = meta[0:1, :] + jnp.where(
+                    is_bmu, pick(is_bmu, chi2), 0.0)
+                c_new = c + jnp.where(is_bmu, 1.0, 0.0)
+                ov_cell = jnp.logical_and(sub8 == 3.0, ln == 0.0)
+                meta_ref[:, :] = jnp.where(
+                    sub8 == 0.0, err_new,
+                    jnp.where(sub8 == 1.0, c_new,
+                              jnp.where(ov_cell, meta + ov, meta)))
+
+                @pl.when(i % nbatch == 0)
+                def _():
+                    batch_update()
+
+                # Error decay, every step (networks.py:2256-2258).
+                meta2 = meta_ref[:, :]
+                meta_ref[:, :] = jnp.where(
+                    sub8 == 0.0, meta2[0:1, :] * (1.0 - all_err_dec),
+                    meta2)
+
+        group_mask = lid128 < float(group_w)
+
+        def row_step(r, _):
+            """One slab row = `groups` packed sequential draws; each is
+            statically rolled to lanes [0, group_w) and masked."""
+            xc_row = xc_ref[pl.ds(r, 1), :]
+            iv_row = iv_ref[pl.ds(r, 1), :]
+            xr_row = xraw_ref[pl.ds(r, 1), :]
+            for gsub in range(groups):
+                # roll takes non-negative shifts; left-rotate by sh is
+                # a right-rotate by 128 - sh.
+                sh = (128 - gsub * group_w) % 128
+                xc = jnp.where(group_mask, pltpu.roll(xc_row, sh, 1),
+                               0.0)
+                iv = jnp.where(group_mask, pltpu.roll(iv_row, sh, 1),
+                               0.0)
+                xr = jnp.where(group_mask, pltpu.roll(xr_row, sh, 1),
+                               0.0)
+                one_step((g * chunk + r) * groups + gsub, xc, iv, xr)
+            return 0
+
+        jax.lax.fori_loop(0, chunk, row_step, 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "nsteps", "nbatch",
+                                             "max_age", "learn_best",
+                                             "learn_neighbor",
+                                             "new_err_dec", "all_err_dec",
+                                             "dim_prior", "nfilt",
+                                             "n_true", "interpret"))
+def _gng_train_pallas(xc, iv, xraw, pos0, meta0, ids0, sref0, *,
+                      chunk, nsteps, nbatch, max_age, learn_best,
+                      learn_neighbor, new_err_dec, all_err_dec, dim_prior,
+                      nfilt, n_true, interpret):
+    """Dispatch the GNG mega-kernel (see `_make_gng_mega_kernel`).
+
+    State arrives LANE-ORIENTED: pos0/meta0 (8, Np), ids0/sref0
+    (32, Np).  Slabs arrive GROUP-PACKED: each (chunk-multiple, 128)
+    row holds 128 // group_w sequential draws in group_w-lane groups,
+    so slab HBM traffic and host build time shrink ~16x (the end-to-end
+    cost was upload-bound before).  `chunk` counts slab ROWS per grid
+    step.
+    """
+    npad = xc.shape[0]
+    assert npad % chunk == 0
+    frow, np_l = pos0.shape
+    kernel = _make_gng_mega_kernel(
+        chunk=chunk, nsteps=nsteps, nbatch=nbatch, max_age=max_age,
+        learn_best=learn_best, learn_neighbor=learn_neighbor,
+        new_err_dec=new_err_dec, all_err_dec=all_err_dec,
+        dim_prior=dim_prior, n=n_true, nfilt=nfilt)
+    slab = pl.BlockSpec((chunk, 128), lambda g: (g, 0))
+    pos_s = pl.BlockSpec((frow, np_l), lambda g: (0, 0))
+    meta_s = pl.BlockSpec((8, np_l), lambda g: (0, 0))
+    edge_s = pl.BlockSpec((32, np_l), lambda g: (0, 0))
+    return pl.pallas_call(
+        kernel,
+        grid=(npad // chunk,),
+        in_specs=[slab, slab, slab, pos_s, meta_s, edge_s, edge_s],
+        out_specs=(pos_s, meta_s, edge_s, edge_s),
+        out_shape=(jax.ShapeDtypeStruct((frow, np_l), jnp.float32),
+                   jax.ShapeDtypeStruct((8, np_l), jnp.float32),
+                   jax.ShapeDtypeStruct((32, np_l), jnp.float32),
+                   jax.ShapeDtypeStruct((32, np_l), jnp.float32)),
+        interpret=interpret,
+    )(xc, iv, xraw, pos0, meta0, ids0, sref0)
 
 
 class GrowingNeuralGas(_Network):
@@ -1759,7 +2136,7 @@ class GrowingNeuralGas(_Network):
                       err_kernel=None, lprob_func=None, rng=None, seed=None,
                       lprob_args=None, lprob_kwargs=None, track_scale=False,
                       verbose=True, checkpoint_every=None,
-                      checkpoint_file=None, resume=False):
+                      checkpoint_file=None, resume=False, use_pallas=None):
         if graph_init is not None:
             raise NotImplementedError(
                 "graph_init resume is not supported; retrain or checkpoint "
@@ -1791,22 +2168,25 @@ class GrowingNeuralGas(_Network):
         i1, i2 = rng.choice(nmodel, size=2, replace=False)
 
         N = max_nodes
+        K = 32  # max degree; GNG degrees under max_age pruning are ~10
         pos0 = np.zeros((N, models.shape[1]), np.float32)
         pos0[0], pos0[1] = models[i1], models[i2]
         err0 = np.zeros(N, np.float32)
         alive0 = np.zeros(N, bool)
         alive0[:2] = True
-        # NB: int8 ages (to quarter the 25 MB age matrix's HBM traffic)
-        # measured 2x SLOWER on v5e — TPU widens int8 scatter/compare
-        # paths poorly.  Keep int32.
-        ages0 = np.full((N, N), -1, np.int32)
-        ages0[0, 1] = ages0[1, 0] = 0
+        # Adjacency-table edge state (see _gng_train_jit): the initial
+        # (0, 1) edge at age 0 is one slot in each row; all counters 0.
+        ids0 = np.full((N, K), -1, np.int32)
+        ids0[0, 0], ids0[1, 0] = 1, 0
+        sref0 = np.zeros((N, K), np.int32)
+        c0 = np.zeros(N, np.int32)
+        ov0 = np.int32(0)
 
         # Mid-run durability: run in nbatch-aligned segments (the insert/
         # prune block fires on each call's first step, so boundaries must
-        # sit on block starts); full dense state is carried and saved, and
-        # `resume=True` (same seed => same regenerated draws) continues
-        # bitwise-identically.
+        # sit on block starts); the full edge state is carried and saved,
+        # and `resume=True` (same seed => same regenerated draws)
+        # continues bitwise-identically.
         from ..utils import checkpoint as _ckpt
 
         start = 0
@@ -1822,7 +2202,10 @@ class GrowingNeuralGas(_Network):
                 pos0 = np.asarray(st["pos"], np.float32)
                 err0 = np.asarray(st["err"], np.float32)
                 alive0 = np.asarray(st["alive"], bool)
-                ages0 = np.asarray(st["ages"], np.int32)
+                ids0 = np.asarray(st["ids"], np.int32)
+                sref0 = np.asarray(st["sref"], np.int32)
+                c0 = np.asarray(st["c"], np.int32)
+                ov0 = np.int32(st["overflow"])
                 start = int(st["steps_done"])
         if checkpoint_every:
             seg = max(int(nbatch), -(-int(checkpoint_every) // int(nbatch))
@@ -1831,34 +2214,151 @@ class GrowingNeuralGas(_Network):
             seg = nsteps
 
         lprob_spec = _like.static_spec(lprob_func, lprob_args, lprob_kwargs)
-        state = (jnp.asarray(pos0), jnp.asarray(err0), jnp.asarray(alive0),
-                 jnp.asarray(ages0))
-        mods_j = jnp.asarray(models, jnp.float32)
-        errs_j = jnp.asarray(models_err, jnp.float32)
-        mask_j = jnp.asarray(models_mask, jnp.float32)
-        for s0 in range(start, nsteps, seg):
-            ns = min(seg, nsteps - s0)
-            pos, err, alive, ages, nalive = _gng_train_jit(
-                *state, jnp.asarray(draws[s0:s0 + ns]), mods_j, errs_j,
-                mask_j, lprob_spec=lprob_spec,
-                track_scale=bool(track_scale), nbatch=int(nbatch),
-                max_age=int(max_age), learn_best=float(learn_best),
-                learn_neighbor=float(learn_neighbor),
-                new_err_dec=float(new_err_dec),
-                all_err_dec=float(all_err_dec))
-            state = (pos, err, alive, ages)
-            if checkpoint_every:
-                _ckpt.save(checkpoint_file, {
-                    "pos": np.asarray(pos), "err": np.asarray(err),
-                    "alive": np.asarray(alive), "ages": np.asarray(ages),
-                    "steps_done": int(s0 + ns),
-                    "nsteps_total": int(nsteps)})
-        pos, err, alive, ages = state
+        # Mega-kernel eligibility mirrors the SOM kernel: the default
+        # free-scale error-free likelihood with named knobs, no scale
+        # tracking, and state that fits VMEM (6 x (N, 128) f32 arrays
+        # plus draw slabs inside the 16 MB scoped limit).
+        kwd = dict(lprob_spec[2])
+        mega_ok = (lprob_spec[0] is None and not lprob_spec[1]
+                   and kwd.get("free_scale") is True
+                   and kwd.get("ignore_model_err") is True
+                   and set(kwd) <= {"free_scale", "ignore_model_err",
+                                    "dim_prior"}
+                   and not track_scale and N <= 16384
+                   and models.shape[1] <= 120)
+        if use_pallas is None:
+            from ..ops import fused as _fz
+            use_pallas = mega_ok and _fz.pallas_supported()
+        elif use_pallas and not mega_ok:
+            raise ValueError("use_pallas=True requires the default "
+                             "free-scale error-free likelihood, "
+                             "track_scale=False, and max_nodes <= 16384 "
+                             "(VMEM-resident state)")
+
+        if use_pallas:
+            from ..ops.fused import pallas_supported
+
+            # Pre-clean draws (pdf.py:310-311 semantics baked into iv).
+            F = models.shape[1]
+            x = models[draws].astype(np.float32)
+            xe = models_err[draws].astype(np.float32)
+            xm = models_mask[draws].astype(np.float32)
+            okb = (np.isfinite(x) & np.isfinite(xe) & (xe > 0)
+                   & (xm == 1))
+            iv = np.where(okb, 1.0 / np.where(okb, xe, 1.0) ** 2,
+                          0.0).astype(np.float32)
+            xc = np.where(okb, x, 0.0).astype(np.float32)
+            group_w = 8
+            while group_w < 128 and group_w < F:
+                group_w *= 2
+            groups = 128 // group_w
+            chunk = 64  # slab rows per grid step (= 1024 draws at F<=8)
+            state = dict(
+                pos=pos0.astype(np.float32), err=err0, alive=alive0,
+                ids=ids0, sref=sref0, c=c0, overflow=ov0)
+
+            Np = -(-N // 128) * 128
+            frow = max(8, -(-F // 8) * 8)
+
+            def pack(st):
+                posT = np.zeros((frow, Np), np.float32)
+                posT[:F, :N] = st["pos"].T
+                metaT = np.zeros((8, Np), np.float32)
+                metaT[0, :N] = st["err"]
+                metaT[1, :N] = st["c"]
+                metaT[2, :N] = st["alive"].astype(np.float32)
+                metaT[3, 0] = float(st["overflow"])
+                idsT = np.full((32, Np), -1.0, np.float32)
+                idsT[:, :N] = st["ids"].T
+                srefT = np.zeros((32, Np), np.float32)
+                srefT[:, :N] = st["sref"].T
+                return posT, metaT, idsT, srefT
+
+            def unpack(posT, metaT, idsT, srefT):
+                return dict(
+                    pos=posT[:F, :N].T, err=metaT[0, :N],
+                    c=metaT[1, :N], alive=metaT[2, :N] > 0.5,
+                    overflow=np.int32(round(float(metaT[3, 0]))),
+                    ids=np.rint(idsT[:, :N].T).astype(np.int32),
+                    sref=np.rint(srefT[:, :N].T).astype(np.int32))
+
+            def packed_slab(vals, s0, ns, nrows):
+                slab = np.zeros((nrows * groups, group_w), np.float32)
+                slab[:ns, :F] = vals[s0:s0 + ns]
+                return slab.reshape(nrows, 128)
+
+            for s0 in range(start, nsteps, seg):
+                ns = min(seg, nsteps - s0)
+                rows_needed = -(-ns // groups)
+                nrows = -(-rows_needed // chunk) * chunk
+                out = _gng_train_pallas(
+                    *(jnp.asarray(a) for a in
+                      (packed_slab(xc, s0, ns, nrows),
+                       packed_slab(iv, s0, ns, nrows),
+                       packed_slab(x.astype(np.float32), s0, ns, nrows))
+                      + pack(state)),
+                    chunk=chunk, nsteps=ns, nbatch=int(nbatch),
+                    max_age=int(max_age), learn_best=float(learn_best),
+                    learn_neighbor=float(learn_neighbor),
+                    new_err_dec=float(new_err_dec),
+                    all_err_dec=float(all_err_dec),
+                    dim_prior=bool(kwd.get("dim_prior", True)),
+                    nfilt=F, n_true=N,
+                    interpret=not pallas_supported())
+                state = unpack(*(np.asarray(a)
+                                 for a in jax.device_get(out)))
+                if checkpoint_every:
+                    _ckpt.save(checkpoint_file, dict(
+                        state, overflow=int(state["overflow"]),
+                        steps_done=int(s0 + ns),
+                        nsteps_total=int(nsteps)))
+            pos, err, alive = state["pos"], state["err"], state["alive"]
+            ids, sref, c = state["ids"], state["sref"], state["c"]
+            ov = state["overflow"]
+        else:
+            state = (jnp.asarray(pos0), jnp.asarray(err0),
+                     jnp.asarray(alive0),
+                     (jnp.asarray(ids0), jnp.asarray(sref0),
+                      jnp.asarray(c0), jnp.asarray(ov0)))
+            mods_j = jnp.asarray(models, jnp.float32)
+            errs_j = jnp.asarray(models_err, jnp.float32)
+            mask_j = jnp.asarray(models_mask, jnp.float32)
+            for s0 in range(start, nsteps, seg):
+                ns = min(seg, nsteps - s0)
+                pos, err, alive, edges, nalive = _gng_train_jit(
+                    *state, jnp.asarray(draws[s0:s0 + ns]), mods_j,
+                    errs_j, mask_j, lprob_spec=lprob_spec,
+                    track_scale=bool(track_scale), nbatch=int(nbatch),
+                    max_age=int(max_age), learn_best=float(learn_best),
+                    learn_neighbor=float(learn_neighbor),
+                    new_err_dec=float(new_err_dec),
+                    all_err_dec=float(all_err_dec))
+                state = (pos, err, alive, edges)
+                if checkpoint_every:
+                    ids, sref, c, ov = edges
+                    _ckpt.save(checkpoint_file, {
+                        "pos": np.asarray(pos), "err": np.asarray(err),
+                        "alive": np.asarray(alive),
+                        "ids": np.asarray(ids),
+                        "sref": np.asarray(sref),
+                        "c": np.asarray(c), "overflow": int(ov),
+                        "steps_done": int(s0 + ns),
+                        "nsteps_total": int(nsteps)})
+            pos, err, alive, (ids, sref, c, ov) = state
         alive_np = np.asarray(alive)
         sel = np.flatnonzero(alive_np)
         self.nodes = np.asarray(pos)[sel].astype(float)
         self.nodes_err = np.asarray(err)[sel].astype(float)
-        full_ages = np.asarray(ages)
+        # Rebuild the dense symmetric edge-age matrix for the public
+        # `edge_ages` attribute from the adjacency table + counters.
+        ids_np, sref_np, c_np = (np.asarray(x) for x in (ids, sref, c))
+        age_np = c_np[:, None] - sref_np
+        full_ages = np.full((N, N), -1, np.int32)
+        rows = np.repeat(np.arange(N), ids_np.shape[1])
+        cols = ids_np.ravel()
+        vmask = cols >= 0
+        full_ages[rows[vmask], cols[vmask]] = age_np.ravel()[vmask]
+        self.edge_overflow = int(ov)
         self.edge_ages = full_ages[np.ix_(sel, sel)]
         self.NNODE = len(sel)
         self.NPROJ = self.nodes.shape[1]

@@ -340,3 +340,20 @@ def test_som_mega_kernel_vmem_bound():
     with pytest.raises(ValueError, match="nodes"):
         som.train_network(nside=88, nproj=2, niter=1, nbatch=1, seed=0,
                           use_pallas=True, verbose=False)
+
+
+def test_gng_mega_kernel_matches_scan_path(blob_problem):
+    """The GNG Pallas mega-kernel (interpret mode on CPU) reproduces the
+    lax.scan path: same math, same tie-breaking, same insert/prune
+    schedule — trajectories agree to f32 reduction-order noise."""
+    models, me, mm, zlab, centers, zc = blob_problem
+    kw = dict(niter=40, nbatch=25, max_nodes=30, seed=5, verbose=False)
+    ref = GrowingNeuralGas(models, me, mm)
+    ref.train_network(use_pallas=False, **kw)
+    gng = GrowingNeuralGas(models, me, mm)
+    gng.train_network(use_pallas=True, **kw)
+    assert gng.edge_overflow == 0
+    assert gng.NNODE == ref.NNODE
+    np.testing.assert_allclose(gng.nodes, ref.nodes, rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_array_equal(gng.edge_ages, ref.edge_ages)
