@@ -121,7 +121,7 @@ def default_batch_size(nmodel, budget_elems=1 << 26):
 @functools.lru_cache(maxsize=None)
 def _sharded_fp_step(mesh, obj_axis, use_pallas, lprob_spec, wt_thresh,
                      cdf_thresh, dim_prior, ignore_model_err, free_scale,
-                     full_mask, interpret, scale_iters):
+                     full_mask, interpret, scale_ltol, scale_max_iter):
     """Mesh-sharded fused fit->PDF step (cached per mesh + static spec).
 
     Objects shard over `obj_axis`; the model set and kernel matrix
@@ -138,7 +138,8 @@ def _sharded_fp_step(mesh, obj_axis, use_pallas, lprob_spec, wt_thresh,
                 d, de, dm, m, me, mm, G, dim_prior=dim_prior,
                 ignore_model_err=ignore_model_err, free_scale=free_scale,
                 wt_thresh=wt_thresh, full_mask=full_mask,
-                interpret=interpret, scale_iters=scale_iters)
+                interpret=interpret, scale_ltol=scale_ltol,
+                scale_max_iter=scale_max_iter)
         else:
             res = _bf_lprob_jit(d, de, dm, m, me, mm,
                                 lprob_spec=lprob_spec)
@@ -365,23 +366,18 @@ class BruteForce:
         return pdfs
 
     def _fused_eligible(self, lprob_func, lprob_args, lprob_kwargs,
-                        track_scale, save_fits, wt_thresh, cdf_thresh,
-                        allow_scale_iter=False):
-        """The Pallas kernel covers the default fixed-scale pipeline."""
+                        track_scale, save_fits, wt_thresh, cdf_thresh):
+        """The Pallas kernel covers the default lprob pipelines
+        (fixed- and free-scale; the free-scale+model-errors tile runs
+        its fixed-point to per-pair convergence, matching the XLA
+        while_loop, so it auto-selects too)."""
         if lprob_func is not None or lprob_args or track_scale or save_fits:
             return False
         kw = lprob_kwargs or {}
         if kw.get("return_scale"):
             return False
-        if (kw.get("free_scale") and not kw.get("ignore_model_err")
-                and not allow_scale_iter):
-            # The kernel's bounded in-tile scale iteration matches the
-            # reference only to its own ltol (no per-object early exit),
-            # so it is opt-in via use_fused=True; the auto path keeps the
-            # exact XLA while_loop.
-            return False
         if set(kw) - {"free_scale", "ignore_model_err", "dim_prior",
-                      "return_scale"}:
+                      "return_scale", "ltol", "max_iter"}:
             return False
         if wt_thresh is None and cdf_thresh is not None:
             # CDF thresholding needs a per-object sorted cumsum over the
@@ -423,8 +419,7 @@ class BruteForce:
                                  label_grid, dx=dx, sig_thresh=sig_thresh)
         eligible = self._fused_eligible(lprob_func, lprob_args,
                                         lprob_kwargs, track_scale,
-                                        save_fits, wt_thresh, cdf_thresh,
-                                        allow_scale_iter=use_fused is True)
+                                        save_fits, wt_thresh, cdf_thresh)
         if use_fused is None:
             use_fused = eligible and _fused.pallas_supported()
             if (not use_fused and _fused.pallas_supported()
@@ -524,7 +519,8 @@ class BruteForce:
             mesh, obj_axis, use_pallas, lprob_spec, wt_thresh, cdf_thresh,
             kw.get("dim_prior", True), kw.get("ignore_model_err", False),
             kw.get("free_scale", False), full_mask,
-            not _fused.pallas_supported(), 10)
+            not _fused.pallas_supported(), float(kw.get("ltol", 1e-3)),
+            int(kw.get("max_iter", 100)))
 
         dspec = NamedSharding(mesh, P(obj_axis))
         rspec = NamedSharding(mesh, P())
@@ -600,7 +596,9 @@ class BruteForce:
                 d, de, dm, self.models, self.models_err, self.models_mask,
                 G, dim_prior=dim_prior, ignore_model_err=ignore_model_err,
                 free_scale=free_scale, wt_thresh=wt_thresh,
-                full_mask=full_mask)
+                full_mask=full_mask,
+                scale_ltol=float(lprob_kwargs.get("ltol", 1e-3)),
+                scale_max_iter=int(lprob_kwargs.get("max_iter", 100)))
             pdf_b = _kde.norm_rows(pdf_b)
             parts.append((pdf_b, lmap_b, levid_b))
 

@@ -75,7 +75,7 @@ def _fast_recip(x):
 
 def _lnl_tile(d_ref, de_ref, dm_ref, mT_ref, meT_ref, mmT_ref, valid_ref,
               *, nfilt, dim_prior, ignore_model_err, gl_table, full_mask,
-              free_scale=False, scale_iters=0):
+              free_scale=False, scale_ltol=1e-3, scale_max_iter=100):
     """(TB, TM) log-likelihood tile (pdf.py:76-98 / :170-194).
 
     With ``full_mask`` (host-verified all-ones masks — the common survey
@@ -86,17 +86,16 @@ def _lnl_tile(d_ref, de_ref, dm_ref, mT_ref, meT_ref, mmT_ref, valid_ref,
     in-tile: inter/shape/d^2 sums accumulate over filters and
     chi2 = sum d^2/var - inter^2/shape by the ML identity.  With datum-
     only variance (``ignore_model_err``) one divide per (TB, 1) column
-    suffices and no iteration is needed; with model errors kept,
-    ``scale_iters`` extra fixed-point sweeps refresh the variance with
-    the previous scale (pdf.py:197-223 frozen-numerator semantics, fixed
-    trip count instead of the per-object early exit — deterministic, and
-    within the reference's ltol of its early-exited values).
+    suffices and no iteration is needed; with model errors kept, the
+    fixed-point iteration runs to per-pair convergence in-tile (see
+    `_lnl_tile_freescale_me`).
     """
     if free_scale and not ignore_model_err:
         return _lnl_tile_freescale_me(
             d_ref, de_ref, dm_ref, mT_ref, meT_ref, mmT_ref, valid_ref,
             nfilt=nfilt, dim_prior=dim_prior, gl_table=gl_table,
-            full_mask=full_mask, scale_iters=scale_iters)
+            full_mask=full_mask, ltol=scale_ltol,
+            max_iter=scale_max_iter)
     chi2 = None
     ndim = None
     logvar = None
@@ -186,12 +185,28 @@ def _lnl_tile(d_ref, de_ref, dm_ref, mT_ref, meT_ref, mmT_ref, valid_ref,
 
 def _lnl_tile_freescale_me(d_ref, de_ref, dm_ref, mT_ref, meT_ref, mmT_ref,
                            valid_ref, *, nfilt, dim_prior, gl_table,
-                           full_mask, scale_iters):
-    """(TB, TM) free-scale lnl tile WITH model errors: bounded in-tile
-    fixed-point iteration (see `_lnl_tile` docstring)."""
+                           full_mask, ltol, max_iter):
+    """(TB, TM) free-scale lnl tile WITH model errors: in-tile fixed-point
+    iteration run TO CONVERGENCE, matching the XLA while_loop
+    (ops/likelihood.py:320-353) and the reference's per-object early exit
+    (pdf.py:197-223): pairs freeze once |delta lnl| <= max(ltol,
+    4 eps A) (the roundoff floor — in float32 the lnl carries ~eps*A of
+    noise, so a tight ltol could never be met), and the tile exits when
+    every pair is frozen or `max_iter` sweeps have run.  Freezing is
+    per-PAIR where the reference is per-object (max over the row), so
+    every pair is at least as converged as the reference's.
+    """
+    # Ndim does not change across sweeps: precompute once.
+    if full_mask:
+        ndim = None
+    else:
+        ndim = None
+        for k in range(nfilt):
+            mk = dm_ref[:, k:k + 1] * mmT_ref[k:k + 1, :]
+            ndim = mk if ndim is None else ndim + mk
 
-    def sweep(s, need_ndim, need_logvar):
-        inter = shape = A = logvar = ndim = None
+    def sweep(s):
+        inter = shape = A = logvar = None
         for k in range(nfilt):
             dk = d_ref[:, k:k + 1]          # (TB, 1)
             dek = de_ref[:, k:k + 1]
@@ -206,29 +221,51 @@ def _lnl_tile_freescale_me(d_ref, de_ref, dm_ref, mT_ref, meT_ref, mmT_ref,
             if not full_mask:
                 mask = dm_ref[:, k:k + 1] * mmT_ref[k:k + 1, :]
                 iv = mask * iv
-                if need_ndim:
-                    ndim = mask if ndim is None else ndim + mask
             it = iv * (mk * dk)
             sh = iv * (mk * mk)
             aa = iv * (dk * dk)
             inter = it if inter is None else inter + it
             shape = sh if shape is None else shape + sh
             A = aa if A is None else A + aa
-            if need_logvar:
-                # Reference sums log(tot_var) over ALL filters
-                # (pdf.py:97-98), masked or not.
-                lv = jnp.log(var)
-                logvar = lv if logvar is None else logvar + lv
+            # Reference sums log(tot_var) over ALL filters
+            # (pdf.py:97-98), masked or not.
+            lv = jnp.log(var)
+            logvar = lv if logvar is None else logvar + lv
         s_new = inter * _fast_recip(jnp.maximum(shape, 1e-30))
         chi2 = A - inter * s_new  # ML identity (exact in real arithmetic)
-        return s_new, chi2, logvar, ndim
+        nd_term = float(nfilt) if full_mask else ndim
+        lnl = -0.5 * chi2 - 0.5 * (nd_term * _LOG_2PI + logvar)
+        return s_new, chi2, lnl, A
 
-    need_logvar0 = scale_iters == 0 and not dim_prior
-    scale, chi2, logvar, ndim = sweep(None, True, need_logvar0)
-    for i in range(scale_iters):
-        last = i == scale_iters - 1
-        scale, chi2, logvar, _ = sweep(scale, False,
-                                       last and not dim_prior)
+    scale, chi2, lnl, _ = sweep(None)
+    eps = float(np.finfo(np.float32).eps)
+
+    def cond(state):
+        _, _, _, done, it = state
+        return jnp.logical_and(it < max_iter,
+                               jnp.logical_not(jnp.all(done > 0.0)))
+
+    def body(state):
+        scale_c, chi2_c, lnl_c, done, it = state
+        scale_n, chi2_n, lnl_n, A_n = sweep(scale_c)
+        delta = jnp.abs(lnl_n - lnl_c)
+        # Roundoff floor at ROW level (max A over the tile's models),
+        # matching the XLA path's per-object floor: a per-pair floor
+        # 4 eps A_pair under-floors low-A pairs whose lnl roundoff is
+        # set by the row's dynamic range, and tiles then spin to
+        # max_iter (measured 10x slowdown).
+        thr = jnp.maximum(ltol, (4.0 * eps)
+                          * jnp.max(A_n, axis=1, keepdims=True))
+        frozen = done > 0.0
+        lnl_o = jnp.where(frozen, lnl_c, lnl_n)
+        scale_o = jnp.where(frozen, scale_c, scale_n)
+        chi2_o = jnp.where(frozen, chi2_c, chi2_n)
+        done_n = jnp.where(delta <= thr, 1.0, done)
+        return scale_o, chi2_o, lnl_o, done_n, it + 1
+
+    scale, chi2, lnl, _, _ = jax.lax.while_loop(
+        cond, body, (scale, chi2, lnl, jnp.zeros_like(lnl),
+                     jnp.int32(0)))
 
     if dim_prior:
         # dof = Ndim - 1 (pdf.py:228).
@@ -247,16 +284,13 @@ def _lnl_tile_freescale_me(d_ref, de_ref, dm_ref, mT_ref, meT_ref, mmT_ref,
             for nd in range(1, nfilt + 1):
                 norm = jnp.where(ndim == float(nd), tab(nd), norm)
             lnl = xl - 0.5 * chi2 - norm
-    else:
-        nd_term = float(nfilt) if full_mask else ndim
-        lnl = -0.5 * chi2 - 0.5 * (nd_term * _LOG_2PI + logvar)
     lnl = jnp.maximum(lnl, _NEG_INF)
     return jnp.where(valid_ref[0:1, :] > 0.0, lnl, _NEG_INF)
 
 
 def _make_reduce_kernel(nfilt, dim_prior, ignore_model_err, gl_table,
-                        full_mask, free_scale=False,
-                        scale_iters=0):
+                        full_mask, free_scale=False, scale_ltol=1e-3,
+                        scale_max_iter=100):
     def kernel(d, de, dm, mT, meT, mmT, valid, lmap_ref, lse_ref):
         j = pl.program_id(1)
         nj = pl.num_programs(1)
@@ -264,7 +298,8 @@ def _make_reduce_kernel(nfilt, dim_prior, ignore_model_err, gl_table,
                         dim_prior=dim_prior,
                         ignore_model_err=ignore_model_err,
                         gl_table=gl_table, full_mask=full_mask,
-                        free_scale=free_scale, scale_iters=scale_iters)
+                        free_scale=free_scale, scale_ltol=scale_ltol,
+                        scale_max_iter=scale_max_iter)
         t_max = jnp.max(lnl, axis=1, keepdims=True)   # (TB, 1)
 
         @pl.when(j == 0)
@@ -290,14 +325,15 @@ def _make_reduce_kernel(nfilt, dim_prior, ignore_model_err, gl_table,
 
 def _make_stack_kernel(nfilt, dim_prior, ignore_model_err, gl_table,
                        log_wt_thresh, full_mask, free_scale=False,
-                       scale_iters=0):
+                       scale_ltol=1e-3, scale_max_iter=100):
     def kernel(d, de, dm, mT, meT, mmT, valid, G, lmap, levid, pdf_ref):
         j = pl.program_id(1)
         lnl = _lnl_tile(d, de, dm, mT, meT, mmT, valid, nfilt=nfilt,
                         dim_prior=dim_prior,
                         ignore_model_err=ignore_model_err,
                         gl_table=gl_table, full_mask=full_mask,
-                        free_scale=free_scale, scale_iters=scale_iters)
+                        free_scale=free_scale, scale_ltol=scale_ltol,
+                        scale_max_iter=scale_max_iter)
         wt = jnp.exp(lnl - levid[:, :])
         if log_wt_thresh is not None:
             wt = jnp.where(lnl > log_wt_thresh + lmap[:, :], wt, 0.0)
@@ -313,7 +349,8 @@ def _make_stack_kernel(nfilt, dim_prior, ignore_model_err, gl_table,
 
 
 def _make_onepass_kernel(nfilt, dim_prior, ignore_model_err, gl_table,
-                         full_mask, free_scale=False, scale_iters=0):
+                         full_mask, free_scale=False, scale_ltol=1e-3,
+                         scale_max_iter=100):
     """Single-pass flash-style kernel (no weight threshold): carries a
     running max, rescaled sum-exp, AND a rescaled (TB, Gp) PDF
     accumulator; pdf_out = sum_j exp(lnl_j - rm_final) @ G_j, which the
@@ -328,7 +365,8 @@ def _make_onepass_kernel(nfilt, dim_prior, ignore_model_err, gl_table,
                         dim_prior=dim_prior,
                         ignore_model_err=ignore_model_err,
                         gl_table=gl_table, full_mask=full_mask,
-                        free_scale=free_scale, scale_iters=scale_iters)
+                        free_scale=free_scale, scale_ltol=scale_ltol,
+                        scale_max_iter=scale_max_iter)
         t_max = jnp.max(lnl, axis=1, keepdims=True)
 
         @pl.when(j == 0)
@@ -575,11 +613,11 @@ def _fused_call_fullmask_dimprior(d, de, mT, meT, G, *, ignore_model_err,
     jax.jit,
     static_argnames=("dim_prior", "ignore_model_err", "wt_thresh", "tb",
                      "tm", "interpret", "full_mask", "free_scale",
-                     "scale_iters", "chi2_mxu"))
+                     "scale_ltol", "scale_max_iter", "chi2_mxu"))
 def _fused_call(d, de, dm, mT, meT, mmT, valid, G, *, dim_prior,
                 ignore_model_err, wt_thresh, tb, tm, interpret,
-                full_mask=False, free_scale=False, scale_iters=0,
-                chi2_mxu=False):
+                full_mask=False, free_scale=False, scale_ltol=1e-3,
+                scale_max_iter=100, chi2_mxu=False):
     if full_mask and dim_prior and not free_scale:
         return _fused_call_fullmask_dimprior(
             d, de, mT, meT, G, ignore_model_err=ignore_model_err,
@@ -600,8 +638,15 @@ def _fused_call(d, de, dm, mT, meT, mmT, valid, G, *, dim_prior,
 
     G_spec = pl.BlockSpec((tm, Gp), lambda i, j: (j, 0))
     pdf_spec = pl.BlockSpec((tb, Gp), lambda i, j: (i, 0))
+    # The free-scale+model-errors while_loop carries three extra
+    # (tb, tm) tiles, overshooting Mosaic's conservative 16 MB scoped
+    # stack accounting by ~50 KB at tb=256/tm=512; physical VMEM covers
+    # it, so raise the cap for that configuration only.
     params = pltpu.CompilerParams(
-        dimension_semantics=("parallel", "arbitrary"))
+        dimension_semantics=("parallel", "arbitrary"),
+        vmem_limit_bytes=(32 * 1024 * 1024
+                          if free_scale and not ignore_model_err
+                          else None))
     cost = pl.CostEstimate(
         flops=2 * B * M * (Gp + 4 * F),
         bytes_accessed=(M * Gp + 3 * M * F) * 4 + B * Gp * 4,
@@ -611,7 +656,7 @@ def _fused_call(d, de, dm, mT, meT, mmT, valid, G, *, dim_prior,
         # Single pass: flash-style rescaled PDF accumulator.
         onepass = _make_onepass_kernel(F, dim_prior, ignore_model_err,
                                        gl_table, full_mask, free_scale,
-                                       scale_iters)
+                                       scale_ltol, scale_max_iter)
         pdf, lmap, levid = pl.pallas_call(
             onepass,
             grid=(nb, nm),
@@ -632,7 +677,7 @@ def _fused_call(d, de, dm, mT, meT, mmT, valid, G, *, dim_prior,
 
     reduce_kernel = _make_reduce_kernel(F, dim_prior, ignore_model_err,
                                         gl_table, full_mask, free_scale,
-                                        scale_iters)
+                                        scale_ltol, scale_max_iter)
     lmap, levid = pl.pallas_call(
         reduce_kernel,
         grid=(nb, nm),
@@ -648,7 +693,8 @@ def _fused_call(d, de, dm, mT, meT, mmT, valid, G, *, dim_prior,
     log_thresh = float(np.log(wt_thresh))
     stack_kernel = _make_stack_kernel(F, dim_prior, ignore_model_err,
                                       gl_table, log_thresh, full_mask,
-                                      free_scale, scale_iters)
+                                      free_scale, scale_ltol,
+                                      scale_max_iter)
     pdf = pl.pallas_call(
         stack_kernel,
         grid=(nb, nm),
@@ -667,8 +713,8 @@ def _fused_call(d, de, dm, mT, meT, mmT, valid, G, *, dim_prior,
 def fused_fit_pdf(data, data_err, data_mask, models, models_err,
                   models_mask, G, *, dim_prior=True, ignore_model_err=False,
                   free_scale=False, wt_thresh=1e-3, tb=256, tm=512,
-                  interpret=None, full_mask=None, scale_iters=10,
-                  chi2_mxu=False):
+                  interpret=None, full_mask=None, scale_ltol=1e-3,
+                  scale_max_iter=100, chi2_mxu=False):
     """Fused fit->PDF for one object batch.
 
     Parameters mirror `ops.logprob` + a row-normalized kernel matrix `G`
@@ -677,12 +723,11 @@ def fused_fit_pdf(data, data_err, data_mask, models, models_err,
     (logprob -> logsumexp -> threshold_weights -> kde_stack) to float32
     roundoff; the caller normalizes PDFs.
 
-    Caveat (``free_scale=True`` with model errors kept): the bounded
-    in-tile scale iteration matches the XLA while_loop to its ltol on
-    fully-observed photometry, but on HEAVILY masked rows (few valid
-    bands) the fixed-point can sit far from the XLA path's early-exited
-    value — prefer the XLA path (the BruteForce auto-selection already
-    does) when masks knock out many bands.
+    ``free_scale=True`` with model errors kept runs the in-tile
+    fixed-point to per-pair convergence (|delta lnl| <= max(scale_ltol,
+    roundoff floor), capped at `scale_max_iter` sweeps) — same criterion
+    as the XLA while_loop, so results agree to ~ltol even on heavily
+    masked rows and BruteForce auto-selects this kernel.
 
     Shapes are padded internally: objects to `tb`, models to `tm` (padded
     models get lnl = -inf and zero kernel rows), grid columns to 128
@@ -746,9 +791,8 @@ def fused_fit_pdf(data, data_err, data_mask, models, models_err,
         d, de, dm, m.T, me.T, mm.T, valid, G, dim_prior=dim_prior,
         ignore_model_err=ignore_model_err, wt_thresh=wt_thresh, tb=tb,
         tm=tm, interpret=bool(interpret), full_mask=full_mask,
-        free_scale=free_scale,
-        scale_iters=int(scale_iters) if free_scale
-        and not ignore_model_err else 0, chi2_mxu=bool(chi2_mxu))
+        free_scale=free_scale, scale_ltol=float(scale_ltol),
+        scale_max_iter=int(scale_max_iter), chi2_mxu=bool(chi2_mxu))
     pdf, lmap, levid = pdf[:B, :Ngrid], lmap[:B], levid[:B]
     # Degenerate rows (every model at the -inf floor) -> zero PDF, -inf
     # GOF, matching the XLA path's handling of all-masked objects.

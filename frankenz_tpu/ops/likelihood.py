@@ -247,13 +247,20 @@ def _loglike_free_jit(data, data_err, data_mask, models, models_err,
         # have shape == 0; 0/0 = NaN would poison downstream
         # max/logsumexp (see _loglike_fixed_jit).
         scale = inter / jnp.maximum(shape_vals, jnp.finfo(dt).tiny)
-        chi2 = A - inter * scale  # = A - inter^2/shape
+        # The ML identity A - inter^2/shape cancels to ~eps*A roundoff
+        # for near-perfect fits and can land epsilon-NEGATIVE; clamp so
+        # the dof=1 chi2-prior (a1 = -1/2, divergent density at 0) gets
+        # a large finite lnl instead of xlogy(.., <0) = NaN.  The fused
+        # kernel floors identically (ops/fused.py), and the reference's
+        # direct-form chi2 is >= 0 by construction.
+        chi2 = jnp.maximum(A - inter * scale, 0.0)
         logvar = jnp.sum(jnp.log(de * de), axis=1, keepdims=True)
         lnl = -0.5 * chi2 - 0.5 * (ndim * _LOG_2PI + logvar)
         if dim_prior:
             # dof = Ndim - 1 needs Ndim >= 2; degenerate pairs carry no
             # evidence (fused-kernel-consistent -inf).
-            lnl = _chi2_dim_logpdf(0.5 * (ndim - 1.0), chi2,
+            lnl = _chi2_dim_logpdf(0.5 * (ndim - 1.0),
+                                   jnp.maximum(chi2, 1e-30),
                                    max_ndim=d.shape[1])
             lnl = jnp.where(ndim >= 2, lnl, -jnp.inf)
         if return_scale:
@@ -313,7 +320,8 @@ def _loglike_free_jit(data, data_err, data_mask, models, models_err,
         # path) — 0/0 NaN would also make the convergence loop spin to
         # max_iter (NaN never satisfies the |delta lnl| test).
         scale = inter / jnp.maximum(shape, jnp.finfo(dt).tiny)
-        chi2 = A - inter * scale
+        # Clamp the cancellation-prone ML identity (see the MXU path).
+        chi2 = jnp.maximum(A - inter * scale, 0.0)
         lnl = -0.5 * chi2 - 0.5 * (ndim * _LOG_2PI + logvar)
         return scale, shape, chi2, lnl, A
 
@@ -353,7 +361,8 @@ def _loglike_free_jit(data, data_err, data_mask, models, models_err,
             cond, body, state)
 
     if dim_prior:
-        lnl = _chi2_dim_logpdf(0.5 * (ndim - 1.0), chi2,
+        lnl = _chi2_dim_logpdf(0.5 * (ndim - 1.0),
+                               jnp.maximum(chi2, 1e-30),
                                max_ndim=d.shape[1])
         # dof = Ndim - 1 needs Ndim >= 2 (see the MXU path).
         lnl = jnp.where(ndim >= 2, lnl, -jnp.inf)
