@@ -379,12 +379,6 @@ class BruteForce:
         if set(kw) - {"free_scale", "ignore_model_err", "dim_prior",
                       "return_scale", "ltol", "max_iter"}:
             return False
-        if wt_thresh is None and cdf_thresh is not None:
-            # CDF thresholding needs a per-object sorted cumsum over the
-            # full model axis (an out-of-tile global sort) — it runs on
-            # the XLA path; fit_predict warns so the fallback is never
-            # silent.
-            return False
         return True
 
     def fit_predict(self, data, data_err, data_mask, model_labels,
@@ -422,14 +416,6 @@ class BruteForce:
                                         save_fits, wt_thresh, cdf_thresh)
         if use_fused is None:
             use_fused = eligible and _fused.pallas_supported()
-            if (not use_fused and _fused.pallas_supported()
-                    and wt_thresh is None and cdf_thresh is not None):
-                import warnings
-                warnings.warn(
-                    "cdf_thresh weight selection runs on the XLA path "
-                    "(the fused Pallas kernel covers wt_thresh "
-                    "thresholding only); expect lower throughput at "
-                    "large model counts", RuntimeWarning, stacklevel=2)
         elif use_fused and not eligible:
             raise ValueError("use_fused=True requires the default lprob "
                              "pipeline (no custom lprob_func/args, no "
@@ -445,12 +431,15 @@ class BruteForce:
                 return self._fit_predict_sharded(
                     data, data_err, data_mask, G, lprob_func, lprob_args,
                     lprob_kwargs, wt_thresh, cdf_thresh, batch_size, mesh,
-                    bool(use_fused), return_gof, verbose)
+                    bool(use_fused) and not (wt_thresh is None
+                                             and cdf_thresh is not None),
+                    return_gof, verbose)
         if use_fused:
             with self._fp_metrics(ndata):
                 return self._fit_predict_fused(
                     data, data_err, data_mask, G, lprob_kwargs or {},
-                    wt_thresh, batch_size, return_gof, verbose)
+                    wt_thresh, cdf_thresh, batch_size, return_gof,
+                    verbose)
         if lprob_func is None:
             lprob_func = _like.logprob
         lprob_args = lprob_args or ()
@@ -563,8 +552,8 @@ class BruteForce:
         return pdfs
 
     def _fit_predict_fused(self, data, data_err, data_mask, G,
-                           lprob_kwargs, wt_thresh, batch_size, return_gof,
-                           verbose):
+                           lprob_kwargs, wt_thresh, cdf_thresh,
+                           batch_size, return_gof, verbose):
         """Stream object batches through the Pallas fused kernel.
 
         The whole catalog is uploaded once, batches are sliced on device,
@@ -592,13 +581,27 @@ class BruteForce:
             d = jax.lax.dynamic_slice_in_dim(d_all, i0, batch_size)
             de = jax.lax.dynamic_slice_in_dim(de_all, i0, batch_size)
             dm = jax.lax.dynamic_slice_in_dim(dm_all, i0, batch_size)
-            pdf_b, lmap_b, levid_b = _fused.fused_fit_pdf(
-                d, de, dm, self.models, self.models_err, self.models_mask,
-                G, dim_prior=dim_prior, ignore_model_err=ignore_model_err,
-                free_scale=free_scale, wt_thresh=wt_thresh,
-                full_mask=full_mask,
-                scale_ltol=float(lprob_kwargs.get("ltol", 1e-3)),
-                scale_max_iter=int(lprob_kwargs.get("max_iter", 100)))
+            try:
+                pdf_b, lmap_b, levid_b = _fused.fused_fit_pdf(
+                    d, de, dm, self.models, self.models_err,
+                    self.models_mask, G, dim_prior=dim_prior,
+                    ignore_model_err=ignore_model_err,
+                    free_scale=free_scale, wt_thresh=wt_thresh,
+                    cdf_thresh=(cdf_thresh if wt_thresh is None
+                                else None),
+                    full_mask=full_mask,
+                    scale_ltol=float(lprob_kwargs.get("ltol", 1e-3)),
+                    scale_max_iter=int(lprob_kwargs.get("max_iter",
+                                                        100)))
+            except _fused.FusedCdfFallback:
+                # Pathologically flat posterior in this batch: exact cdf
+                # selection via the XLA sort for these objects only.
+                spec = _like.static_spec(None, (), lprob_kwargs)
+                res = _bf_lprob_jit(d, de, dm, self.models,
+                                    self.models_err, self.models_mask,
+                                    lprob_spec=spec)
+                lmap_b, levid_b, wt = _gof_weights(res[2])
+                pdf_b = _kde.kde_stack(wt, G, None, cdf_thresh)
             pdf_b = _kde.norm_rows(pdf_b)
             parts.append((pdf_b, lmap_b, levid_b))
 

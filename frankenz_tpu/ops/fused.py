@@ -40,7 +40,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 from scipy.special import gammaln as _sp_gammaln
 
-__all__ = ["fused_fit_pdf", "pallas_supported"]
+__all__ = ["fused_fit_pdf", "pallas_supported", "FusedCdfFallback"]
+
+
+class FusedCdfFallback(RuntimeError):
+    """Raised when the on-device cdf_thresh cut is indeterminate for a
+    batch (pathologically flat posterior); callers fall back to the XLA
+    thresholding path for that batch."""
 
 _LOG_2PI = 1.8378770664093453
 _LOG_2 = 0.6931471805599453
@@ -392,6 +398,117 @@ def _make_onepass_kernel(nfilt, dim_prior, ignore_model_err, gl_table,
     return kernel
 
 
+def _make_topk_kernel(nfilt, dim_prior, ignore_model_err, gl_table,
+                      full_mask, free_scale, scale_ltol, scale_max_iter,
+                      T):
+    """Online per-object top-T DISTINCT lnl values + tie counts.
+
+    Feeds the on-device cdf_thresh cut (pdf.py:512-516): the reference
+    drops the minimal descending-weight prefix whose mass reaches
+    cdf_thresh, so knowing the T heaviest distinct weight values (with
+    multiplicities) per object determines the cut EXACTLY whenever
+    those values carry >= cdf_thresh of the posterior mass — for the
+    default cdf_thresh = 2e-4 the top handful always does.  Values are
+    maintained descending in (TB, T) running refs, merged tile by tile
+    over a (TB, 2T) concatenation; equal values across tiles pool
+    their counts.
+    """
+
+    def kernel(d, de, dm, mT, meT, mmT, valid, vals_ref, cnts_ref):
+        j = pl.program_id(1)
+        lnl = _lnl_tile(d, de, dm, mT, meT, mmT, valid, nfilt=nfilt,
+                        dim_prior=dim_prior,
+                        ignore_model_err=ignore_model_err,
+                        gl_table=gl_table, full_mask=full_mask,
+                        free_scale=free_scale, scale_ltol=scale_ltol,
+                        scale_max_iter=scale_max_iter)
+
+        @pl.when(j == 0)
+        def _():
+            vals_ref[:, :] = jnp.full_like(vals_ref, _NEG_INF)
+            cnts_ref[:, :] = jnp.zeros_like(cnts_ref)
+
+        # Tile-local top-T distinct values (+ counts) by repeated
+        # extract-and-mask.
+        tvals = []
+        tcnts = []
+        work = lnl
+        for _ in range(T):
+            v = jnp.max(work, axis=1, keepdims=True)        # (TB, 1)
+            c = jnp.sum((lnl == v).astype(jnp.float32), axis=1,
+                        keepdims=True)
+            tvals.append(v)
+            tcnts.append(c)
+            work = jnp.where(work == v, _NEG_INF, work)
+        cat_v = jnp.concatenate([vals_ref[:, :]] + tvals, axis=1)
+        cat_c = jnp.concatenate([cnts_ref[:, :]] + tcnts, axis=1)
+        # Merge: top-T distinct of the (TB, 2T) union; counts of equal
+        # values pool (the same lnl can appear in both lists).
+        for t in range(T):
+            v = jnp.max(cat_v, axis=1, keepdims=True)
+            c = jnp.sum(jnp.where(cat_v == v, cat_c, 0.0), axis=1,
+                        keepdims=True)
+            vals_ref[:, t:t + 1] = v
+            cnts_ref[:, t:t + 1] = jnp.where(v > _NEG_INF, c,
+                                             jnp.float32(0.0))
+            cat_v = jnp.where(cat_v == v, _NEG_INF, cat_v)
+
+    return kernel
+
+
+def _make_cut_stack_kernel(nfilt, dim_prior, ignore_model_err, gl_table,
+                           full_mask, free_scale, scale_ltol,
+                           scale_max_iter):
+    """Pass B against a per-object lnl cut: keep lnl <= cut (the exact
+    complement of the reference's dropped descending prefix; see
+    `_make_topk_kernel` / `_cdf_cut`)."""
+
+    def kernel(d, de, dm, mT, meT, mmT, valid, G, cut, levid, pdf_ref):
+        j = pl.program_id(1)
+        lnl = _lnl_tile(d, de, dm, mT, meT, mmT, valid, nfilt=nfilt,
+                        dim_prior=dim_prior,
+                        ignore_model_err=ignore_model_err,
+                        gl_table=gl_table, full_mask=full_mask,
+                        free_scale=free_scale, scale_ltol=scale_ltol,
+                        scale_max_iter=scale_max_iter)
+        wt = jnp.exp(lnl - levid[:, :])
+        wt = jnp.where(lnl <= cut[:, :], wt, 0.0)
+
+        @pl.when(j == 0)
+        def _():
+            pdf_ref[:, :] = jnp.zeros_like(pdf_ref)
+
+        pdf_ref[:, :] += jnp.dot(wt, G[:, :],
+                                 preferred_element_type=jnp.float32)
+
+    return kernel
+
+
+def _cdf_cut(vals, cnts, levid, cdf_thresh):
+    """Per-object lnl cut from the top-T distinct (value, count) table.
+
+    The reference keeps weights whose ascending-sorted inclusive CDF is
+    <= 1 - cdf_thresh (pdf.py:512-516) — equivalently it DROPS the
+    minimal descending prefix whose exclusive-prefix mass is below
+    cdf_thresh (the largest weight always drops).  With weights
+    normalized by levid the posterior mass sums to 1, so the cut is the
+    heaviest tracked value whose descending exclusive prefix mass
+    reaches cdf_thresh.  Returns (cut, ok): `ok` is False for objects
+    whose tracked mass never reaches cdf_thresh (cut indeterminate —
+    caller falls back).  Tie groups that straddle the boundary drop
+    whole (the reference drops an index-prefix of the group; ties only
+    arise from duplicate models).
+    """
+    w = jnp.exp(vals - levid[:, None]) * cnts          # (B, T)
+    excl = jnp.cumsum(w, axis=1) - w                   # descending excl
+    crossed = excl >= cdf_thresh
+    ok = jnp.any(crossed, axis=1)
+    # First crossed index's value is the heaviest KEPT value.
+    idx = jnp.argmax(crossed, axis=1)
+    cut = jnp.take_along_axis(vals, idx[:, None], axis=1)[:, 0]
+    return jnp.where(ok, cut, jnp.inf), ok
+
+
 def _chi2_tile_fullmask(d_ref, de_ref, mT_ref, meT_ref, *, nfilt,
                         ignore_model_err, mxu=False):
     """(TB, TM) chi^2 tile with all-ones masks.
@@ -613,12 +730,15 @@ def _fused_call_fullmask_dimprior(d, de, mT, meT, G, *, ignore_model_err,
     jax.jit,
     static_argnames=("dim_prior", "ignore_model_err", "wt_thresh", "tb",
                      "tm", "interpret", "full_mask", "free_scale",
-                     "scale_ltol", "scale_max_iter", "chi2_mxu"))
+                     "scale_ltol", "scale_max_iter", "chi2_mxu",
+                     "cdf_thresh", "cdf_topk"))
 def _fused_call(d, de, dm, mT, meT, mmT, valid, G, *, dim_prior,
                 ignore_model_err, wt_thresh, tb, tm, interpret,
                 full_mask=False, free_scale=False, scale_ltol=1e-3,
-                scale_max_iter=100, chi2_mxu=False):
-    if full_mask and dim_prior and not free_scale:
+                scale_max_iter=100, chi2_mxu=False, cdf_thresh=None,
+                cdf_topk=8):
+    cdf_mode = wt_thresh is None and cdf_thresh is not None
+    if full_mask and dim_prior and not free_scale and not cdf_mode:
         return _fused_call_fullmask_dimprior(
             d, de, mT, meT, G, ignore_model_err=ignore_model_err,
             wt_thresh=wt_thresh, tb=tb, tm=tm, interpret=interpret,
@@ -651,6 +771,60 @@ def _fused_call(d, de, dm, mT, meT, mmT, valid, G, *, dim_prior,
         flops=2 * B * M * (Gp + 4 * F),
         bytes_accessed=(M * Gp + 3 * M * F) * 4 + B * Gp * 4,
         transcendentals=2 * B * M)
+
+    if cdf_mode:
+        # CDF thresholding (pdf.py:512-516): pass A for lmap/levid, a
+        # top-T pass for the exact per-object weight cut, then pass B
+        # thresholding lnl against the cut on the MXU.
+        reduce_kernel = _make_reduce_kernel(
+            F, dim_prior, ignore_model_err, gl_table, full_mask,
+            free_scale, scale_ltol, scale_max_iter)
+        lmap, levid = pl.pallas_call(
+            reduce_kernel,
+            grid=(nb, nm),
+            in_specs=[data_spec, data_spec, data_spec, model_spec,
+                      model_spec, model_spec, valid_spec],
+            out_specs=(stat_spec, stat_spec),
+            out_shape=(jax.ShapeDtypeStruct((B, 1), jnp.float32),
+                       jax.ShapeDtypeStruct((B, 1), jnp.float32)),
+            compiler_params=params,
+            interpret=interpret,
+        )(d, de, dm, mT, meT, mmT, valid)
+
+        T = cdf_topk
+        topk_kernel = _make_topk_kernel(
+            F, dim_prior, ignore_model_err, gl_table, full_mask,
+            free_scale, scale_ltol, scale_max_iter, T)
+        top_spec = pl.BlockSpec((tb, T), lambda i, j: (i, 0))
+        vals, cnts = pl.pallas_call(
+            topk_kernel,
+            grid=(nb, nm),
+            in_specs=[data_spec, data_spec, data_spec, model_spec,
+                      model_spec, model_spec, valid_spec],
+            out_specs=(top_spec, top_spec),
+            out_shape=(jax.ShapeDtypeStruct((B, T), jnp.float32),
+                       jax.ShapeDtypeStruct((B, T), jnp.float32)),
+            compiler_params=params,
+            interpret=interpret,
+        )(d, de, dm, mT, meT, mmT, valid)
+        cut, ok = _cdf_cut(vals, cnts, levid[:, 0], float(cdf_thresh))
+
+        stack_kernel = _make_cut_stack_kernel(
+            F, dim_prior, ignore_model_err, gl_table, full_mask,
+            free_scale, scale_ltol, scale_max_iter)
+        pdf = pl.pallas_call(
+            stack_kernel,
+            grid=(nb, nm),
+            in_specs=[data_spec, data_spec, data_spec, model_spec,
+                      model_spec, model_spec, valid_spec, G_spec,
+                      stat_spec, stat_spec],
+            out_specs=pdf_spec,
+            out_shape=jax.ShapeDtypeStruct((B, Gp), jnp.float32),
+            compiler_params=params,
+            cost_estimate=cost,
+            interpret=interpret,
+        )(d, de, dm, mT, meT, mmT, valid, G, cut[:, None], levid)
+        return pdf, lmap[:, 0], levid[:, 0], ok
 
     if wt_thresh is None:
         # Single pass: flash-style rescaled PDF accumulator.
@@ -712,9 +886,10 @@ def _fused_call(d, de, dm, mT, meT, mmT, valid, G, *, dim_prior,
 
 def fused_fit_pdf(data, data_err, data_mask, models, models_err,
                   models_mask, G, *, dim_prior=True, ignore_model_err=False,
-                  free_scale=False, wt_thresh=1e-3, tb=256, tm=512,
-                  interpret=None, full_mask=None, scale_ltol=1e-3,
-                  scale_max_iter=100, chi2_mxu=False):
+                  free_scale=False, wt_thresh=1e-3, cdf_thresh=None,
+                  tb=256, tm=512, interpret=None, full_mask=None,
+                  scale_ltol=1e-3, scale_max_iter=100, chi2_mxu=False,
+                  cdf_topk=8):
     """Fused fit->PDF for one object batch.
 
     Parameters mirror `ops.logprob` + a row-normalized kernel matrix `G`
@@ -722,6 +897,18 @@ def fused_fit_pdf(data, data_err, data_mask, models, models_err,
     PDFs (Nobj, Ngrid) and the GOF metrics.  Results match the XLA path
     (logprob -> logsumexp -> threshold_weights -> kde_stack) to float32
     roundoff; the caller normalizes PDFs.
+
+    With ``wt_thresh=None`` and ``cdf_thresh`` set, the reference's
+    sorted-CDF weight selection (pdf.py:512-516, including its
+    drop-the-largest-weight quirk) runs fully on-device: a top-T pass
+    tracks each object's T heaviest distinct weight values (+ tie
+    counts), from which the dropped descending prefix — the minimal one
+    whose mass reaches cdf_thresh — is exact whenever those values
+    carry >= cdf_thresh of the mass (always, in practice, at the 2e-4
+    default; `FusedCdfFallback` is raised otherwise and BruteForce
+    falls back to the XLA sort for that batch).  Tie groups straddling
+    the cut drop whole where the reference drops an index-prefix; ties
+    only arise from duplicate models.
 
     ``free_scale=True`` with model errors kept runs the in-tile
     fixed-point to per-pair convergence (|delta lnl| <= max(scale_ltol,
@@ -787,12 +974,26 @@ def fused_fit_pdf(data, data_err, data_mask, models, models_err,
             "sigma_d^2 + sigma_m^2 variance breaks the matmul "
             "factorization), full_mask=True, dim_prior=True, "
             "free_scale=False")
-    pdf, lmap, levid = _fused_call(
+    out = _fused_call(
         d, de, dm, m.T, me.T, mm.T, valid, G, dim_prior=dim_prior,
         ignore_model_err=ignore_model_err, wt_thresh=wt_thresh, tb=tb,
         tm=tm, interpret=bool(interpret), full_mask=full_mask,
         free_scale=free_scale, scale_ltol=float(scale_ltol),
-        scale_max_iter=int(scale_max_iter), chi2_mxu=bool(chi2_mxu))
+        scale_max_iter=int(scale_max_iter), chi2_mxu=bool(chi2_mxu),
+        cdf_thresh=(None if cdf_thresh is None else float(cdf_thresh)),
+        cdf_topk=int(cdf_topk))
+    if len(out) == 4:
+        pdf, lmap, levid, ok = out
+        # The cdf cut is exact only when the tracked top values carry
+        # >= cdf_thresh of the posterior mass (essentially always at
+        # the 2e-4 default); an extremely flat posterior falls back.
+        if not bool(jnp.all(ok[:B])):
+            raise FusedCdfFallback(
+                "cdf_thresh cut undetermined for some objects (top-"
+                f"{int(cdf_topk)} weights carry < cdf_thresh of the "
+                "mass); use the XLA path or raise cdf_topk")
+    else:
+        pdf, lmap, levid = out
     pdf, lmap, levid = pdf[:B, :Ngrid], lmap[:B], levid[:B]
     # Degenerate rows (every model at the -inf floor) -> zero PDF, -inf
     # GOF, matching the XLA path's handling of all-masked objects.

@@ -314,3 +314,46 @@ def test_chi2_mxu_optin_matches_vpu_path():
         fused_fit_pdf(data, de, ones_d, models, np.zeros_like(models),
                       ones_m, G, chi2_mxu=True, ignore_model_err=False,
                       wt_thresh=1e-3, full_mask=True, interpret=True)
+
+
+def test_fused_cdf_thresh_matches_xla(problem):
+    """On-device cdf_thresh selection (top-T cut) == the XLA sorted-cdf
+    path, including the reference's drop-the-largest-weight quirk
+    (VERDICT round-2 item 8)."""
+    d, de, dm, m, me, mm, G = problem
+    pdf, lmap, levid = fused_fit_pdf(
+        d, de, dm, m, me, mm, G, wt_thresh=None, cdf_thresh=2e-4,
+        tb=8, tm=128, interpret=True)
+    res = L.logprob(d, de, dm, m, me, mm)
+    lnp = res.lnprob
+    want_lmap = np.asarray(jnp.max(lnp, axis=1))
+    want_levid = np.asarray(jax.scipy.special.logsumexp(lnp, axis=1))
+    wt = jnp.exp(lnp - want_levid[:, None])
+    wt = K.threshold_weights(wt, None, 2e-4)
+    # The quirk holds: the largest weight is dropped for every object.
+    assert (np.asarray(wt)[np.arange(wt.shape[0]),
+                           np.argmax(np.asarray(lnp), axis=1)] == 0).all()
+    want_pdf = np.asarray(wt @ jnp.asarray(G, jnp.float32))
+    np.testing.assert_allclose(np.asarray(lmap), want_lmap, rtol=1e-5,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(levid), want_levid, rtol=1e-5,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pdf), want_pdf, rtol=1e-4,
+                               atol=1e-6)
+
+
+def test_fused_cdf_thresh_flat_posterior_falls_back(problem):
+    """A posterior flat enough that the top-T values carry < cdf_thresh
+    of the mass raises the documented fallback signal."""
+    from frankenz_tpu.ops.fused import FusedCdfFallback
+
+    d, de, dm, m, me, mm, G = problem
+    # Identical weights everywhere: every pair carries 1/M of the mass,
+    # so with a huge cdf_thresh the tracked top-1 distinct value's
+    # exclusive prefix (0) never reaches the threshold... use tiny T.
+    d0 = np.tile(m[:1], (d.shape[0], 1))
+    with pytest.raises(FusedCdfFallback):
+        fused_fit_pdf(np.asarray(d0), de, np.ones_like(dm), m, me,
+                      np.ones_like(mm), G, wt_thresh=None,
+                      cdf_thresh=0.999999, cdf_topk=2, tb=8, tm=128,
+                      interpret=True)
