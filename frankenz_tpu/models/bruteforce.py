@@ -200,17 +200,18 @@ class BruteForce:
 
         return step
 
-    def _alloc_fits(self, ndata, track_scale):
+    def _alloc_fits(self, ndata, track_scale, fit_dtype=np.float32):
         m = self.NMODEL
+        dt = np.dtype(fit_dtype)
         self.NDATA = ndata
-        self.fit_lnprior = np.zeros((ndata, m), np.float32)
-        self.fit_lnlike = np.zeros((ndata, m), np.float32)
-        self.fit_lnprob = np.zeros((ndata, m), np.float32)
+        self.fit_lnprior = np.zeros((ndata, m), dt)
+        self.fit_lnlike = np.zeros((ndata, m), dt)
+        self.fit_lnprob = np.zeros((ndata, m), dt)
         self.fit_Ndim = np.zeros((ndata, m), np.int32)
-        self.fit_chi2 = np.zeros((ndata, m), np.float32)
+        self.fit_chi2 = np.zeros((ndata, m), dt)
         if track_scale:
-            self.fit_scale = np.ones((ndata, m), np.float32)
-            self.fit_scale_err = np.zeros((ndata, m), np.float32)
+            self.fit_scale = np.ones((ndata, m), dt)
+            self.fit_scale_err = np.zeros((ndata, m), dt)
         else:
             self.fit_scale = None
             self.fit_scale_err = None
@@ -218,15 +219,16 @@ class BruteForce:
     def _store_fits(self, i0, n, res):
         lnprior, lnlike, lnprob, ndim, chi2, scale, scale_err = res
         sl = slice(i0, i0 + n)
-        self.fit_lnprior[sl] = np.asarray(lnprior[:n], np.float32)
-        self.fit_lnlike[sl] = np.asarray(lnlike[:n], np.float32)
-        self.fit_lnprob[sl] = np.asarray(lnprob[:n], np.float32)
+        dt = self.fit_lnprob.dtype
+        self.fit_lnprior[sl] = np.asarray(lnprior[:n], dt)
+        self.fit_lnlike[sl] = np.asarray(lnlike[:n], dt)
+        self.fit_lnprob[sl] = np.asarray(lnprob[:n], dt)
         self.fit_Ndim[sl] = np.asarray(ndim[:n], np.int32)
-        self.fit_chi2[sl] = np.asarray(chi2[:n], np.float32)
+        self.fit_chi2[sl] = np.asarray(chi2[:n], dt)
         if scale is not None and self.fit_scale is not None:
-            self.fit_scale[sl] = np.asarray(scale[:n], np.float32)
+            self.fit_scale[sl] = np.asarray(scale[:n], dt)
         if scale_err is not None and self.fit_scale_err is not None:
-            self.fit_scale_err[sl] = np.asarray(scale_err[:n], np.float32)
+            self.fit_scale_err[sl] = np.asarray(scale_err[:n], dt)
 
     def _fp_metrics(self, ndata):
         """fit_predict telemetry: one phase timer + the BASELINE counters
@@ -266,13 +268,15 @@ class BruteForce:
     def fit(self, data, data_err, data_mask, lprob_func=None,
             lprob_args=None, lprob_kwargs=None, track_scale=False,
             verbose=True, batch_size=None, checkpoint_every=None,
-            checkpoint_file=None, resume=False):
+            checkpoint_file=None, resume=False, fit_dtype=np.float32):
         """Fit all models to all data; store the full posterior grids.
 
-        Reference: `bruteforce.py:66-125`.  Stores the seven saved-fit
-        arrays as host NumPy float32 (the reference uses float64; float32
-        halves the 7*Ndata*Nmodel footprint and is far beyond the 1e-3
-        weight-threshold resolution any downstream consumer uses).
+        Reference: `bruteforce.py:66-125`.  `fit_dtype` sets the saved-
+        fit storage precision: float32 by default (halving the
+        7*Ndata*Nmodel footprint — far beyond the 1e-3 weight-threshold
+        resolution any downstream consumer uses), or float64 for the
+        reference's exact storage contract (bruteforce.py:183-189; the
+        device computation itself is float32 either way).
 
         With `checkpoint_every=N`, the saved-fit state (a consistent
         prefix) is written to `checkpoint_file` every N batches via
@@ -291,7 +295,7 @@ class BruteForce:
         step = self._lprob_step(lprob_func, lprob_args, lprob_kwargs)
         done = resume_fit_rows(self, resume, checkpoint_file, ndata)
         if not done:
-            self._alloc_fits(ndata, track_scale)
+            self._alloc_fits(ndata, track_scale, fit_dtype)
         self._fit_rows_done = done
 
         nb = 0

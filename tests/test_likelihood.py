@@ -121,3 +121,59 @@ def test_jit_and_vmap_compatible():
     np.testing.assert_allclose(np.asarray(f(*prob)),
                                np.asarray(L.loglike_fixed(*prob).lnlike),
                                rtol=1e-12)
+
+
+def test_degenerate_pair_policy_all_paths():
+    """Documented deviation (CLAUDE.md / VERDICT round-2 weak point 7):
+    zero-overlap (datum, model) pairs and free-scale pairs with Ndim < 2
+    produce lnl = -inf on EVERY path — the reference NaNs there
+    (0-dof chi2 pdf).  Asserted here for the XLA fixed/free paths and
+    the fused kernels (interpret mode) rather than masked out."""
+    import jax.numpy as jnp
+
+    from frankenz_tpu.ops import likelihood as L
+    from frankenz_tpu.ops.fused import fused_fit_pdf
+
+    rng = np.random.default_rng(0)
+    B, M, F = 8, 12, 5
+    m = rng.uniform(1, 10, (M, F))
+    me = 0.05 * m
+    mm = np.ones((M, F))
+    mm[0] = 0.0          # model 0 observes nothing -> zero overlap
+    d = rng.uniform(1, 10, (B, F))
+    de = np.full((B, F), 0.3)
+    dmask = np.ones((B, F))
+    dmask[1, 1:] = 0.0   # object 1 has one band -> free-scale Ndim < 2
+    dmask[2, :] = 0.0    # object 2 fully masked -> all pairs degenerate
+
+    fixed = L.logprob(d, de, dmask, m, me, mm)
+    assert (np.asarray(fixed.lnprob)[:, 0] == -np.inf).all()
+    assert (np.asarray(fixed.lnprob)[2] == -np.inf).all()
+    assert np.isfinite(np.asarray(fixed.lnprob)[0, 1:]).all()
+
+    for ime in (False, True):
+        free = L.logprob(d, de, dmask, m, me, mm, free_scale=True,
+                         ignore_model_err=ime)
+        lnp = np.asarray(free.lnprob)
+        assert (lnp[:, 0] == -np.inf).all(), ime   # zero overlap
+        assert (lnp[1] == -np.inf).all(), ime      # Ndim == 1 < 2
+        assert (lnp[2] == -np.inf).all(), ime
+        assert np.isfinite(lnp[0, 1:]).all(), ime
+
+    # Fused kernels: same contract surfaces as -inf GOF + zero PDFs for
+    # the all-degenerate object; zero-overlap models never contribute.
+    grid = np.linspace(0, 3, 33)
+    from frankenz_tpu.ops import kernel_matrix
+
+    G = np.asarray(kernel_matrix(rng.uniform(0, 3, M),
+                                 np.full(M, 0.1), grid))
+    for kw in (dict(),
+               dict(free_scale=True, ignore_model_err=True),
+               dict(free_scale=True, ignore_model_err=False)):
+        pdf, lmap, levid = fused_fit_pdf(
+            d, de, dmask, m, me, mm, G, wt_thresh=1e-3, tb=8, tm=128,
+            interpret=True, **kw)
+        assert np.asarray(lmap)[2] == -np.inf, kw
+        assert np.asarray(levid)[2] == -np.inf, kw
+        np.testing.assert_array_equal(np.asarray(pdf)[2], 0.0)
+        assert np.isfinite(np.asarray(lmap)[0]), kw

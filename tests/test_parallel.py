@@ -381,3 +381,29 @@ def test_hierarchical_sampler_mesh_recovers_truth():
     # Padded rows contribute nothing: total counts stay at nobs, so the
     # posterior is not diluted toward uniform.
     assert np.abs(post - emp).sum() < 0.4
+
+
+def test_catalog_process_shard_assembly_branch(mesh):
+    """The multi-host assembly branch (make_array_from_process_local_data)
+    produces the same sharded global arrays as the single-process
+    shortcut, exercised via the process_count test seam."""
+    from frankenz_tpu.parallel.io import (catalog_from_process_shards,
+                                          process_shard_bounds)
+
+    rng = np.random.default_rng(0)
+    nobj = 64
+    cat = {"phot": rng.uniform(1, 10, (nobj, 5)),
+           "z": rng.uniform(0, 3, nobj)}
+    fast = catalog_from_process_shards(mesh, cat, nobj)
+    assembled = catalog_from_process_shards(mesh, cat, nobj,
+                                            process_count=1)
+    for k in cat:
+        np.testing.assert_array_equal(np.asarray(assembled[k]),
+                                      np.asarray(fast[k]))
+        assert len(assembled[k].sharding.device_set) == 8
+    # Bounds partition [0, nobj) disjointly for any host count.
+    for pc in (1, 3, 8):
+        spans = [process_shard_bounds(nobj, pi, pc) for pi in range(pc)]
+        assert spans[0][0] == 0 and spans[-1][1] == nobj
+        for (a, b), (c, d) in zip(spans, spans[1:]):
+            assert b == c
