@@ -1236,15 +1236,22 @@ def _learn_value(name, t, start, end):
 
 def _make_som_mega_kernel(*, chunk, nsteps, nsteps_total, nproj, nside,
                           wt_thresh, dim_prior, learn_name, lstart, lend,
-                          neighbor_name, nb_rate, nstart, nend):
-    """Whole-training-run SOM kernel body: the node table lives in the
-    output ref across sequential grid steps; each grid step streams a
-    (chunk, 128) slab of pre-gathered draws and runs `chunk` sequential
-    BMU updates entirely on-chip (no per-step kernel launches).
+                          neighbor_name, nb_rate, nstart, nend, nfilt, n):
+    """Whole-training-run SOM kernel body.
+
+    LANE-ORIENTED like the GNG mega-kernel (nodes on the 128-wide lane
+    axis): the node table `nodesT` (F8, Np) and lattice positions
+    `posT` (8, Np) are VMEM-resident across sequential grid steps (a
+    few hundred KB — the node-per-sublane layout of rounds 1-2 paid
+    ~N/8 tile-ops per per-node vector op).  Draws stream in
+    group-packed (chunk, 128) slabs (128 // group_w sequential draws
+    per row, statically rolled into lanes [0, group_w)); per-filter
+    scalars are lane-extracted and multiply static sublane rows, so
+    there are no dynamic-lane accesses or gathers anywhere.
 
     Cleaned-data semantics (pdf.py:310-311) arrive pre-baked: masked /
-    non-finite / zero-error bands carry iv = 0 and x = 0 (as do the lane
-    pads), so they vanish from every sum and Ndim = #(iv > 0).
+    non-finite / zero-error bands carry iv = 0 and x = 0 (as do the
+    lane pads), so they vanish from every sum and Ndim = #(iv > 0).
 
     `nsteps` is the number of live steps in THIS dispatch; the traced
     `off_ref` scalar is the global index of its first step and
@@ -1252,63 +1259,111 @@ def _make_som_mega_kernel(*, chunk, nsteps, nsteps_total, nproj, nside,
     checkpointing (train_network(checkpoint_every=...)) walks the
     learning-rate/neighborhood schedules identically to one dispatch.
     """
+    group_w = 8
+    while group_w < 128 and group_w < nfilt:
+        group_w *= 2
+    groups = 128 // group_w
+    inv_T = 1.0 / float(max(nsteps_total - 1, 1))
 
-    def kernel(x_ref, xraw_ref, iv_ref, nodes0_ref, pos_ref, off_ref,
-               nodes_ref):
+    def kernel(xc_ref, iv_ref, xraw_ref, nodes0_ref, pos0_ref, off_ref,
+               nodes_ref, pos_ref):
         g = pl.program_id(0)
 
         @pl.when(g == 0)
         def _():
             nodes_ref[:, :] = nodes0_ref[:, :]
+            pos_ref[:, :] = pos0_ref[:, :]
 
-        def step(c, _):
-            i = g * chunk + c
-            t = ((off_ref[0, 0] + i.astype(jnp.float32))
-                 / float(max(nsteps_total - 1, 1)))
-            x = x_ref[pl.ds(c, 1), :]     # (1, 128): cleaned photometry
-            iv = iv_ref[pl.ds(c, 1), :]   # (1, 128): mask/xe^2 (pads 0)
-            nodes = nodes_ref[:, :]       # (N, 128)
-            # Free-scale error-free color likelihood (pdf.py:180-194):
-            # chi2 = A - inter^2/shape with datum-only variances.
-            xiv = x * iv
-            inter = jnp.sum(nodes * xiv, axis=1, keepdims=True)
-            shape = jnp.sum(nodes * nodes * iv, axis=1, keepdims=True)
-            A = jnp.sum(x * xiv)
-            chi2 = A - inter * (inter / jnp.maximum(shape, 1e-30))
-            if dim_prior:
-                # Per-step dof: node masks are all-ones, so Ndim is the
-                # same for every node and only a1 varies by step; the
-                # gammaln normalization is a per-step constant and drops
-                # out of the argmax.
-                ndim = jnp.sum((iv > 0.0).astype(jnp.float32))
-                a1 = 0.5 * (ndim - 1.0) - 1.0
-                score = (a1 * jnp.log(jnp.maximum(chi2, 1e-30))
-                         - 0.5 * chi2)
-            else:
-                score = -0.5 * chi2
-            bmu = jnp.argmax(score[:, 0])
+        frow, npl = nodes0_ref.shape
+        ln = jax.lax.broadcasted_iota(jnp.int32,
+                                      (1, npl), 1).astype(jnp.float32)
+        subf = jax.lax.broadcasted_iota(jnp.int32,
+                                        (frow, 1), 0).astype(jnp.float32)
+        lid128 = jax.lax.broadcasted_iota(jnp.int32,
+                                          (1, 128), 1).astype(jnp.float32)
+        valid_lane = ln < float(n)
+        big = jnp.float32(1e9)
 
-            # Neighborhood over the lattice (networks.py:71-118).
-            pbmu = pos_ref[pl.ds(bmu, 1), :]
-            diff = pos_ref[:, :] - pbmu
-            sqd = jnp.sum(diff * diff, axis=1, keepdims=True)
-            sigma = _learn_value(nb_rate, t, nstart, nend) * float(nside)
-            if neighbor_name == "gauss":
-                wt = jnp.exp(-0.5 * sqd / (sigma * sigma))
-            else:  # lorentz
-                wt = sigma * sigma / (sqd + sigma * sigma)
-            rate = _learn_value(learn_name, t, lstart, lend)
-            keep = wt > wt_thresh * jnp.max(wt)
-            # The node update uses the RAW draw (the reference cleans
-            # data only inside the likelihood, networks.py:1864).
-            xraw = xraw_ref[pl.ds(c, 1), :]
-            # Steps beyond nsteps (chunk-alignment padding) are no-ops.
-            live = (i < nsteps).astype(jnp.float32)
-            upd = live * rate * wt * (xraw - nodes)
-            nodes_ref[:, :] = nodes + jnp.where(keep, upd, 0.0)
+        def one_step(i, xcg, ivg, xrg):
+            @pl.when(i < nsteps)
+            def _():
+                t = (off_ref[0, 0] + i.astype(jnp.float32)) * inv_T
+                xivg = xcg * ivg
+                A = jnp.sum(xcg * xivg, keepdims=True)
+                nodes = nodes_ref[:, :]
+                # Free-scale error-free color likelihood
+                # (pdf.py:180-194): per-filter scalars multiply static
+                # node sublane rows.
+                inter = None
+                shape = None
+                xcol = None
+                for f in range(nfilt):
+                    xiv_f = xivg[:, f:f + 1]
+                    iv_f = ivg[:, f:f + 1]
+                    xr_f = xrg[:, f:f + 1]
+                    nf_row = nodes[f:f + 1, :]
+                    it = nf_row * xiv_f
+                    sh = (nf_row * nf_row) * iv_f
+                    inter = it if inter is None else inter + it
+                    shape = sh if shape is None else shape + sh
+                    xcontrib = jnp.where(subf == float(f), xr_f, 0.0)
+                    xcol = xcontrib if xcol is None else xcol + xcontrib
+                chi2 = A - inter * (inter / jnp.maximum(shape, 1e-30))
+                if dim_prior:
+                    # Node masks are all-ones so Ndim is per-draw
+                    # constant; the gammaln norm drops from the argmax.
+                    ndim = jnp.sum((ivg > 0.0).astype(jnp.float32),
+                                   keepdims=True)
+                    a1 = 0.5 * (ndim - 1.0) - 1.0
+                    score = (a1 * jnp.log(jnp.maximum(chi2, 1e-30))
+                             - 0.5 * chi2)
+                else:
+                    score = -0.5 * chi2
+                score = jnp.where(valid_lane, score, -big)
+                bmu = jnp.min(jnp.where(
+                    score == jnp.max(score, keepdims=True), ln, big),
+                    keepdims=True)
+                is_bmu = ln == bmu
+
+                # Neighborhood over the lattice (networks.py:71-118).
+                pos = pos_ref[:, :]
+                pbmu = jnp.sum(jnp.where(is_bmu, pos, 0.0), axis=1,
+                               keepdims=True)
+                diff = pos - pbmu
+                sqd = jnp.sum(diff * diff, axis=0, keepdims=True)
+                sigma = _learn_value(nb_rate, t, nstart, nend) \
+                    * float(nside)
+                if neighbor_name == "gauss":
+                    wt = jnp.exp(-0.5 * sqd / (sigma * sigma))
+                else:  # lorentz
+                    wt = sigma * sigma / (sqd + sigma * sigma)
+                rate = _learn_value(learn_name, t, lstart, lend)
+                wt = jnp.where(valid_lane, wt, 0.0)
+                keep = wt > wt_thresh * jnp.max(wt, keepdims=True)
+                # The node update uses the RAW draw (the reference
+                # cleans data only inside the likelihood,
+                # networks.py:1864).
+                upd = jnp.where(keep, rate * wt, 0.0)
+                nodes_ref[:, :] = nodes + upd * (xcol - nodes)
+
+        group_mask = lid128 < float(group_w)
+
+        def row_step(r, _):
+            xc_row = xc_ref[pl.ds(r, 1), :]
+            iv_row = iv_ref[pl.ds(r, 1), :]
+            xr_row = xraw_ref[pl.ds(r, 1), :]
+            for gsub in range(groups):
+                sh = (128 - gsub * group_w) % 128
+                xc = jnp.where(group_mask, pltpu.roll(xc_row, sh, 1),
+                               0.0)
+                iv = jnp.where(group_mask, pltpu.roll(iv_row, sh, 1),
+                               0.0)
+                xr = jnp.where(group_mask, pltpu.roll(xr_row, sh, 1),
+                               0.0)
+                one_step((g * chunk + r) * groups + gsub, xc, iv, xr)
             return 0
 
-        jax.lax.fori_loop(0, chunk, step, 0)
+        jax.lax.fori_loop(0, chunk, row_step, 0)
 
     return kernel
 
@@ -1319,43 +1374,42 @@ def _make_som_mega_kernel(*, chunk, nsteps, nsteps_total, nproj, nside,
                                              "lstart", "lend",
                                              "neighbor_name", "nb_rate",
                                              "nstart", "nend", "chunk",
+                                             "nfilt", "n_true",
                                              "interpret"))
-def _som_train_pallas(nodes0, x_seq, xraw_seq, iv_seq, positions, off, *,
-                      nsteps, nsteps_total, nproj, nside, wt_thresh,
-                      dim_prior, learn_name, lstart, lend, neighbor_name,
-                      nb_rate, nstart, nend, chunk, interpret):
-    """Dispatch the SOM mega-kernel.
+def _som_train_pallas(nodes0, xc, iv, xraw, positions, off, *, nsteps,
+                      nsteps_total, nproj, nside, wt_thresh, dim_prior,
+                      learn_name, lstart, lend, neighbor_name, nb_rate,
+                      nstart, nend, chunk, nfilt, n_true, interpret):
+    """Dispatch the SOM mega-kernel (see `_make_som_mega_kernel`).
 
-    nodes0: (N, 128) zero-lane-padded node table; x_seq / iv_seq:
-    (nsteps padded to a chunk multiple, 128) pre-gathered draw
-    photometry and inverse error variances (lane padding: x zeros,
-    iv zeros).  Steps past `nsteps` are masked no-ops in-kernel.
-    `off` (a traced (1, 128) scalar-broadcast array) is the global index
-    of the dispatch's first step; see `_make_som_mega_kernel`.
+    nodes0: (F8, Np) lane-oriented node table; positions: (8, Np)
+    lattice coordinates; xc/iv/xraw: group-packed draw slabs; off: the
+    (1, 128) global step offset of this dispatch's first step.
+    Returns the trained (F8, Np) node table.
     """
-    npad = x_seq.shape[0]
+    npad = xc.shape[0]
     assert npad % chunk == 0
+    frow, np_l = nodes0.shape
     kernel = _make_som_mega_kernel(
         chunk=chunk, nsteps=nsteps, nsteps_total=nsteps_total,
         nproj=nproj, nside=nside, wt_thresh=wt_thresh,
-        dim_prior=dim_prior, learn_name=learn_name,
-        lstart=lstart, lend=lend, neighbor_name=neighbor_name,
-        nb_rate=nb_rate, nstart=nstart, nend=nend)
-    n = nodes0.shape[0]
-    grid = npad // chunk
-    return pl.pallas_call(
+        dim_prior=dim_prior, learn_name=learn_name, lstart=lstart,
+        lend=lend, neighbor_name=neighbor_name, nb_rate=nb_rate,
+        nstart=nstart, nend=nend, nfilt=nfilt, n=n_true)
+    slab = pl.BlockSpec((chunk, 128), lambda g: (g, 0))
+    nodes_s = pl.BlockSpec((frow, np_l), lambda g: (0, 0))
+    pos_s = pl.BlockSpec((8, np_l), lambda g: (0, 0))
+    off_s = pl.BlockSpec((1, 128), lambda g: (0, 0))
+    nodes_out, _ = pl.pallas_call(
         kernel,
-        grid=(grid,),
-        in_specs=[pl.BlockSpec((chunk, 128), lambda g: (g, 0)),
-                  pl.BlockSpec((chunk, 128), lambda g: (g, 0)),
-                  pl.BlockSpec((chunk, 128), lambda g: (g, 0)),
-                  pl.BlockSpec((n, 128), lambda g: (0, 0)),
-                  pl.BlockSpec((n, 128), lambda g: (0, 0)),
-                  pl.BlockSpec((1, 128), lambda g: (0, 0))],
-        out_specs=pl.BlockSpec((n, 128), lambda g: (0, 0)),
-        out_shape=jax.ShapeDtypeStruct((n, 128), jnp.float32),
+        grid=(npad // chunk,),
+        in_specs=[slab, slab, slab, nodes_s, pos_s, off_s],
+        out_specs=(nodes_s, pos_s),
+        out_shape=(jax.ShapeDtypeStruct((frow, np_l), jnp.float32),
+                   jax.ShapeDtypeStruct((8, np_l), jnp.float32)),
         interpret=interpret,
-    )(x_seq, xraw_seq, iv_seq, nodes0, positions, off)
+    )(xc, iv, xraw, nodes0, positions, off)
+    return nodes_out
 
 
 class SelfOrganizingMap(_Network):
@@ -1465,16 +1519,14 @@ class SelfOrganizingMap(_Network):
                          tuple(sorted(neighbor_kwargs.items())))
 
         # Mega-kernel eligibility: default free-scale error-free color
-        # likelihood, named schedules, wt_thresh mode, and a lattice whose
-        # VMEM-resident buffers fit the Mosaic scoped limit (16 MB, with
-        # conservative accounting): three (N, 128) f32 node/position
-        # buffers live across all grid steps plus three (chunk, 128) draw
-        # slabs, so budget 12 MB => N <= 7680 nodes (nside <= 87 at
-        # nproj=2); larger lattices use the lax.scan path.
+        # likelihood, named schedules, wt_thresh mode.  Lane-oriented
+        # state is a few hundred KB, so the node cap is generous
+        # (32768; nside <= 181 at nproj=2); larger lattices use the
+        # lax.scan path.
         kw = dict(lprob_spec[2])
         nb_rate = neighbor_kwargs.get("rate", "harmonic")
-        mega_chunk = 512
-        mega_max_nodes = (12 * 2**20 - 3 * mega_chunk * 512) // 1536
+        mega_chunk = 64  # slab rows per grid step (1024 draws at F<=8)
+        mega_max_nodes = 32768
         mega_ok = (
             lprob_spec[0] is None and not lprob_spec[1]
             and kw.get("free_scale") is True
@@ -1490,6 +1542,7 @@ class SelfOrganizingMap(_Network):
             and isinstance(nb_rate, str) and nb_rate in ("linear",
                                                          "geometric",
                                                          "harmonic")
+            and nproj <= 8 and models.shape[1] <= 120
             and self.NNODE <= mega_max_nodes)
         if use_pallas is None:
             from ..ops import fused as _fz
@@ -1498,27 +1551,30 @@ class SelfOrganizingMap(_Network):
             raise ValueError("use_pallas=True requires the default "
                              "free-scale error-free likelihood, named "
                              "learn/neighbor schedules, wt_thresh mode, "
-                             "and <= {} nodes (VMEM-resident node "
-                             "buffers)".format(mega_max_nodes))
+                             "nproj <= 8, and <= {} nodes (VMEM-resident "
+                             "node buffers)".format(mega_max_nodes))
         if use_pallas:
             from ..ops.fused import pallas_supported
 
             # Pre-gather draws and bake cleaned-data semantics into iv.
+            F = models.shape[1]
             x = models[draws].astype(np.float32)
             xe = models_err[draws].astype(np.float32)
             xm = models_mask[draws].astype(np.float32)
             ok = (np.isfinite(x) & np.isfinite(xe) & (xe > 0) & (xm == 1))
-            iv = np.where(ok, 1.0 / np.where(ok, xe, 1.0) ** 2, 0.0)
-            x = np.where(ok, x, 0.0)
+            iv = np.where(ok, 1.0 / np.where(ok, xe, 1.0) ** 2,
+                          0.0).astype(np.float32)
+            xc = np.where(ok, x, 0.0).astype(np.float32)
+            group_w = 8
+            while group_w < 128 and group_w < F:
+                group_w *= 2
+            groups = 128 // group_w
             chunk = mega_chunk
-            x_full = np.zeros((nsteps, 128), np.float32)
-            xraw_full = np.zeros((nsteps, 128), np.float32)
-            iv_full = np.zeros((nsteps, 128), np.float32)
-            x_full[:, :x.shape[1]] = x
-            xraw_full[:, :x.shape[1]] = models[draws]
-            iv_full[:, :x.shape[1]] = iv
-            pos128 = np.zeros((self.NNODE, 128), np.float32)
-            pos128[:, :nproj] = pos
+            N = self.NNODE
+            Np = -(-N // 128) * 128
+            frow = max(8, -(-F // 8) * 8)
+            posT = np.zeros((8, Np), np.float32)
+            posT[:nproj, :N] = pos.T
             static_kw = dict(
                 nsteps_total=nsteps, nproj=nproj, nside=nside,
                 wt_thresh=float(wt_thresh),
@@ -1530,27 +1586,32 @@ class SelfOrganizingMap(_Network):
                                else "lorentz"), nb_rate=nb_rate,
                 nstart=float(neighbor_kwargs.get("start", 0.7)),
                 nend=float(neighbor_kwargs.get("end", 0.02)),
-                chunk=chunk, interpret=not pallas_supported())
+                chunk=chunk, nfilt=F, n_true=N,
+                interpret=not pallas_supported())
+
+            def packed_slab(vals, s0, ns, nrows):
+                slab = np.zeros((nrows * groups, group_w), np.float32)
+                slab[:ns, :F] = vals[s0:s0 + ns]
+                return slab.reshape(nrows, 128)
+
             nodes_cur = init
             for s0 in range(start, nsteps, seg):
                 ns = min(seg, nsteps - s0)
-                npad = -(-ns // chunk) * chunk
-                x_seq = np.zeros((npad, 128), np.float32)
-                xraw_seq = np.zeros((npad, 128), np.float32)
-                iv_seq = np.zeros((npad, 128), np.float32)
-                x_seq[:ns] = x_full[s0:s0 + ns]
-                xraw_seq[:ns] = xraw_full[s0:s0 + ns]
-                iv_seq[:ns] = iv_full[s0:s0 + ns]
-                nodes0 = np.zeros((self.NNODE, 128), np.float32)
-                nodes0[:, :init.shape[1]] = nodes_cur
+                rows_needed = -(-ns // groups)
+                nrows = -(-rows_needed // chunk) * chunk
+                nodesT = np.zeros((frow, Np), np.float32)
+                nodesT[:F, :N] = nodes_cur.T
                 off = np.full((1, 128), float(s0), np.float32)
                 out = _som_train_pallas(
-                    jnp.asarray(nodes0), jnp.asarray(x_seq),
-                    jnp.asarray(xraw_seq), jnp.asarray(iv_seq),
-                    jnp.asarray(pos128), jnp.asarray(off), nsteps=ns,
+                    jnp.asarray(nodesT),
+                    jnp.asarray(packed_slab(xc, s0, ns, nrows)),
+                    jnp.asarray(packed_slab(iv, s0, ns, nrows)),
+                    jnp.asarray(packed_slab(
+                        x.astype(np.float32), s0, ns, nrows)),
+                    jnp.asarray(posT), jnp.asarray(off), nsteps=ns,
                     **static_kw)
                 nodes_cur = np.asarray(jax.device_get(out),
-                                       float)[:, :init.shape[1]]
+                                       float)[:F, :N].T
                 save_ckpt(nodes_cur, s0 + ns)
             self.nodes = nodes_cur
             train_note(verbose, "SOM training (mega-kernel)", nsteps, t0)

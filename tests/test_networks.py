@@ -331,14 +331,16 @@ def test_som_pallas_mega_kernel_masked_bands():
 
 
 def test_som_mega_kernel_vmem_bound():
-    """Lattices whose VMEM-resident buffers exceed the Mosaic scoped
-    limit must refuse use_pallas=True (and never auto-select it) instead
-    of failing at Mosaic compile time on hardware."""
+    """Lattices whose VMEM-resident buffers exceed the mega-kernel's
+    node cap must refuse use_pallas=True (and never auto-select it)
+    instead of failing at Mosaic compile time on hardware.  The
+    lane-oriented kernel's cap is 32768 nodes (nside 182 at nproj=2;
+    round-2's node-per-sublane layout capped at 7680)."""
     rng = np.random.default_rng(0)
-    m = rng.uniform(1, 10, (8000, 3)).astype(np.float32)
+    m = rng.uniform(1, 10, (40000, 3)).astype(np.float32)
     som = SelfOrganizingMap(m, 0.05 * m, np.ones_like(m))
     with pytest.raises(ValueError, match="nodes"):
-        som.train_network(nside=88, nproj=2, niter=1, nbatch=1, seed=0,
+        som.train_network(nside=182, nproj=2, niter=1, nbatch=1, seed=0,
                           use_pallas=True, verbose=False)
 
 
