@@ -30,6 +30,8 @@ import time
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from ..utils.progress import train_note
 from .base import ChainSampler
@@ -140,6 +142,198 @@ def _pop_run(keys, pos0, pdfs, carry0=None, *, prior, thin, mh_steps,
     else:
         ov0, lnp0 = carry0
     return jax.vmap(run_one_chain)(keys, pos0, ov0, lnp0)
+
+
+def _make_pop_mega_kernel(*, chunk, nsteps, thin, mh_steps, nbins, nobs):
+    """Whole-MCMC-chain Pallas kernel (flat-prior population sampler).
+
+    The XLA scan pays ~40-60 us of op-dispatch latency per MH proposal
+    (the same floor the GNG/SOM trainers had); here the entire chain
+    runs on-chip with the (Nbins, Nobs) transposed PDF matrix
+    VMEM-resident and every random draw precomputed into group-packed
+    slabs (128 // group_w Gibbs steps per 128-lane row; lanes
+    [i, j, z_1..z_mh, e_1..e_mh] per group).  State is lane-oriented:
+    pos (1, 128) [bin b in lane b], overlap (1, Nobs_pad), lnpost
+    (1, 128) [lane 0].  Thinned samples write one (Niter, 128) row per
+    thin block.
+
+    Semantics match `_chain_step` exactly (rank-1 overlap updates,
+    numeric gradient step scale, -Exponential() < delta accepts); the
+    random STREAM is the precomputed one, so a seeded run is
+    reproducible and block-streaming (`sample`) stays bitwise-identical
+    to `run_mcmc`, but it differs from the lax.scan path's stream (both
+    are distribution-equivalent; the reference uses global np.random).
+    """
+    group_w = 8
+    while group_w < 128 and group_w < 2 + 2 * mh_steps:
+        group_w *= 2
+    groups = 128 // group_w
+
+    def kernel(draws_ref, pdfsT_ref, pos0_ref, ov0_ref, lnp0_ref,
+               samples_ref, lnps_ref, pos_ref, ov_ref, lnp_ref):
+        g = pl.program_id(0)
+
+        @pl.when(g == 0)
+        def _():
+            pos_ref[:, :] = pos0_ref[:, :]
+            ov_ref[:, :] = ov0_ref[:, :]
+            lnp_ref[:, :] = lnp0_ref[:, :]
+
+        npl = ov0_ref.shape[1]
+        lid = jax.lax.broadcasted_iota(jnp.int32,
+                                       (1, 128), 1).astype(jnp.float32)
+        lob = jax.lax.broadcasted_iota(jnp.int32,
+                                       (1, npl), 1).astype(jnp.float32)
+        valid_obj = lob < float(nobs)
+        bin_mask = lid < float(nbins)
+
+        def lane(row, j):
+            return row[:, j:j + 1]                   # (1, 1) static lane
+
+        def pick_lane(vec, i11):
+            return jnp.sum(jnp.where(lid == i11, vec, 0.0),
+                           keepdims=True)
+
+        def lnsum(ov):
+            return jnp.sum(jnp.where(valid_obj,
+                                     jnp.log(jnp.maximum(ov, 1e-30)),
+                                     0.0), keepdims=True)
+
+        def one_step(istep, d):
+            @pl.when(istep < nsteps)
+            def _():
+                i11 = lane(d, 0)
+                j11 = lane(d, 1)
+                pos = pos_ref[:, :]
+                ov = ov_ref[:, :]
+                lnpost = lnp_ref[:, 0:1]
+                # Pair direction (samplers.py:264-271).
+                di = pdfsT_ref[pl.ds(i11.astype(jnp.int32)[0, 0], 1), :]
+                dj = pdfsT_ref[pl.ds(j11.astype(jnp.int32)[0, 0], 1), :]
+                dcol = di - dj
+                t = (jnp.where(lid == i11, 1.0, 0.0)
+                     - jnp.where(lid == j11, 1.0, 0.0))
+                pi = pick_lane(pos, i11)
+                pj = pick_lane(pos, j11)
+                # Numeric gradient scale (samplers.py:272-287).
+                scale = 1e-4 * jnp.minimum(
+                    jnp.minimum(pi, pj),
+                    jnp.minimum(1.0 - pi, 1.0 - pj))
+                lnp1 = lnsum(ov + (scale[0, 0] / 2.0) * dcol)
+                lnp2 = lnsum(ov - (scale[0, 0] / 2.0) * dcol)
+                grad = (lnp1 - lnp2) / scale
+                gscale = jnp.where(
+                    grad != 0.0,
+                    jnp.minimum(jnp.abs(1.0 / grad),
+                                jnp.abs(scale * 1e4)),
+                    jnp.abs(scale))
+
+                pos_c, ov_c, lnp_c = pos, ov, lnpost
+                for k in range(mh_steps):
+                    z = lane(d, 2 + k) * gscale          # (1, 1)
+                    e = lane(d, 2 + mh_steps + k)
+                    pos_n = pos_c + t * z
+                    ov_n = ov_c + z[0, 0] * dcol
+                    bad = jnp.max(jnp.where(
+                        jnp.logical_and(bin_mask, pos_n < 0.0),
+                        1.0, 0.0), keepdims=True)
+                    lnp_n = jnp.where(bad > 0.0, -3.0e38, lnsum(ov_n))
+                    accept = -e < (lnp_n - lnp_c)
+                    pos_c = jnp.where(accept, pos_n, pos_c)
+                    ov_c = jnp.where(accept, ov_n, ov_c)
+                    lnp_c = jnp.where(accept, lnp_n, lnp_c)
+
+                pos_ref[:, :] = pos_c
+                ov_ref[:, :] = ov_c
+                lnp_ref[:, :] = jnp.where(lid == 0.0, lnp_c,
+                                          lnp_ref[:, :])
+
+                # Thinned sample output (one row per thin block).
+                @pl.when(istep % thin == thin - 1)
+                def _():
+                    it = istep // thin
+                    samples_ref[pl.ds(it, 1), :] = pos_c
+                    lnps_ref[pl.ds(it, 1), :] = jnp.where(lid == 0.0,
+                                                          lnp_c, 0.0)
+
+        def row_step(r, _):
+            row = draws_ref[pl.ds(r, 1), :]
+            for gsub in range(groups):
+                sh = (128 - gsub * group_w) % 128
+                d = pltpu.roll(row, sh, 1)
+                one_step((g * chunk + r) * groups + gsub, d)
+            return 0
+
+        jax.lax.fori_loop(0, chunk, row_step, 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "nsteps", "thin",
+                                             "mh_steps", "nbins", "nobs",
+                                             "niter", "interpret"))
+def _pop_run_pallas(draws, pdfsT, pos0, ov0, lnp0, *, chunk, nsteps, thin,
+                    mh_steps, nbins, nobs, niter, interpret):
+    """Dispatch the population-chain mega-kernel (one chain).
+
+    Returns (samples (niter, 128), lnps (niter, 128), pos_f, ov_f,
+    lnp_f) — the final state triple is the exact MH carry for
+    block-streaming resume.
+    """
+    npad = draws.shape[0]
+    assert npad % chunk == 0
+    npl = ov0.shape[1]
+    nb = pdfsT.shape[0]
+    kernel = _make_pop_mega_kernel(chunk=chunk, nsteps=nsteps, thin=thin,
+                                   mh_steps=mh_steps, nbins=nbins,
+                                   nobs=nobs)
+    slab = pl.BlockSpec((chunk, 128), lambda g: (g, 0))
+    full = lambda shape: pl.BlockSpec(shape, lambda g: (0, 0))
+    return pl.pallas_call(
+        kernel,
+        grid=(npad // chunk,),
+        in_specs=[slab, full((nb, npl)), full((1, 128)), full((1, npl)),
+                  full((1, 128))],
+        out_specs=(full((niter, 128)), full((niter, 128)),
+                   full((1, 128)), full((1, npl)), full((1, 128))),
+        out_shape=(jax.ShapeDtypeStruct((niter, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((niter, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((1, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((1, npl), jnp.float32),
+                   jax.ShapeDtypeStruct((1, 128), jnp.float32)),
+        interpret=interpret,
+    )(draws, pdfsT, pos0, ov0, lnp0)
+
+
+@functools.partial(jax.jit, static_argnames=("nsteps", "nbins",
+                                             "mh_steps"))
+def _pop_draws(key, *, nsteps, nbins, mh_steps):
+    """All of one chain's randomness, precomputed: per Gibbs step an
+    unordered pair (i != j, uniform), mh_steps standard normals, and
+    mh_steps exponentials — (nsteps, 2 + 2*mh_steps) f32."""
+    ki, kj, kz, ke = jax.random.split(key, 4)
+    i = jax.random.randint(ki, (nsteps,), 0, nbins)
+    j = jax.random.randint(kj, (nsteps,), 0, nbins - 1)
+    j = j + (j >= i).astype(j.dtype)  # uniform over j != i
+    z = jax.random.normal(kz, (nsteps, mh_steps), jnp.float32)
+    e = jax.random.exponential(ke, (nsteps, mh_steps), jnp.float32)
+    return jnp.concatenate([i[:, None].astype(jnp.float32),
+                            j[:, None].astype(jnp.float32), z, e], axis=1)
+
+
+def _pack_draw_rows(draw_vals, chunk):
+    """Group-pack (nsteps, ncols) draw values into (nrows, 128) slab rows
+    (128 // group_w steps per row), chunk-aligned."""
+    nsteps, ncols = draw_vals.shape
+    group_w = 8
+    while group_w < 128 and group_w < ncols:
+        group_w *= 2
+    groups = 128 // group_w
+    rows_needed = -(-nsteps // groups)
+    nrows = -(-rows_needed // chunk) * chunk
+    slab = np.zeros((nrows * groups, group_w), np.float32)
+    slab[:nsteps, :ncols] = draw_vals
+    return slab.reshape(nrows, 128)
 
 
 def _chain_step(pdfsT, logprior_nz, mh_steps, axis_name=None):
@@ -276,6 +470,75 @@ class population_sampler(ChainSampler):
 
         return run, lnp_shift
 
+    def _kernel_ok(self, prior, nbins):
+        """Mega-kernel eligibility: flat prior (in-kernel priors would
+        need arbitrary traceables), lane-sized bin grid, VMEM-resident
+        transposed PDF matrix."""
+        from ..ops import fused as _fz
+
+        nobs = self.pdfs.shape[0]
+        npl = -(-nobs // 128) * 128
+        return (prior is _zero_prior and _fz.pallas_supported()
+                and nbins <= 128 and nbins * npl * 4 <= 12 * 2**20)
+
+    def _run_kernel(self, key, pos0, Niter, thin, mh_steps, s0=0,
+                    nsteps_total=None, carry=None):
+        """Run `Niter` thinned samples through the chain mega-kernel for
+        every chain; exact-carry resumable (block streaming).
+
+        Each chain's full draw stream derives from fold_in(key, chain)
+        over `nsteps_total` Gibbs steps; `s0` (in thinned samples)
+        selects this block's slice, so run_mcmc and a block-streaming
+        `sample` consume identical randomness.
+        """
+        nchains, nbins = pos0.shape
+        nobs = self.pdfs.shape[0]
+        npl = -(-nobs // 128) * 128
+        if nsteps_total is None:
+            nsteps_total = Niter * thin
+        if not hasattr(self, "_pdfsT_dev") or \
+                self._pdfsT_dev.shape[1] != npl:
+            pdfsT = np.zeros((nbins, npl), np.float32)
+            pdfsT[:, :nobs] = np.asarray(self.pdfs, np.float32).T
+            self._pdfsT_dev = jnp.asarray(pdfsT)
+        chunk = 64
+        nsteps = Niter * thin
+        outs = []
+        for c in range(nchains):
+            draws = np.asarray(_pop_draws(
+                jax.random.fold_in(key, c), nsteps=int(nsteps_total),
+                nbins=nbins, mh_steps=mh_steps))
+            rows = _pack_draw_rows(
+                draws[s0 * thin:s0 * thin + nsteps], chunk)
+            if carry is None:
+                p128 = np.zeros((1, 128), np.float32)
+                p128[0, :nbins] = pos0[c]
+                ov0 = np.zeros((1, npl), np.float32)
+                ov0[0, :nobs] = np.asarray(self.pdfs, np.float32) \
+                    @ pos0[c].astype(np.float32)
+                ov0[0, nobs:] = 1.0
+                lnp0 = np.zeros((1, 128), np.float32)
+                lnp0[0, 0] = np.sum(np.log(np.maximum(ov0[0, :nobs],
+                                                      1e-30)))
+                state = (jnp.asarray(p128), jnp.asarray(ov0),
+                         jnp.asarray(lnp0))
+            else:
+                state = carry[c]
+            from ..ops import fused as _fz
+
+            outs.append(_pop_run_pallas(
+                jnp.asarray(rows), self._pdfsT_dev, *state, chunk=chunk,
+                nsteps=int(nsteps), thin=int(thin),
+                mh_steps=int(mh_steps), nbins=int(nbins),
+                nobs=int(nobs), niter=int(Niter),
+                interpret=not _fz.pallas_supported()))
+        outs = jax.device_get(outs)
+        samples = np.stack([o[0][:, :nbins] for o in outs])
+        lnps = np.stack([o[1][:, 0] for o in outs])
+        carry_f = [tuple(map(jnp.asarray, (o[2], o[3], o[4])))
+                   for o in outs]
+        return samples.astype(float), lnps.astype(float), carry_f
+
     def run_mcmc(self, Niter, logprior_nz=None, pos_init=None, thin=400,
                  mh_steps=3, rng=None, seed=None, verbose=True,
                  nchains=1, prior_args=(), prior_kwargs=None, mesh=None):
@@ -291,13 +554,16 @@ class population_sampler(ChainSampler):
         t0 = time.time()
         prior = self._resolve_prior(logprior_nz, prior_args, prior_kwargs)
         pos0 = self._resolve_pos0(pos_init, nchains)
-        keys = jax.random.split(self._resolve_key(seed, rng),
-                                (nchains, Niter))
+        key = self._resolve_key(seed, rng)
+        keys = jax.random.split(key, (nchains, Niter))
         lnp_shift = 0.0
         if mesh is not None:
             run, lnp_shift = self._sharded_inputs(mesh, pos0, thin,
                                                   mh_steps, prior)
             samples, lnps, _ = run(keys, pos0)
+        elif self._kernel_ok(prior, pos0.shape[1]):
+            samples, lnps, _ = self._run_kernel(key, pos0, Niter, thin,
+                                                mh_steps)
         else:
             samples, lnps, _ = _pop_run(keys, jnp.asarray(pos0),
                                         jnp.asarray(self.pdfs),
@@ -329,11 +595,23 @@ class population_sampler(ChainSampler):
         del verbose
         prior = self._resolve_prior(logprior_nz, prior_args, prior_kwargs)
         pos = self._resolve_pos0(pos_init, nchains)
-        keys = jax.random.split(self._resolve_key(seed, rng),
-                                (nchains, Niter))
+        key = self._resolve_key(seed, rng)
+        keys = jax.random.split(key, (nchains, Niter))
+        use_kernel = mesh is None and self._kernel_ok(prior, pos.shape[1])
         if mesh is not None:
             run, lnp_shift = self._sharded_inputs(mesh, pos, thin,
                                                   mh_steps, prior)
+        elif use_kernel:
+            # Same mega-kernel and draw stream as run_mcmc, resumed
+            # from the exact (pos, overlap, lnpost) carry per block —
+            # a seeded stream stays bitwise-identical to run_mcmc.
+            lnp_shift = 0.0
+            total = Niter * thin
+
+            def run(i0, nb, carry):
+                return self._run_kernel(key, pos, nb, thin, mh_steps,
+                                        s0=i0, nsteps_total=total,
+                                        carry=carry)
         else:
             lnp_shift = 0.0
             pdfs = jnp.asarray(self.pdfs)
@@ -346,7 +624,11 @@ class population_sampler(ChainSampler):
         carry = None
         for i0 in range(0, Niter, block):
             nb = min(block, Niter - i0)
-            samples, lnps, carry = run(keys[:, i0:i0 + nb], pos, carry)
+            if use_kernel:
+                samples, lnps, carry = run(i0, nb, carry)
+            else:
+                samples, lnps, carry = run(keys[:, i0:i0 + nb], pos,
+                                           carry)
             samples = np.asarray(samples)
             lnps = np.asarray(lnps) - lnp_shift
             pos = samples[:, -1, :]

@@ -201,3 +201,34 @@ def test_sample_generators_stream_lazily(mock_pdfs, monkeypatch):
     gen.close()
     assert calls == [2, 2]  # 3 samples = two 2-sample blocks
     assert all(np.isfinite(lnp) for _, lnp in got)
+
+
+def test_population_chain_kernel_matches_semantics(mock_pdfs, monkeypatch):
+    """The population-chain Pallas mega-kernel (interpret mode on CPU)
+    recovers the truth like the scan path, and block-streaming sample()
+    is bitwise-identical to run_mcmc on the kernel path (same
+    precomputed draw stream, exact carry)."""
+    pdfs, nz_true, ztrue = mock_pdfs
+    monkeypatch.setattr(population_sampler, "_kernel_ok",
+                        lambda self, prior, nbins: True)
+    samp = population_sampler(pdfs)
+    samp.run_mcmc(8, thin=25, mh_steps=3, seed=7, verbose=False)
+    samples, lnps = samp.results
+    assert samples.shape == (8, 20)
+    assert np.isfinite(lnps).all()
+    np.testing.assert_allclose(samples.sum(axis=1), 1.0, atol=1e-3)
+    assert (samples >= 0).all()
+    # lnpost of the final state matches direct evaluation.
+    want = np.sum(np.log(pdfs @ samples[-1]))
+    np.testing.assert_allclose(lnps[-1], want, rtol=1e-3)
+    # The chain actually moves and improves from the stacked-PDF init.
+    stack = pdfs.sum(axis=0) / pdfs.sum()
+    assert not np.allclose(samples[-1], stack)
+    assert lnps[-1] >= np.sum(np.log(pdfs @ stack)) - 1.0
+
+    # Generator parity (3-sample blocks) against the stored chain.
+    gen = population_sampler(pdfs)
+    got = list(gen.sample(8, thin=25, mh_steps=3, seed=7, block=3))
+    for i, (pos, lnp) in enumerate(got):
+        np.testing.assert_array_equal(pos, samples[i])
+        np.testing.assert_allclose(lnp, lnps[i], rtol=1e-5)
