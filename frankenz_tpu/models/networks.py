@@ -1720,6 +1720,10 @@ def _gng_train_jit(pos0, err0, alive0, state0, draws, mods, errs, mask, *,
 
     def _upsert(ids, sref, ov, i, j, ci):
         """Create or refresh edge slot j in node i's row (age -> 0)."""
+        # argmax/argmin indices are int64 under x64; keep the stored
+        # values in the table dtypes (avoids unsafe-scatter promotion).
+        j = jnp.asarray(j, ids.dtype)
+        ci = jnp.asarray(ci, sref.dtype)
         row = ids[i]
         match = row == j
         has = jnp.any(match)

@@ -251,7 +251,10 @@ def ring_fit_predict_step(mesh, wt_thresh=1e-3, dim_prior=True,
 
         def vary(x):
             # scan carries must enter with the same varying-over-mesh-axis
-            # type their outputs have inside shard_map.
+            # type their outputs have inside shard_map.  pvary was renamed
+            # to pcast(..., to='varying') in newer JAX.
+            if hasattr(jax.lax, "pcast"):
+                return jax.lax.pcast(x, (OBJ_AXIS,), to="varying")
             return jax.lax.pvary(x, (OBJ_AXIS,))
 
         if wt_thresh is None:
