@@ -86,17 +86,21 @@ def _pad_rows(arr, batch_size):
                                          arr.dtype)], axis=0)
 
 
-def resume_fit_rows(obj, resume, checkpoint_file, ndata):
+def resume_fit_rows(obj, resume, checkpoint_file, ndata,
+                    checkpoint_every=None):
     """Restore a mid-fit checkpoint onto `obj`; returns completed rows.
 
     SURVEY.md section 5 (failure detection): the reference survives
     crashes only because fit state fills `self` as it goes
     (bruteforce.py:183-189); here the same consistent prefix is
     periodically persisted and restored.  Shared by every fitter's
-    batch-checkpointing fit loop.
+    batch-checkpointing fit loop; also validates the SAVE plan up
+    front (checkpoint_every without a file must fail before the first
+    batch, not at the first save).
     """
     from ..utils import checkpoint as _ckpt
 
+    _ckpt.validate_plan(checkpoint_every, checkpoint_file)
     if not resume:
         return 0
     if not checkpoint_file:
@@ -293,7 +297,8 @@ class BruteForce:
         if batch_size is None:
             batch_size = default_batch_size(self.NMODEL)
         step = self._lprob_step(lprob_func, lprob_args, lprob_kwargs)
-        done = resume_fit_rows(self, resume, checkpoint_file, ndata)
+        done = resume_fit_rows(self, resume, checkpoint_file, ndata,
+                               checkpoint_every)
         if not done:
             self._alloc_fits(ndata, track_scale, fit_dtype)
         self._fit_rows_done = done
@@ -418,6 +423,8 @@ class BruteForce:
         eligible = self._fused_eligible(lprob_func, lprob_args,
                                         lprob_kwargs, track_scale,
                                         save_fits, wt_thresh, cdf_thresh)
+        cdf_mode = wt_thresh is None and cdf_thresh is not None
+        explicit_fused = use_fused is True
         if use_fused is None:
             use_fused = eligible and _fused.pallas_supported()
         elif use_fused and not eligible:
@@ -426,6 +433,14 @@ class BruteForce:
                              "save_fits/track_scale/return_scale, "
                              "wt_thresh-style thresholding)")
         if mesh is not None:
+            if explicit_fused and cdf_mode:
+                # Don't silently honor an explicit kernel request with
+                # the XLA path: the cdf top-T pass and its FusedCdfFallback
+                # escape don't compose with shard_map.
+                raise ValueError(
+                    "use_fused=True with cdf_thresh selection is not "
+                    "supported under mesh=; the sharded cdf path runs the "
+                    "XLA composition (pass use_fused=None/False)")
             if save_fits or track_scale:
                 raise ValueError("mesh-sharded fit_predict streams PDFs "
                                  "only; save_fits/track_scale are "
@@ -435,8 +450,7 @@ class BruteForce:
                 return self._fit_predict_sharded(
                     data, data_err, data_mask, G, lprob_func, lprob_args,
                     lprob_kwargs, wt_thresh, cdf_thresh, batch_size, mesh,
-                    bool(use_fused) and not (wt_thresh is None
-                                             and cdf_thresh is not None),
+                    bool(use_fused) and not cdf_mode,
                     return_gof, verbose)
         if use_fused:
             with self._fp_metrics(ndata):
@@ -512,7 +526,7 @@ class BruteForce:
             mesh, obj_axis, use_pallas, lprob_spec, wt_thresh, cdf_thresh,
             kw.get("dim_prior", True), kw.get("ignore_model_err", False),
             kw.get("free_scale", False), full_mask,
-            not _fused.pallas_supported(), float(kw.get("ltol", 1e-3)),
+            not _fused.pallas_supported(), float(kw.get("ltol", 1e-4)),
             int(kw.get("max_iter", 100)))
 
         dspec = NamedSharding(mesh, P(obj_axis))
@@ -578,41 +592,54 @@ class BruteForce:
         dm_all = jnp.asarray(np.pad(data_mask, ((0, pad), (0, 0))),
                              jnp.float32)
 
+        def slices(i0):
+            return (jax.lax.dynamic_slice_in_dim(d_all, i0, batch_size),
+                    jax.lax.dynamic_slice_in_dim(de_all, i0, batch_size),
+                    jax.lax.dynamic_slice_in_dim(dm_all, i0, batch_size))
+
         parts = []
+        starts = []
         for i0, n in progress_iter(_batch_slices(ndata, batch_size),
                                    total=ndata, label="Fitting object",
                                    sizes=True, verbose=verbose):
-            d = jax.lax.dynamic_slice_in_dim(d_all, i0, batch_size)
-            de = jax.lax.dynamic_slice_in_dim(de_all, i0, batch_size)
-            dm = jax.lax.dynamic_slice_in_dim(dm_all, i0, batch_size)
-            try:
-                pdf_b, lmap_b, levid_b = _fused.fused_fit_pdf(
-                    d, de, dm, self.models, self.models_err,
-                    self.models_mask, G, dim_prior=dim_prior,
-                    ignore_model_err=ignore_model_err,
-                    free_scale=free_scale, wt_thresh=wt_thresh,
-                    cdf_thresh=(cdf_thresh if wt_thresh is None
-                                else None),
-                    full_mask=full_mask,
-                    scale_ltol=float(lprob_kwargs.get("ltol", 1e-3)),
-                    scale_max_iter=int(lprob_kwargs.get("max_iter",
-                                                        100)))
-            except _fused.FusedCdfFallback:
-                # Pathologically flat posterior in this batch: exact cdf
-                # selection via the XLA sort for these objects only.
-                spec = _like.static_spec(None, (), lprob_kwargs)
-                res = _bf_lprob_jit(d, de, dm, self.models,
-                                    self.models_err, self.models_mask,
-                                    lprob_spec=spec)
-                lmap_b, levid_b, wt = _gof_weights(res[2])
-                pdf_b = _kde.kde_stack(wt, G, None, cdf_thresh)
-            pdf_b = _kde.norm_rows(pdf_b)
-            parts.append((pdf_b, lmap_b, levid_b))
+            d, de, dm = slices(i0)
+            # defer_cdf_check: the cdf-cut validity flag rides the async
+            # pipeline and drains with the bulk readback below — a
+            # per-batch bool() sync here would serialize every batch
+            # with a tunnel round-trip.  Flagged batches (pathologically
+            # flat posteriors) rerun on the XLA sort path afterwards.
+            pdf_b, lmap_b, levid_b, ok_b = _fused.fused_fit_pdf(
+                d, de, dm, self.models, self.models_err,
+                self.models_mask, G, dim_prior=dim_prior,
+                ignore_model_err=ignore_model_err,
+                free_scale=free_scale, wt_thresh=wt_thresh,
+                cdf_thresh=(cdf_thresh if wt_thresh is None
+                            else None),
+                full_mask=full_mask,
+                scale_ltol=float(lprob_kwargs.get("ltol", 1e-4)),
+                scale_max_iter=int(lprob_kwargs.get("max_iter", 100)),
+                defer_cdf_check=True)
+            parts.append((_kde.norm_rows(pdf_b), lmap_b, levid_b, ok_b))
+            starts.append(i0)
 
         parts = jax.device_get(parts)
         pdfs = np.concatenate([p[0] for p in parts])[:ndata]
         lmap = np.concatenate([p[1] for p in parts])[:ndata]
         levid = np.concatenate([p[2] for p in parts])[:ndata]
+        for i0, part in zip(starts, parts):
+            if bool(part[3]):
+                continue
+            # Exact cdf selection via the XLA sort for this batch only.
+            d, de, dm = slices(i0)
+            spec = _like.static_spec(None, (), lprob_kwargs)
+            res = _bf_lprob_jit(d, de, dm, self.models, self.models_err,
+                                self.models_mask, lprob_spec=spec)
+            lmap_b, levid_b, wt = _gof_weights(res[2])
+            pdf_b = _kde.norm_rows(_kde.kde_stack(wt, G, None, cdf_thresh))
+            n = min(batch_size, ndata - i0)
+            pdfs[i0:i0 + n] = np.asarray(pdf_b[:n])
+            lmap[i0:i0 + n] = np.asarray(lmap_b[:n])
+            levid[i0:i0 + n] = np.asarray(levid_b[:n])
         if return_gof:
             return pdfs, (lmap, levid)
         return pdfs

@@ -436,7 +436,8 @@ class NearestNeighbors:
         rng = rng or self.rng
         ndata = data.shape[0]
         batch_size = min(batch_size, max(256, ndata))
-        done = resume_fit_rows(self, resume, checkpoint_file, ndata)
+        done = resume_fit_rows(self, resume, checkpoint_file, ndata,
+                               checkpoint_every)
         if not done:
             self._alloc_fits(ndata, k, track_scale)
         self._fit_rows_done = done

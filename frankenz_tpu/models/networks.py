@@ -739,7 +739,8 @@ class _Network:
         data_err = np.atleast_2d(np.asarray(data_err, float))
         data_mask = np.atleast_2d(np.asarray(data_mask, float))
         ndata = data.shape[0]
-        done = resume_fit_rows(self, resume, checkpoint_file, ndata)
+        done = resume_fit_rows(self, resume, checkpoint_file, ndata,
+                               checkpoint_every)
         self.NDATA = ndata
         self._fit_rows_done = done
         self.nodes_only = nodes_only
@@ -1283,6 +1284,11 @@ def _make_som_mega_kernel(*, chunk, nsteps, nsteps_total, nproj, nside,
                                           (1, 128), 1).astype(jnp.float32)
         valid_lane = ln < float(n)
         big = jnp.float32(1e9)
+        # Lane-pad score sentinel: must sit below any real score (a
+        # plain -1e9 loses to chi2 ~ 2e9 from high-flux/low-error
+        # photometry, silently making a pad lane the BMU); the GNG
+        # kernel masks dead lanes with the same near--inf constant.
+        neg = jnp.float32(-3e38)
 
         def one_step(i, xcg, ivg, xrg):
             @pl.when(i < nsteps)
@@ -1319,7 +1325,7 @@ def _make_som_mega_kernel(*, chunk, nsteps, nsteps_total, nproj, nside,
                              - 0.5 * chi2)
                 else:
                     score = -0.5 * chi2
-                score = jnp.where(valid_lane, score, -big)
+                score = jnp.where(valid_lane, score, neg)
                 bmu = jnp.min(jnp.where(
                     score == jnp.max(score, keepdims=True), ln, big),
                     keepdims=True)
@@ -1491,6 +1497,7 @@ class SelfOrganizingMap(_Network):
         # regenerated draw sequence) continues from the saved node state.
         from ..utils import checkpoint as _ckpt
 
+        _ckpt.validate_plan(checkpoint_every, checkpoint_file)
         start = 0
         if resume:
             if not checkpoint_file:
@@ -1519,14 +1526,20 @@ class SelfOrganizingMap(_Network):
                          tuple(sorted(neighbor_kwargs.items())))
 
         # Mega-kernel eligibility: default free-scale error-free color
-        # likelihood, named schedules, wt_thresh mode.  Lane-oriented
-        # state is a few hundred KB, so the node cap is generous
-        # (32768; nside <= 181 at nproj=2); larger lattices use the
-        # lax.scan path.
+        # likelihood, named schedules, wt_thresh mode.  The node cap is
+        # derived from the VMEM footprint, which scales with BOTH the
+        # lane-padded node count and the filter-row count frow (the
+        # nodes in/out blocks are (frow, Np)): per lane ~ 4*frow + 32
+        # f32 rows (nodes in+out, pos in+out, kernel temporaries),
+        # calibrated so the validated F<=8 point keeps its 32768-node
+        # cap (nside 181 at nproj=2) under Mosaic's conservatively
+        # accounted 16 MB scoped limit.  Larger lattices use lax.scan.
         kw = dict(lprob_spec[2])
         nb_rate = neighbor_kwargs.get("rate", "harmonic")
         mega_chunk = 64  # slab rows per grid step (1024 draws at F<=8)
-        mega_max_nodes = 32768
+        frow_som = max(8, -(-models.shape[1] // 8) * 8)
+        mega_max_nodes = min(32768, (8 << 20) // (4 * (4 * frow_som + 32))
+                             // 128 * 128)
         mega_ok = (
             lprob_spec[0] is None and not lprob_spec[1]
             and kw.get("free_scale") is True
@@ -1551,8 +1564,9 @@ class SelfOrganizingMap(_Network):
             raise ValueError("use_pallas=True requires the default "
                              "free-scale error-free likelihood, named "
                              "learn/neighbor schedules, wt_thresh mode, "
-                             "nproj <= 8, and <= {} nodes (VMEM-resident "
-                             "node buffers)".format(mega_max_nodes))
+                             "nproj <= 8, and <= {} nodes at {} filters "
+                             "(VMEM-resident node buffers)".format(
+                                 mega_max_nodes, models.shape[1]))
         if use_pallas:
             from ..ops.fused import pallas_supported
 
@@ -1976,12 +1990,16 @@ def _make_gng_mega_kernel(*, chunk, nsteps, nbatch, max_age, learn_best,
                 err = meta[0:1, :]
                 c_row = meta[1:2, :]
                 alive_c = meta[2:3, :] > 0.0
-                e1 = min_index(err == jnp.max(
-                    jnp.where(alive_c, err, neg), keepdims=True))
+                # The equality tests are restricted to the same subset
+                # the max ran over: an exact err tie on a dead (resp.
+                # non-neighbor) lane must not steal the pick (scan path:
+                # argmax over jnp.where(alive, err, -inf)).
+                e1 = min_index(jnp.logical_and(alive_c, err == jnp.max(
+                    jnp.where(alive_c, err, neg), keepdims=True)))
                 nbr_e1 = jnp.any(ids_ref[:, :] == e1, axis=0,
                                  keepdims=True)
-                e2 = min_index(err == jnp.max(
-                    jnp.where(nbr_e1, err, neg), keepdims=True))
+                e2 = min_index(jnp.logical_and(nbr_e1, err == jnp.max(
+                    jnp.where(nbr_e1, err, neg), keepdims=True)))
                 free = min_index(jnp.logical_not(alive_c))
                 is_e1 = ln == e1
                 is_e2 = ln == e2
@@ -2254,6 +2272,7 @@ class GrowingNeuralGas(_Network):
         # continues bitwise-identically.
         from ..utils import checkpoint as _ckpt
 
+        _ckpt.validate_plan(checkpoint_every, checkpoint_file)
         start = 0
         if resume:
             if not checkpoint_file:
@@ -2281,15 +2300,22 @@ class GrowingNeuralGas(_Network):
         lprob_spec = _like.static_spec(lprob_func, lprob_args, lprob_kwargs)
         # Mega-kernel eligibility mirrors the SOM kernel: the default
         # free-scale error-free likelihood with named knobs, no scale
-        # tracking, and state that fits VMEM (6 x (N, 128) f32 arrays
-        # plus draw slabs inside the 16 MB scoped limit).
+        # tracking, and state that fits VMEM.  The node cap scales with
+        # the filter-row count frow (posT in/out blocks are (frow, Np);
+        # idsT/srefT contribute 2*64 rows): per lane ~ 3*frow + 200 f32
+        # rows, calibrated so the F<=8 point keeps its 16384-node cap
+        # under Mosaic's conservatively accounted 16 MB scoped limit.
         kwd = dict(lprob_spec[2])
+        frow_gng = max(8, -(-models.shape[1] // 8) * 8)
+        gng_max_nodes = min(16384,
+                            (224 * 4 * 16384) // (4 * (3 * frow_gng + 200))
+                            // 128 * 128)
         mega_ok = (lprob_spec[0] is None and not lprob_spec[1]
                    and kwd.get("free_scale") is True
                    and kwd.get("ignore_model_err") is True
                    and set(kwd) <= {"free_scale", "ignore_model_err",
                                     "dim_prior"}
-                   and not track_scale and N <= 16384
+                   and not track_scale and N <= gng_max_nodes
                    and models.shape[1] <= 120)
         if use_pallas is None:
             from ..ops import fused as _fz
@@ -2297,8 +2323,9 @@ class GrowingNeuralGas(_Network):
         elif use_pallas and not mega_ok:
             raise ValueError("use_pallas=True requires the default "
                              "free-scale error-free likelihood, "
-                             "track_scale=False, and max_nodes <= 16384 "
-                             "(VMEM-resident state)")
+                             "track_scale=False, and max_nodes <= {} at "
+                             "{} filters (VMEM-resident state)".format(
+                                 gng_max_nodes, models.shape[1]))
 
         if use_pallas:
             from ..ops.fused import pallas_supported

@@ -888,8 +888,8 @@ def fused_fit_pdf(data, data_err, data_mask, models, models_err,
                   models_mask, G, *, dim_prior=True, ignore_model_err=False,
                   free_scale=False, wt_thresh=1e-3, cdf_thresh=None,
                   tb=256, tm=512, interpret=None, full_mask=None,
-                  scale_ltol=1e-3, scale_max_iter=100, chi2_mxu=False,
-                  cdf_topk=8):
+                  scale_ltol=1e-4, scale_max_iter=100, chi2_mxu=False,
+                  cdf_topk=8, defer_cdf_check=False):
     """Fused fit->PDF for one object batch.
 
     Parameters mirror `ops.logprob` + a row-normalized kernel matrix `G`
@@ -905,8 +905,11 @@ def fused_fit_pdf(data, data_err, data_mask, models, models_err,
     counts), from which the dropped descending prefix — the minimal one
     whose mass reaches cdf_thresh — is exact whenever those values
     carry >= cdf_thresh of the mass (always, in practice, at the 2e-4
-    default; `FusedCdfFallback` is raised otherwise and BruteForce
-    falls back to the XLA sort for that batch).  Tie groups straddling
+    default; `FusedCdfFallback` is raised otherwise — or, with
+    ``defer_cdf_check=True``, a per-call validity flag is returned as a
+    fourth output so streaming callers like BruteForce drain it with
+    their bulk readback and rerun flagged batches on the XLA sort
+    without a per-batch device sync).  Tie groups straddling
     the cut drop whole where the reference drops an index-prefix; ties
     only arise from duplicate models.
 
@@ -982,12 +985,17 @@ def fused_fit_pdf(data, data_err, data_mask, models, models_err,
         scale_max_iter=int(scale_max_iter), chi2_mxu=bool(chi2_mxu),
         cdf_thresh=(None if cdf_thresh is None else float(cdf_thresh)),
         cdf_topk=int(cdf_topk))
+    cdf_ok = None
     if len(out) == 4:
-        pdf, lmap, levid, ok = out
+        pdf, lmap, levid, okc = out
         # The cdf cut is exact only when the tracked top values carry
         # >= cdf_thresh of the posterior mass (essentially always at
         # the 2e-4 default); an extremely flat posterior falls back.
-        if not bool(jnp.all(ok[:B])):
+        cdf_ok = jnp.all(okc[:B])
+        # `bool()` here forces a device sync per call; streaming callers
+        # pass defer_cdf_check=True and drain the flag with their bulk
+        # readback instead (rerunning flagged batches afterwards).
+        if not defer_cdf_check and not bool(cdf_ok):
             raise FusedCdfFallback(
                 "cdf_thresh cut undetermined for some objects (top-"
                 f"{int(cdf_topk)} weights carry < cdf_thresh of the "
@@ -1001,4 +1009,8 @@ def fused_fit_pdf(data, data_err, data_mask, models, models_err,
     pdf = jnp.where(ok[:, None], pdf, 0.0)
     lmap = jnp.where(ok, lmap, -jnp.inf)
     levid = jnp.where(ok, levid, -jnp.inf)
+    if defer_cdf_check:
+        if cdf_ok is None:
+            cdf_ok = jnp.asarray(True)
+        return pdf, lmap, levid, cdf_ok
     return pdf, lmap, levid

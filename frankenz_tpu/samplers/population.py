@@ -470,16 +470,21 @@ class population_sampler(ChainSampler):
 
         return run, lnp_shift
 
-    def _kernel_ok(self, prior, nbins):
+    def _kernel_ok(self, prior, nbins, niter, mh_steps):
         """Mega-kernel eligibility: flat prior (in-kernel priors would
-        need arbitrary traceables), lane-sized bin grid, VMEM-resident
-        transposed PDF matrix."""
+        need arbitrary traceables), lane-sized bin grid, draw groups
+        that fit a 128-lane slab row (2 + 2*mh_steps values), and
+        VMEM-resident state — the transposed PDF matrix plus the
+        (niter, 128) samples/lnpost output blocks."""
         from ..ops import fused as _fz
 
         nobs = self.pdfs.shape[0]
         npl = -(-nobs // 128) * 128
         return (prior is _zero_prior and _fz.pallas_supported()
-                and nbins <= 128 and nbins * npl * 4 <= 12 * 2**20)
+                and nbins <= 128
+                and 2 + 2 * mh_steps <= 128
+                and (nbins * npl * 4 + 2 * niter * 128 * 4
+                     <= 12 * 2**20))
 
     def _run_kernel(self, key, pos0, Niter, thin, mh_steps, s0=0,
                     nsteps_total=None, carry=None):
@@ -503,11 +508,24 @@ class population_sampler(ChainSampler):
             self._pdfsT_dev = jnp.asarray(pdfsT)
         chunk = 64
         nsteps = Niter * thin
+        # Cache the per-chain host draw streams across block-streaming
+        # calls: the stream for a given (key, chain, nsteps_total) is
+        # deterministic, and regenerating + reading back the WHOLE
+        # stream for every block would be O(Niter^2 * thin) relay
+        # traffic from `sample`.
+        base = (np.asarray(jax.random.key_data(key)).tobytes(),
+                int(nsteps_total), int(nbins), int(mh_steps))
+        if getattr(self, "_draws_cache_key", None) != base:
+            self._draws_cache_key = base
+            self._draws_cache = {}
         outs = []
         for c in range(nchains):
-            draws = np.asarray(_pop_draws(
-                jax.random.fold_in(key, c), nsteps=int(nsteps_total),
-                nbins=nbins, mh_steps=mh_steps))
+            draws = self._draws_cache.get(c)
+            if draws is None:
+                draws = np.asarray(_pop_draws(
+                    jax.random.fold_in(key, c), nsteps=int(nsteps_total),
+                    nbins=nbins, mh_steps=mh_steps))
+                self._draws_cache[c] = draws
             rows = _pack_draw_rows(
                 draws[s0 * thin:s0 * thin + nsteps], chunk)
             if carry is None:
@@ -561,7 +579,7 @@ class population_sampler(ChainSampler):
             run, lnp_shift = self._sharded_inputs(mesh, pos0, thin,
                                                   mh_steps, prior)
             samples, lnps, _ = run(keys, pos0)
-        elif self._kernel_ok(prior, pos0.shape[1]):
+        elif self._kernel_ok(prior, pos0.shape[1], Niter, mh_steps):
             samples, lnps, _ = self._run_kernel(key, pos0, Niter, thin,
                                                 mh_steps)
         else:
@@ -597,7 +615,8 @@ class population_sampler(ChainSampler):
         pos = self._resolve_pos0(pos_init, nchains)
         key = self._resolve_key(seed, rng)
         keys = jax.random.split(key, (nchains, Niter))
-        use_kernel = mesh is None and self._kernel_ok(prior, pos.shape[1])
+        use_kernel = mesh is None and self._kernel_ok(
+            prior, pos.shape[1], min(block, Niter), mh_steps)
         if mesh is not None:
             run, lnp_shift = self._sharded_inputs(mesh, pos, thin,
                                                   mh_steps, prior)

@@ -21,7 +21,8 @@ import os
 import numpy as np
 import jax
 
-__all__ = ["state_dict", "load_state_dict", "save", "restore", "exists"]
+__all__ = ["state_dict", "load_state_dict", "save", "restore", "exists",
+           "validate_plan"]
 
 # Attributes that constitute persistent state, per class name.
 _STATE_ATTRS = {
@@ -82,6 +83,21 @@ def load_state_dict(obj, state):
         else:
             setattr(obj, name, val)
     return obj
+
+
+def validate_plan(checkpoint_every, checkpoint_file):
+    """Fail fast on an unusable checkpoint request.
+
+    Called at the entry of every loop that honors `checkpoint_every`:
+    without this, a missing `checkpoint_file` only surfaces at the FIRST
+    save — after the batches the checkpoint was supposed to protect.
+    """
+    if checkpoint_every:
+        if not checkpoint_file:
+            raise ValueError("checkpoint_every requires checkpoint_file")
+        if int(checkpoint_every) < 1:
+            raise ValueError(
+                "checkpoint_every must be a positive batch count")
 
 
 def save(path, obj_or_state, use_orbax=None):

@@ -204,3 +204,25 @@ def test_gng_chunked_training_and_resume(tmp_path, problem, monkeypatch):
     np.testing.assert_array_equal(resumed.nodes, ref.nodes)
     np.testing.assert_array_equal(resumed.nodes_err, ref.nodes_err)
     np.testing.assert_array_equal(resumed.edge_ages, ref.edge_ages)
+
+
+def test_checkpoint_every_without_file_fails_fast(problem):
+    """checkpoint_every without checkpoint_file must raise BEFORE any
+    batch runs (not crash at the first save, discarding the work the
+    checkpoint was supposed to protect)."""
+    models, data, derr, dmask = problem
+    bf = BruteForce(models, 0.05 * models, np.ones_like(models))
+    with pytest.raises(ValueError, match="checkpoint_file"):
+        bf.fit(data, derr, dmask, checkpoint_every=2, verbose=False)
+    nn = NearestNeighbors(models, 0.05 * models, np.ones_like(models),
+                          K=2, seed=0, verbose=False)
+    with pytest.raises(ValueError, match="checkpoint_file"):
+        nn.fit(data, derr, dmask, k=3, checkpoint_every=2, verbose=False)
+    som = SelfOrganizingMap(models, 0.05 * models, np.ones_like(models))
+    with pytest.raises(ValueError, match="checkpoint_file"):
+        som.train_network(nside=3, nproj=2, niter=4, nbatch=2, seed=0,
+                          checkpoint_every=4, verbose=False)
+    gng = GrowingNeuralGas(models, 0.05 * models, np.ones_like(models))
+    with pytest.raises(ValueError, match="checkpoint_file"):
+        gng.train_network(niter=4, nbatch=2, max_nodes=10, seed=0,
+                          checkpoint_every=4, verbose=False)

@@ -357,3 +357,64 @@ def test_fused_cdf_thresh_flat_posterior_falls_back(problem):
                       np.ones_like(mm), G, wt_thresh=None,
                       cdf_thresh=0.999999, cdf_topk=2, tb=8, tm=128,
                       interpret=True)
+
+
+def test_fused_cdf_defer_flag_instead_of_raise(problem):
+    """defer_cdf_check=True returns the validity flag as a device scalar
+    (for streaming callers to drain asynchronously) instead of raising."""
+    d, de, dm, m, me, mm, G = problem
+    d0 = np.tile(m[:1], (d.shape[0], 1))
+    out = fused_fit_pdf(np.asarray(d0), de, np.ones_like(dm), m, me,
+                        np.ones_like(mm), G, wt_thresh=None,
+                        cdf_thresh=0.999999, cdf_topk=2, tb=8, tm=128,
+                        interpret=True, defer_cdf_check=True)
+    assert len(out) == 4
+    assert not bool(out[3])
+    # Determinate cuts report True and match the eager (raising) call.
+    out2 = fused_fit_pdf(d, de, dm, m, me, mm, G, wt_thresh=None,
+                         cdf_thresh=2e-4, tb=8, tm=128, interpret=True,
+                         defer_cdf_check=True)
+    assert bool(out2[3])
+    pdf, lmap, levid = fused_fit_pdf(d, de, dm, m, me, mm, G,
+                                     wt_thresh=None, cdf_thresh=2e-4,
+                                     tb=8, tm=128, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out2[0]), np.asarray(pdf))
+
+
+def test_bruteforce_cdf_fallback_rerun_matches_xla(monkeypatch):
+    """When every batch's deferred cdf flag comes back False, the
+    streaming loop reruns them all on the XLA sort path — results must
+    equal the pure XLA fit_predict."""
+    from frankenz_tpu.models import BruteForce
+    from frankenz_tpu.models import bruteforce as bf_mod
+
+    rng = np.random.default_rng(3)
+    m = rng.uniform(1, 10, (200, 4)).astype(np.float32)
+    d = (m[rng.integers(0, 200, 40)]
+         + rng.normal(0, 0.3, (40, 4))).astype(np.float32)
+    de = np.full((40, 4), 0.3, np.float32)
+    z = rng.uniform(0, 3, 200)
+    grid = np.linspace(0, 3.2, 65)
+    kw = dict(label_grid=grid, wt_thresh=None, cdf_thresh=2e-4,
+              verbose=False, batch_size=16, return_gof=True)
+
+    bf = BruteForce(m, np.zeros_like(m), np.ones_like(m))
+    want, (wl, wv) = bf.fit_predict(d, de, np.ones_like(d), z,
+                                    np.full(200, 0.1), use_fused=False,
+                                    **kw)
+
+    orig = bf_mod._fused.fused_fit_pdf
+
+    def always_flagged(*a, **k):
+        out = orig(*a, **k)
+        if k.get("defer_cdf_check") and len(out) == 4:
+            return out[0], out[1], out[2], jnp.asarray(False)
+        return out
+
+    monkeypatch.setattr(bf_mod._fused, "fused_fit_pdf", always_flagged)
+    got, (gl, gv) = bf.fit_predict(d, de, np.ones_like(d), z,
+                                   np.full(200, 0.1), use_fused=True,
+                                   **kw)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(gl, wl, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(gv, wv, rtol=1e-5, atol=1e-5)

@@ -344,6 +344,24 @@ def test_som_mega_kernel_vmem_bound():
                           use_pallas=True, verbose=False)
 
 
+def test_mega_kernel_node_caps_scale_with_filters():
+    """The VMEM-derived node caps shrink as the filter count grows: the
+    (frow, Np) node blocks dominate the footprint at wide F, so a
+    lattice that fits at 5 filters must refuse the kernel at 80 (it
+    would OOM at Mosaic compile time otherwise)."""
+    rng = np.random.default_rng(0)
+    m80 = rng.uniform(1, 10, (7000, 80)).astype(np.float32)
+    som = SelfOrganizingMap(m80, 0.05 * m80, np.ones_like(m80))
+    with pytest.raises(ValueError, match="80 filters"):
+        # 78^2 = 6084 nodes: fine at F<=8 (cap 32768), over the F=80 cap.
+        som.train_network(nside=78, nproj=2, niter=1, nbatch=1, seed=0,
+                          use_pallas=True, verbose=False)
+    gng = GrowingNeuralGas(m80, 0.05 * m80, np.ones_like(m80))
+    with pytest.raises(ValueError, match="80 filters"):
+        gng.train_network(niter=1, nbatch=1, max_nodes=9000, seed=0,
+                          use_pallas=True, verbose=False)
+
+
 def test_gng_mega_kernel_matches_scan_path(blob_problem):
     """The GNG Pallas mega-kernel (interpret mode on CPU) reproduces the
     lax.scan path: same math, same tie-breaking, same insert/prune

@@ -210,7 +210,7 @@ def test_population_chain_kernel_matches_semantics(mock_pdfs, monkeypatch):
     precomputed draw stream, exact carry)."""
     pdfs, nz_true, ztrue = mock_pdfs
     monkeypatch.setattr(population_sampler, "_kernel_ok",
-                        lambda self, prior, nbins: True)
+                        lambda self, prior, nbins, niter, mh_steps: True)
     samp = population_sampler(pdfs)
     samp.run_mcmc(8, thin=25, mh_steps=3, seed=7, verbose=False)
     samples, lnps = samp.results
@@ -226,9 +226,42 @@ def test_population_chain_kernel_matches_semantics(mock_pdfs, monkeypatch):
     assert not np.allclose(samples[-1], stack)
     assert lnps[-1] >= np.sum(np.log(pdfs @ stack)) - 1.0
 
-    # Generator parity (3-sample blocks) against the stored chain.
+    # Generator parity (3-sample blocks) against the stored chain; the
+    # per-chain draw stream must be generated ONCE and cached, not
+    # rebuilt for every block (O(Niter^2) readback otherwise).
+    from frankenz_tpu.samplers import population as pop_mod
+
+    ndraws = []
+    orig_draws = pop_mod._pop_draws
+
+    def counting_draws(key, **kw):
+        ndraws.append(kw["nsteps"])
+        return orig_draws(key, **kw)
+
+    monkeypatch.setattr(pop_mod, "_pop_draws", counting_draws)
     gen = population_sampler(pdfs)
     got = list(gen.sample(8, thin=25, mh_steps=3, seed=7, block=3))
+    assert ndraws == [8 * 25]
     for i, (pos, lnp) in enumerate(got):
         np.testing.assert_array_equal(pos, samples[i])
         np.testing.assert_allclose(lnp, lnps[i], rtol=1e-5)
+
+
+def test_population_kernel_bounds_fall_back_to_xla(mock_pdfs, monkeypatch):
+    """Configurations the mega-kernel cannot pack (mh_steps >= 64) or
+    hold in VMEM must run the XLA scan path instead of crashing."""
+    from frankenz_tpu.ops import fused as fz
+
+    pdfs, _, _ = mock_pdfs
+    monkeypatch.setattr(fz, "pallas_supported", lambda: True)
+    s = population_sampler(pdfs)
+    prior = s._resolve_prior(None, (), None)
+    assert s._kernel_ok(prior, pdfs.shape[1], 4, 3)
+    # Draw packing needs 2 + 2*mh_steps lanes per group (<= 128).
+    assert not s._kernel_ok(prior, pdfs.shape[1], 4, 64)
+    # A huge Niter overruns the (niter, 128) output blocks' VMEM share.
+    assert not s._kernel_ok(prior, pdfs.shape[1], 200_000, 3)
+    monkeypatch.undo()
+    s.run_mcmc(2, thin=2, mh_steps=64, seed=0, verbose=False)
+    _, lnps = s.results
+    assert np.isfinite(lnps).all()
