@@ -250,10 +250,14 @@ def config5():
     pdfs = np.exp(-0.5 * ((grid[None] - c[:, None]) / 1.5) ** 2)
     pdfs /= pdfs.sum(1, keepdims=True)
     ps = population_sampler(pdfs)
+    ps.run_mcmc(100, thin=400, mh_steps=3, seed=0, verbose=False)  # warm
+    ps.reset()
     t0 = time.time()
     ps.run_mcmc(100, thin=400, mh_steps=3, seed=0, verbose=False)
     t_pop = time.time() - t0
     hs = hierarchical_sampler(pdfs)
+    hs.run_mcmc(200, thin=5, seed=0, verbose=False)  # warm
+    hs.reset()
     t0 = time.time()
     hs.run_mcmc(200, thin=5, seed=0, verbose=False)
     t_hier = time.time() - t0
