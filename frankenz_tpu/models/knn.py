@@ -153,8 +153,13 @@ def _search_jit(q, feats, feats_sq, *, K, k, lp_norm, dbound, approx):
     # sort by index; a slot is a duplicate if it equals its
     # predecessor in sorted order; scatter back, then compact
     # valid slots to the front by stable sort on the dup flag.
-    order = jnp.argsort(idx, axis=1, stable=True)
-    sorted_idx = jnp.take_along_axis(idx, order, axis=1)
+    # Out-of-bound slots are remapped to per-slot-unique sentinels
+    # FIRST so they can neither shadow an in-bound occurrence of the
+    # same model (which would invalidate both) nor be marked dup.
+    slot = jnp.arange(K * k, dtype=jnp.int32)[None, :]
+    idx_d = jnp.where(ok, idx, _BIG + slot)
+    order = jnp.argsort(idx_d, axis=1, stable=True)
+    sorted_idx = jnp.take_along_axis(idx_d, order, axis=1)
     dup_sorted = jnp.concatenate(
         [jnp.zeros((idx.shape[0], 1), bool),
          sorted_idx[:, 1:] == sorted_idx[:, :-1]], axis=1)
@@ -162,7 +167,6 @@ def _search_jit(q, feats, feats_sq, *, K, k, lp_norm, dbound, approx):
     dup = jnp.put_along_axis(dup, order, dup_sorted, axis=1,
                              inplace=False)
     invalid = dup | ~ok
-    slot = jnp.arange(K * k, dtype=jnp.int32)[None, :]
     perm = jnp.argsort(jnp.where(invalid, _BIG + slot, slot),
                        axis=1, stable=True)
     cidx = jnp.take_along_axis(idx, perm, axis=1)

@@ -593,15 +593,19 @@ def _half_pow(x, a1):
 def _make_chi2max_kernel(nfilt, ignore_model_err, c0, mxu=False):
     """Pass A (full-mask, dim-prior): transcendental-free tracking of the
     chi^2 values bracketing c0 = 2*a1, where the unimodal lnl(chi2)
-    peaks — lmap is recovered from them on the host side."""
+    peaks — lmap is recovered from them on the host side.
+
+    chi2 is tracked UNCLAMPED: clamping here broke lmap/levid parity
+    with the XLA path for rows whose every model exceeds the clamp
+    (insane outliers), pinning both at lnl(clamp) instead of the true
+    values.  Sentinel-padded models carry chi2 ~ 1e30 and never win the
+    bracketing min against any real model."""
 
     def kernel(d, de, mT, meT, below_ref, above_ref):
         j = pl.program_id(1)
-        chi2 = jnp.minimum(
-            _chi2_tile_fullmask(d, de, mT, meT, nfilt=nfilt,
-                                ignore_model_err=ignore_model_err,
-                                mxu=mxu),
-            _CHI2_CLAMP)
+        chi2 = _chi2_tile_fullmask(d, de, mT, meT, nfilt=nfilt,
+                                   ignore_model_err=ignore_model_err,
+                                   mxu=mxu)
 
         @pl.when(j == 0)
         def _():
@@ -620,24 +624,41 @@ def _make_chi2max_kernel(nfilt, ignore_model_err, c0, mxu=False):
     return kernel
 
 
+# Largest a1 for which the no-log sqrt-chain power cannot overflow at
+# the clamp: 30000^8.5 ~ 1.1e38 < f32 max.  Wider filter sets (a1 > 8.5,
+# F > 19) switch to the log-form weight, whose single exponent is
+# bounded by lnl - lmap <= 0 for any chi2 (no clamp needed).
+_A1_NOLOG_MAX = 8.5
+
+
 def _make_chi2stack_kernel(nfilt, ignore_model_err, a1, log_wt_thresh,
                            mxu=False):
     """Pass B (full-mask, dim-prior): w = chi2^a1 * exp(-chi2/2 - shift),
-    shift = lmap + gammaln-norm — one exp + one sqrt per pair, no log.
-    Accumulates pdf += w @ G and s += sum(w); levid = log(s) + lmap."""
+    shift = max(lmap, lnl(clamp)) + gammaln-norm — one exp + one sqrt
+    per pair, no log (a1 <= 8.5; the log-form otherwise — see
+    _A1_NOLOG_MAX).  Accumulates pdf += w @ G and s += sum(w);
+    levid = log(s) + lmap."""
 
     wthr = None if log_wt_thresh is None else float(np.exp(log_wt_thresh))
 
     def kernel(d, de, mT, meT, G, shift, pdf_ref, s_ref):
         j = pl.program_id(1)
-        chi2 = jnp.minimum(
-            _chi2_tile_fullmask(d, de, mT, meT, nfilt=nfilt,
-                                ignore_model_err=ignore_model_err,
-                                mxu=mxu),
-            _CHI2_CLAMP)
-        pw = _half_pow(chi2, a1)
-        e = jnp.exp(-0.5 * chi2 - shift[:, :])
-        w = e if pw is None else pw * e
+        chi2 = _chi2_tile_fullmask(d, de, mT, meT, nfilt=nfilt,
+                                   ignore_model_err=ignore_model_err,
+                                   mxu=mxu)
+        if a1 > _A1_NOLOG_MAX:
+            # Log-form: exact exp(lnl - lmap), overflow-free for any
+            # chi2 (pads at ~1e30 underflow to w = 0).
+            w = jnp.exp(a1 * jnp.log(jnp.maximum(chi2, 1e-30))
+                        - 0.5 * chi2 - shift[:, :])
+        else:
+            # No-log form: clamped chi2 keeps the sqrt-chain power
+            # finite; `shift` is floored at lnl(clamp) host-side so the
+            # exponent stays <= 0 even when every real chi2 clamps.
+            chi2 = jnp.minimum(chi2, _CHI2_CLAMP)
+            pw = _half_pow(chi2, a1)
+            e = jnp.exp(-0.5 * chi2 - shift[:, :])
+            w = e if pw is None else pw * e
 
         @pl.when(j == 0)
         def _():
@@ -660,10 +681,10 @@ def _make_chi2stack_kernel(nfilt, ignore_model_err, a1, log_wt_thresh,
 @functools.partial(
     jax.jit,
     static_argnames=("ignore_model_err", "wt_thresh", "tb", "tm",
-                     "interpret", "chi2_mxu"))
+                     "interpret", "chi2_mxu", "m_pad"))
 def _fused_call_fullmask_dimprior(d, de, mT, meT, G, *, ignore_model_err,
                                   wt_thresh, tb, tm, interpret,
-                                  chi2_mxu=False):
+                                  chi2_mxu=False, m_pad=0):
     """Specialized full-mask + dim-prior pipeline (see kernels above)."""
     B, F = d.shape
     M = mT.shape[1]
@@ -697,7 +718,17 @@ def _fused_call_fullmask_dimprior(d, de, mT, meT, G, *, ignore_model_err,
     lmap = jnp.maximum(jnp.where(below >= 0.0, lnl_of(below), -jnp.inf),
                        jnp.where(jnp.isfinite(above), lnl_of(above),
                                  -jnp.inf))  # (B, 1)
-    shift = lmap + norm
+    if a1 > _A1_NOLOG_MAX:
+        shift = lmap + norm
+    else:
+        # No-log kernel clamps chi2 at _CHI2_CLAMP, so floor the shift
+        # at lnl(clamp): rows whose every model clamps then get w = 1
+        # per real pair (s counts them; levid = lmap + log(s) differs
+        # from the true logsumexp by <= log(M) — sub-ulp at |lmap| of
+        # that magnitude) instead of exp-overflow.
+        lnl_clamp = float((a1 * np.log(_CHI2_CLAMP) if a1 else 0.0)
+                          - 0.5 * _CHI2_CLAMP - norm)
+        shift = jnp.maximum(lmap, lnl_clamp) + norm
     log_thresh = None if wt_thresh is None else float(np.log(wt_thresh))
 
     pdf, s = pl.pallas_call(
@@ -717,9 +748,20 @@ def _fused_call_fullmask_dimprior(d, de, mT, meT, G, *, ignore_model_err,
         interpret=interpret,
     )(d, de, mT, meT, G, shift)
 
+    if a1 <= _A1_NOLOG_MAX and m_pad:
+        # Sentinel-padded models clamp to _CHI2_CLAMP in the no-log
+        # kernel; their per-pad weight exp(lnl(clamp) - shift) is 0
+        # except on (near-)all-clamped rows, where subtracting it here
+        # keeps s (and levid) pad-free.  (Their pdf contribution is
+        # already 0: padded kernel rows of G are zero.)
+        pw_c = _half_pow(jnp.asarray(_CHI2_CLAMP, jnp.float32), a1)
+        w_pad = jnp.exp(-0.5 * _CHI2_CLAMP - shift)
+        if pw_c is not None:
+            w_pad = pw_c * w_pad
+        s = jnp.maximum(s - m_pad * w_pad, 0.0)
     # pdf is in exp(lnl - lmap) scale; convert to the exp(lnl - levid)
-    # convention; all-zero-weight rows (insane outliers past the chi2
-    # clamp) degrade gracefully to zero PDFs.
+    # convention; all-zero-weight rows (insane outliers whose weights
+    # underflow) degrade gracefully to zero PDFs.
     levid = jnp.where(s > 0, jnp.log(jnp.maximum(s, 1e-30)) + lmap,
                       -jnp.inf)
     pdf = jnp.where(s > 0, pdf * jnp.exp(lmap - levid), 0.0)
@@ -731,18 +773,18 @@ def _fused_call_fullmask_dimprior(d, de, mT, meT, G, *, ignore_model_err,
     static_argnames=("dim_prior", "ignore_model_err", "wt_thresh", "tb",
                      "tm", "interpret", "full_mask", "free_scale",
                      "scale_ltol", "scale_max_iter", "chi2_mxu",
-                     "cdf_thresh", "cdf_topk"))
+                     "cdf_thresh", "cdf_topk", "m_pad"))
 def _fused_call(d, de, dm, mT, meT, mmT, valid, G, *, dim_prior,
                 ignore_model_err, wt_thresh, tb, tm, interpret,
                 full_mask=False, free_scale=False, scale_ltol=1e-3,
                 scale_max_iter=100, chi2_mxu=False, cdf_thresh=None,
-                cdf_topk=8):
+                cdf_topk=8, m_pad=0):
     cdf_mode = wt_thresh is None and cdf_thresh is not None
     if full_mask and dim_prior and not free_scale and not cdf_mode:
         return _fused_call_fullmask_dimprior(
             d, de, mT, meT, G, ignore_model_err=ignore_model_err,
             wt_thresh=wt_thresh, tb=tb, tm=tm, interpret=interpret,
-            chi2_mxu=chi2_mxu)
+            chi2_mxu=chi2_mxu, m_pad=m_pad)
 
     B, F = d.shape
     M = mT.shape[1]
@@ -896,7 +938,13 @@ def fused_fit_pdf(data, data_err, data_mask, models, models_err,
     (Nmodel, Ngrid).  Returns (pdf, lmap, levid): unnormalized stacked
     PDFs (Nobj, Ngrid) and the GOF metrics.  Results match the XLA path
     (logprob -> logsumexp -> threshold_weights -> kde_stack) to float32
-    roundoff; the caller normalizes PDFs.
+    roundoff; the caller normalizes PDFs.  One documented deviation: on
+    full-mask dim-prior rows whose EVERY model chi2 exceeds the no-log
+    kernel's clamp (F <= 19, chi2 > 30000 ~ insane outliers), lmap and
+    levid stay f32-exact but the PDF is a uniform mixture over the
+    clamped models rather than the XLA path's argmax row (the
+    transcendental-free kernel cannot resolve lnl differences past the
+    clamp; F > 19 uses a log-form kernel with no clamp at all).
 
     With ``wt_thresh=None`` and ``cdf_thresh`` set, the reference's
     sorted-CDF weight selection (pdf.py:512-516, including its
@@ -984,7 +1032,7 @@ def fused_fit_pdf(data, data_err, data_mask, models, models_err,
         free_scale=free_scale, scale_ltol=float(scale_ltol),
         scale_max_iter=int(scale_max_iter), chi2_mxu=bool(chi2_mxu),
         cdf_thresh=(None if cdf_thresh is None else float(cdf_thresh)),
-        cdf_topk=int(cdf_topk))
+        cdf_topk=int(cdf_topk), m_pad=Mp - M)
     cdf_ok = None
     if len(out) == 4:
         pdf, lmap, levid, okc = out

@@ -418,3 +418,61 @@ def test_bruteforce_cdf_fallback_rerun_matches_xla(monkeypatch):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
     np.testing.assert_allclose(gl, wl, rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(gv, wv, rtol=1e-5, atol=1e-5)
+
+
+def test_fullmask_wide_filter_no_overflow():
+    """a1 > 8.5 (F > 19) switches pass B to the log-form weight: the
+    sqrt-chain power overflowed to inf at the chi2 clamp there, and
+    inf * exp(-big) = NaN poisoned levid for every row with padded
+    models."""
+    from frankenz_tpu.ops import likelihood as L
+
+    rng = np.random.default_rng(0)
+    B, M, F, Ng = 8, 300, 20, 33
+    m = rng.uniform(1, 10, (M, F)).astype(np.float32)
+    me = (0.05 * m).astype(np.float32)
+    d = (m[rng.integers(0, M, B)]
+         + rng.normal(0, .3, (B, F))).astype(np.float32)
+    de = np.full((B, F), .3, np.float32)
+    G = np.abs(rng.normal(size=(M, Ng))).astype(np.float32)
+    G /= G.sum(1, keepdims=True)
+    pdf, lmap, levid = fused_fit_pdf(
+        d, de, np.ones_like(d), m, me, np.ones_like(m), G, tb=8, tm=128,
+        interpret=True, full_mask=True)
+    res = L.logprob(d, de, np.ones_like(d), m, me, np.ones_like(m))
+    lm = np.asarray(res.lnprob.max(1))
+    lv = np.asarray(jax.scipy.special.logsumexp(res.lnprob, axis=1))
+    assert np.isfinite(np.asarray(pdf)).all()
+    np.testing.assert_allclose(np.asarray(lmap), lm, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(levid), lv, rtol=1e-5, atol=1e-5)
+
+
+def test_fullmask_all_clamped_outliers_keep_gof_parity():
+    """Rows whose every model sits past the chi2 clamp (insane
+    outliers): lmap/levid must match the XLA path at f32 (pass A was
+    clamped, pinning both at lnl(clamp) ~ -1.5e4 instead of the true
+    ~ -1.5e12, and sentinel pads inflated levid by log(Mp/M))."""
+    from frankenz_tpu.ops import likelihood as L
+
+    rng = np.random.default_rng(1)
+    B, M, F, Ng = 8, 3, 3, 33
+    m = rng.uniform(1, 2, (M, F)).astype(np.float32)
+    d = np.full((B, F), 1e6, np.float32)
+    de = np.full((B, F), 1.0, np.float32)
+    G = np.abs(rng.normal(size=(M, Ng))).astype(np.float32)
+    G /= G.sum(1, keepdims=True)
+    pdf, lmap, levid = fused_fit_pdf(
+        d, de, np.ones_like(d), m, np.zeros_like(m), np.ones_like(m), G,
+        tb=8, tm=128, interpret=True, full_mask=True,
+        ignore_model_err=True)
+    res = L.logprob(d, de, np.ones_like(d), m, np.zeros_like(m),
+                    np.ones_like(m), ignore_model_err=True)
+    lm = np.float32(np.asarray(res.lnprob.max(1)))
+    lv = np.float32(np.asarray(
+        jax.scipy.special.logsumexp(res.lnprob, axis=1)))
+    np.testing.assert_array_equal(np.float32(np.asarray(lmap)), lm)
+    np.testing.assert_array_equal(np.float32(np.asarray(levid)), lv)
+    # The PDF on such rows is a uniform mixture over the clamped models
+    # (the no-log kernel cannot resolve lnl differences past the clamp)
+    # — documented deviation; it must at least be finite + normalizable.
+    assert np.isfinite(np.asarray(pdf)).all()

@@ -165,3 +165,22 @@ def test_lp_norm_1(problem):
             want |= set(np.argsort(d, kind="stable")[:5].tolist())
         got = set(np.asarray(idx)[b][np.asarray(valid)[b]].tolist())
         assert got == want
+
+
+def test_distance_bound_does_not_shadow_inbound_neighbor():
+    """An out-of-bound occurrence of a model index must not mark the
+    in-bound occurrence from another ensemble as a duplicate (both
+    ending up invalid and the object losing a real neighbor)."""
+    from frankenz_tpu.models.knn import _search_jit
+
+    # K=2 ensembles, M=2 models, 1 feature; query at 0.
+    # Ensemble 0 sees model 0 at distance 3 (out of bound for dbound=2),
+    # ensemble 1 sees model 0 at distance 1 (in bound).
+    feats = jnp.asarray([[[3.0], [10.0]], [[1.0], [10.0]]], jnp.float32)
+    fsq = jnp.sum(feats * feats, axis=-1)
+    q = jnp.zeros((1, 1), jnp.float32)
+    idx, valid, nidx = _search_jit(q, feats, fsq, K=2, k=1, lp_norm=2,
+                                   dbound=2.0, approx=False)
+    assert int(nidx[0]) == 1
+    assert np.asarray(idx)[0].tolist() == [0, -99]
+    assert np.asarray(valid)[0].tolist() == [True, False]
