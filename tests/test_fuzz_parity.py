@@ -151,6 +151,53 @@ def test_fuzz_fused_vs_xla(seed):
                                err_msg=msg)
 
 
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_kde_vs_oracle(seed):
+    """gauss_kde / gauss_kde_dict vs the float64 window-mask oracle on
+    random grids, sigma dictionaries, thresholds, and label placements
+    (including off-grid and edge-overhanging kernels)."""
+    import _oracle as oracle
+    from frankenz_tpu.ops import kde
+
+    rng = np.random.default_rng(59000 + seed)
+    n = int(rng.integers(5, 80))
+    Ng = int(rng.integers(40, 400))
+    lo = rng.uniform(-2, 2)
+    hi = lo + rng.uniform(0.5, 6.0)
+    grid = np.linspace(lo, hi, Ng)
+    y = rng.uniform(lo - 1.0, hi + 1.0, n)  # includes off-grid labels
+    y_std = rng.uniform(0.003, 0.5, n)
+    wt = rng.uniform(0, 1, n) ** 2
+    if rng.uniform() < 0.5:
+        wt_thresh, cdf_thresh = 1e-3, None
+    else:
+        wt_thresh, cdf_thresh = None, 2e-4
+    got = np.asarray(kde.gauss_kde(y, y_std, grid, y_wt=wt,
+                                   wt_thresh=wt_thresh,
+                                   cdf_thresh=cdf_thresh))
+    want = oracle.gauss_kde_1(y, y_std, grid, wt, wt_thresh=wt_thresh,
+                              cdf_thresh=cdf_thresh)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-12,
+                               err_msg=f"seed={seed} gauss_kde")
+
+    # Dictionary variant: in-grid labels (edge-overhangs included via
+    # placement near the boundaries), random sigma dictionary.
+    ndict = int(rng.integers(10, 60))
+    pdfdict = kde.PDFDict(grid, np.sort(rng.uniform(0.003, 0.4, ndict)))
+    y_in = np.clip(y, lo, hi)
+    y_idx, e_idx = pdfdict.fit(y_in, y_std)
+    got = np.asarray(kde.gauss_kde_dict(pdfdict, y_idx=y_idx,
+                                        y_std_idx=e_idx, y_wt=wt,
+                                        wt_thresh=wt_thresh,
+                                        cdf_thresh=cdf_thresh))
+    want = oracle.gauss_kde_dict_1(pdfdict, np.asarray(y_idx),
+                                   np.asarray(e_idx), wt,
+                                   wt_thresh=wt_thresh,
+                                   cdf_thresh=cdf_thresh)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-12,
+                               err_msg=f"seed={seed} gauss_kde_dict")
+
+
 def _knn_oracle(q, feats, K_, k, lp_norm, dbound):
     """First-seen union of per-ensemble in-bound top-k (knn.py:368
     pandas.unique semantics; ties broken toward the lower index exactly
