@@ -1872,6 +1872,106 @@ def _gng_train_jit(pos0, err0, alive0, state0, draws, mods, errs, mask, *,
     return state
 
 
+def _gng_seed_state(graph_init, max_nodes, nfilt, K=32):
+    """Build the dense GNG state arrays from an initial graph.
+
+    Reference parity: ``train_network(graph_init=...)`` continues
+    training from an existing graph (networks.py:2132-2156).  Accepted
+    forms (no hard networkx dependency):
+
+    * a trained :class:`GrowingNeuralGas` (``nodes`` / ``nodes_err`` /
+      ``edge_ages``, as produced by :meth:`export_graph`);
+    * a dict with ``pos`` (n, Nfilt), optional ``err`` (n,), and either
+      ``edge_ages`` (n, n; -1 = no edge) or ``edges`` [(i, j, age), ...];
+    * a ``networkx.Graph`` with node attribute ``pos`` (required),
+      ``error`` (default 0) and edge attribute ``age`` (default 0) —
+      the reference's own format; nodes are relabelled to dense slots
+      in iteration order exactly as the reference assigns ``count``
+      labels (networks.py:2146-2148).
+
+    Edge ages are RELATIVE in the adjacency table (age = c - sref, see
+    `_gng_train_jit`), so seeding ``c = 0, sref = -age`` reproduces them
+    exactly; continued training from a seeded state is equivalent to an
+    uninterrupted run up to slot numbering.
+    """
+    if hasattr(graph_init, "edge_ages") and hasattr(graph_init, "nodes"):
+        pos = np.asarray(graph_init.nodes, np.float32)
+        err = np.asarray(getattr(graph_init, "nodes_err",
+                                 np.zeros(len(pos))), np.float32)
+        ages = np.asarray(graph_init.edge_ages)
+        ii, jj = np.nonzero(ages >= 0)
+        keep = ii < jj
+        edges = list(zip(ii[keep].tolist(), jj[keep].tolist(),
+                         ages[ii[keep], jj[keep]].tolist()))
+    elif isinstance(graph_init, dict):
+        pos = np.asarray(graph_init["pos"], np.float32)
+        err = np.asarray(graph_init.get("err", np.zeros(len(pos))),
+                         np.float32)
+        if "edge_ages" in graph_init:
+            ages = np.asarray(graph_init["edge_ages"])
+            ii, jj = np.nonzero(ages >= 0)
+            keep = ii < jj
+            edges = list(zip(ii[keep].tolist(), jj[keep].tolist(),
+                             ages[ii[keep], jj[keep]].tolist()))
+        else:
+            edges = [tuple(e) if len(e) == 3 else (e[0], e[1], 0)
+                     for e in graph_init.get("edges", [])]
+    elif hasattr(graph_init, "nodes") and hasattr(graph_init, "edges"):
+        # networkx.Graph duck type (the reference's graph_init form).
+        slot = {node: i for i, node in enumerate(graph_init.nodes())}
+        pos_l, err_l = [], []
+        for node in graph_init.nodes():
+            attrs = graph_init.nodes[node]
+            if "pos" not in attrs:
+                raise ValueError(
+                    f"graph_init node {node!r} lacks the 'pos' attribute")
+            pos_l.append(np.asarray(attrs["pos"], np.float32))
+            err_l.append(float(attrs.get("error", 0.0)))
+        pos = np.stack(pos_l) if pos_l else np.zeros((0, nfilt), np.float32)
+        err = np.asarray(err_l, np.float32)
+        edges = [(slot[u], slot[v],
+                  int(graph_init.edges[u, v].get("age", 0)))
+                 for u, v in graph_init.edges()]
+    else:
+        raise TypeError(
+            "graph_init must be a GrowingNeuralGas, a dict with "
+            "pos/err/edge_ages (or edges), or a networkx.Graph with "
+            "'pos'/'error'/'age' attributes; got "
+            f"{type(graph_init).__name__}")
+
+    n = len(pos)
+    if n < 2:
+        raise ValueError(f"graph_init needs at least 2 nodes, got {n}")
+    if n > max_nodes:
+        raise ValueError(f"graph_init has {n} nodes > max_nodes="
+                         f"{max_nodes}")
+    if pos.ndim != 2 or pos.shape[1] != nfilt:
+        raise ValueError(f"graph_init node positions have shape "
+                         f"{pos.shape}, expected (n, {nfilt})")
+
+    pos0 = np.zeros((max_nodes, nfilt), np.float32)
+    pos0[:n] = pos
+    err0 = np.zeros(max_nodes, np.float32)
+    err0[:n] = err
+    alive0 = np.zeros(max_nodes, bool)
+    alive0[:n] = True
+    ids0 = np.full((max_nodes, K), -1, np.int32)
+    sref0 = np.zeros((max_nodes, K), np.int32)
+    c0 = np.zeros(max_nodes, np.int32)
+    deg = np.zeros(max_nodes, np.int64)
+    for i, j, age in edges:
+        i, j, age = int(i), int(j), int(age)
+        for a, b in ((i, j), (j, i)):
+            if deg[a] >= K:
+                raise ValueError(
+                    f"graph_init node {a} has more than {K} edges; the "
+                    "fixed-degree adjacency cannot hold it")
+            ids0[a, deg[a]] = b
+            sref0[a, deg[a]] = -age
+            deg[a] += 1
+    return pos0, err0, alive0, ids0, sref0, c0
+
+
 def _make_gng_mega_kernel(*, chunk, nsteps, nbatch, max_age, learn_best,
                           learn_neighbor, new_err_dec, all_err_dec,
                           dim_prior, n, nfilt):
@@ -2199,7 +2299,10 @@ class GrowingNeuralGas(_Network):
 
     * node table (max_nodes, Nfilt) + per-node accumulated error + alive
       mask; dead slots are masked to -inf in the BMU search;
-    * symmetric edge-age matrix (max_nodes, max_nodes), -1 = no edge;
+    * fixed-degree adjacency table (max_nodes, K=32) with implicit
+      counter-based aging (see `_gng_train_jit`); the public
+      ``edge_ages`` attribute materializes the symmetric age matrix
+      over alive nodes after training;
     * per step (networks.py:2159-2258): BMU and runner-up by top-2
       lnprob; BMU moves by learn_best * resid and accumulates chi2[bmu];
       edge(bmu, bmu2) is created/rejuvenated; BMU's other neighbors move
@@ -2220,10 +2323,12 @@ class GrowingNeuralGas(_Network):
                       lprob_args=None, lprob_kwargs=None, track_scale=False,
                       verbose=True, checkpoint_every=None,
                       checkpoint_file=None, resume=False, use_pallas=None):
-        if graph_init is not None:
-            raise NotImplementedError(
-                "graph_init resume is not supported; retrain or checkpoint "
-                "the dense GNG state instead")
+        """Train the GNG (networks.py:1898-2035 defaults).  `graph_init`
+        continues from an existing graph — a trained GNG /
+        :meth:`export_graph` dict / networkx.Graph (networks.py:
+        2140-2141); `checkpoint_every`/`resume` give mid-run durability;
+        `use_pallas` selects the VMEM-resident mega-kernel (auto when
+        eligible)."""
         if models is None:
             models = self._models_np
             models_err = self._models_err_np
@@ -2248,21 +2353,28 @@ class GrowingNeuralGas(_Network):
         nsteps = niter * nbatch
         t0 = time.time()
         draws = rng.integers(0, nmodel, size=nsteps)
-        i1, i2 = rng.choice(nmodel, size=2, replace=False)
 
         N = max_nodes
         K = 32  # max degree; GNG degrees under max_age pruning are ~10
-        pos0 = np.zeros((N, models.shape[1]), np.float32)
-        pos0[0], pos0[1] = models[i1], models[i2]
-        err0 = np.zeros(N, np.float32)
-        alive0 = np.zeros(N, bool)
-        alive0[:2] = True
-        # Adjacency-table edge state (see _gng_train_jit): the initial
-        # (0, 1) edge at age 0 is one slot in each row; all counters 0.
-        ids0 = np.full((N, K), -1, np.int32)
-        ids0[0, 0], ids0[1, 0] = 1, 0
-        sref0 = np.zeros((N, K), np.int32)
-        c0 = np.zeros(N, np.int32)
+        if graph_init is not None:
+            # Continue from an existing graph (networks.py:2132-2156);
+            # the 2-random-node draw is skipped, as in the reference.
+            pos0, err0, alive0, ids0, sref0, c0 = _gng_seed_state(
+                graph_init, N, models.shape[1], K)
+        else:
+            i1, i2 = rng.choice(nmodel, size=2, replace=False)
+            pos0 = np.zeros((N, models.shape[1]), np.float32)
+            pos0[0], pos0[1] = models[i1], models[i2]
+            err0 = np.zeros(N, np.float32)
+            alive0 = np.zeros(N, bool)
+            alive0[:2] = True
+            # Adjacency-table edge state (see _gng_train_jit): the
+            # initial (0, 1) edge at age 0 is one slot in each row; all
+            # counters 0.
+            ids0 = np.full((N, K), -1, np.int32)
+            ids0[0, 0], ids0[1, 0] = 1, 0
+            sref0 = np.zeros((N, K), np.int32)
+            c0 = np.zeros(N, np.int32)
         ov0 = np.int32(0)
 
         # Mid-run durability: run in nbatch-aligned segments (the insert/
@@ -2466,3 +2578,17 @@ class GrowingNeuralGas(_Network):
         ii, jj = np.nonzero(self.edge_ages >= 0)
         keep = ii < jj
         return np.stack([ii[keep], jj[keep]], axis=1)
+
+    def export_graph(self):
+        """Trained graph as a ``graph_init``-ready dict.
+
+        The reference continues training by passing a previous run's
+        ``self.graph`` back in (networks.py:2140-2141); here the
+        equivalent round-trip is ``train_network(graph_init=
+        gng.export_graph())`` (a trained GNG instance itself is also
+        accepted).  Ages are absolute, so reseeding reproduces the
+        pruning schedule exactly.
+        """
+        return {"pos": np.asarray(self.nodes, np.float32),
+                "err": np.asarray(self.nodes_err, np.float32),
+                "edge_ages": np.asarray(self.edge_ages)}

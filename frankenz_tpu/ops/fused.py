@@ -51,6 +51,10 @@ class FusedCdfFallback(RuntimeError):
 _LOG_2PI = 1.8378770664093453
 _LOG_2 = 0.6931471805599453
 _NEG_INF = float(np.finfo(np.float32).min)  # finite -inf stand-in
+# Free-scale ML-identity chi2 noise floor, as a multiple of A =
+# sum mask d^2/var (16 * f32 eps; see ops/likelihood.py
+# _CHI2_NOISE_MULT — the two paths must floor identically).
+_CHI2_NOISE = 16.0 * float(np.finfo(np.float32).eps)
 
 
 def pallas_supported():
@@ -89,9 +93,10 @@ def _lnl_tile(d_ref, de_ref, dm_ref, mT_ref, meT_ref, mmT_ref, valid_ref,
     normalization select-chain all disappear: Ndim == Nfilt everywhere.
 
     With ``free_scale`` (pdf.py:180-194) the ML scale factor is solved
-    in-tile: inter/shape/d^2 sums accumulate over filters and
-    chi2 = sum d^2/var - inter^2/shape by the ML identity.  With datum-
-    only variance (``ignore_model_err``) one divide per (TB, 1) column
+    in-tile: inter/shape/d^2 sums accumulate over filters, then a second
+    filter pass computes chi2 in the reference's non-cancelling residual
+    form sum mask (d - s m)^2 / var (pdf.py:188-189).  With datum-only
+    variance (``ignore_model_err``) one divide per (TB, 1) column
     suffices and no iteration is needed; with model errors kept, the
     fixed-point iteration runs to per-pair convergence in-tile (see
     `_lnl_tile_freescale_me`).
@@ -150,9 +155,29 @@ def _lnl_tile(d_ref, de_ref, dm_ref, mT_ref, meT_ref, mmT_ref, valid_ref,
             logvar = lv if logvar is None else logvar + lv
 
     if free_scale:
-        # chi2 currently holds A = sum mask d^2/s^2; apply the ML identity.
-        chi2 = chi2 - (inter * inter) * _fast_recip(
-            jnp.maximum(shape, 1e-30))
+        # chi2 currently holds A = sum mask d^2/s^2.  Final chi2 in the
+        # reference's RESIDUAL form (pdf.py:188-189) with a second pass
+        # over the filters — the ML identity A - inter^2/shape is equal
+        # in real arithmetic but cancels to ~eps*A of f32 roundoff for
+        # near-exact fits, and that noise legitimately differs between
+        # this tile's and XLA's accumulation orders on hardware (the
+        # dof=1 dim-prior log then wobbles by whole nats).  Floored at
+        # the per-pair cancellation scale _CHI2_NOISE*A, matching
+        # ops/likelihood.py, so (near-)exact fits stay deterministic.
+        A = chi2
+        s = inter * _fast_recip(jnp.maximum(shape, 1e-30))
+        chi2 = None
+        for k in range(nfilt):
+            dk = d_ref[:, k:k + 1]
+            dek = de_ref[:, k:k + 1]
+            mk = mT_ref[k:k + 1, :]
+            iv = 1.0 / (dek * dek)
+            r = dk - s * mk
+            term = (r * r) * iv
+            if not full_mask:
+                term = (dm_ref[:, k:k + 1] * mmT_ref[k:k + 1, :]) * term
+            chi2 = term if chi2 is None else chi2 + term
+        chi2 = jnp.maximum(chi2, _CHI2_NOISE * A)
         dof_shift = 1.0  # dof = Ndim - 1 (pdf.py:228)
     else:
         dof_shift = 0.0
@@ -194,13 +219,14 @@ def _lnl_tile_freescale_me(d_ref, de_ref, dm_ref, mT_ref, meT_ref, mmT_ref,
                            full_mask, ltol, max_iter):
     """(TB, TM) free-scale lnl tile WITH model errors: in-tile fixed-point
     iteration run TO CONVERGENCE, matching the XLA while_loop
-    (ops/likelihood.py:320-353) and the reference's per-object early exit
-    (pdf.py:197-223): pairs freeze once |delta lnl| <= max(ltol,
-    4 eps A) (the roundoff floor — in float32 the lnl carries ~eps*A of
-    noise, so a tight ltol could never be met), and the tile exits when
-    every pair is frozen or `max_iter` sweeps have run.  Freezing is
-    per-PAIR where the reference is per-object (max over the row), so
-    every pair is at least as converged as the reference's.
+    (ops/likelihood.py) and the reference's per-object early exit
+    (pdf.py:197-223): a row freezes once max over its models of
+    |delta lnl| <= max(ltol, 4 eps max(A)) (the roundoff floor — in
+    float32 the lnl carries ~eps*A of noise, so a tight ltol could
+    never be met), and the tile exits when every row is frozen or
+    `max_iter` sweeps have run.  The final chi2/lnl are recomputed in
+    the reference's residual form with each row's (var(s_prev), s_new)
+    pairing (pdf.py:203-216) — see the comment at the final pass.
     """
     # Ndim does not change across sweeps: precompute once.
     if full_mask:
@@ -238,7 +264,10 @@ def _lnl_tile_freescale_me(d_ref, de_ref, dm_ref, mT_ref, meT_ref, mmT_ref,
             lv = jnp.log(var)
             logvar = lv if logvar is None else logvar + lv
         s_new = inter * _fast_recip(jnp.maximum(shape, 1e-30))
-        chi2 = A - inter * s_new  # ML identity (exact in real arithmetic)
+        # In-loop chi2 via the ML identity (exact in real arithmetic;
+        # only drives the convergence deltas), floored at the per-pair
+        # cancellation scale (see _lnl_tile / likelihood.py).
+        chi2 = jnp.maximum(A - inter * s_new, _CHI2_NOISE * A)
         nd_term = float(nfilt) if full_mask else ndim
         lnl = -0.5 * chi2 - 0.5 * (nd_term * _LOG_2PI + logvar)
         return s_new, chi2, lnl, A
@@ -252,26 +281,60 @@ def _lnl_tile_freescale_me(d_ref, de_ref, dm_ref, mT_ref, meT_ref, mmT_ref,
                                jnp.logical_not(jnp.all(done > 0.0)))
 
     def body(state):
-        scale_c, chi2_c, lnl_c, done, it = state
+        scale_c, prev_c, lnl_c, done, it = state
         scale_n, chi2_n, lnl_n, A_n = sweep(scale_c)
-        delta = jnp.abs(lnl_n - lnl_c)
-        # Roundoff floor at ROW level (max A over the tile's models),
-        # matching the XLA path's per-object floor: a per-pair floor
-        # 4 eps A_pair under-floors low-A pairs whose lnl roundoff is
-        # set by the row's dynamic range, and tiles then spin to
-        # max_iter (measured 10x slowdown).
+        # Per-OBJECT convergence (max over the tile's models), exactly
+        # the XLA path's criterion (ops/likelihood.py): whole rows
+        # freeze together.  (A per-PAIR freeze stops pairs earlier than
+        # XLA keeps iterating them, and at dof=1 the leftover ~thr of
+        # chi2 slack wobbles the dim-prior log by whole nats between
+        # the two paths.)  thr carries the same roundoff floor: in f32
+        # the row's lnl noise is ~eps * max(A), so a tighter ltol could
+        # never be met and rows would spin to max_iter.
+        delta = jnp.max(jnp.abs(lnl_n - lnl_c), axis=1, keepdims=True)
         thr = jnp.maximum(ltol, (4.0 * eps)
                           * jnp.max(A_n, axis=1, keepdims=True))
-        frozen = done > 0.0
+        frozen = done > 0.0                      # (TB, 1)
         lnl_o = jnp.where(frozen, lnl_c, lnl_n)
         scale_o = jnp.where(frozen, scale_c, scale_n)
-        chi2_o = jnp.where(frozen, chi2_c, chi2_n)
+        # Each row's variance anchor: the scale that produced its
+        # frozen value (the reference pairs chi2(var(s_prev), s_new),
+        # pdf.py:203-212) — carried for the final residual pass below.
+        prev_o = jnp.where(frozen, prev_c, scale_c)
         done_n = jnp.where(delta <= thr, 1.0, done)
-        return scale_o, chi2_o, lnl_o, done_n, it + 1
+        return scale_o, prev_o, lnl_o, done_n, it + 1
 
-    scale, chi2, lnl, _, _ = jax.lax.while_loop(
-        cond, body, (scale, chi2, lnl, jnp.zeros_like(lnl),
-                     jnp.int32(0)))
+    done0 = jnp.zeros((lnl.shape[0], 1), jnp.float32)
+    scale, prev, lnl, _, _ = jax.lax.while_loop(
+        cond, body, (scale, scale, lnl, done0, jnp.int32(0)))
+
+    # Final chi2/lnl in the reference's RESIDUAL form (pdf.py:210-216)
+    # with each pair's own (var(s_prev), s_new) pairing: the in-loop ML
+    # identity carries ~eps*A of f32 cancellation noise for near-exact
+    # fits, which differs between accumulation orders (this tile vs XLA
+    # on hardware) and wobbles the dof=1 dim-prior log by whole nats.
+    chi2 = A_f = logvar = None
+    for k in range(nfilt):
+        dk = d_ref[:, k:k + 1]
+        dek = de_ref[:, k:k + 1]
+        mk = mT_ref[k:k + 1, :]
+        mek = meT_ref[k:k + 1, :]
+        sme = prev * mek
+        var = dek * dek + sme * sme
+        iv = _fast_recip(var)
+        if not full_mask:
+            iv = (dm_ref[:, k:k + 1] * mmT_ref[k:k + 1, :]) * iv
+        r = dk - scale * mk
+        term = iv * (r * r)
+        aa = iv * (dk * dk)
+        lv = jnp.log(var)
+        chi2 = term if chi2 is None else chi2 + term
+        A_f = aa if A_f is None else A_f + aa
+        logvar = lv if logvar is None else logvar + lv
+    chi2 = jnp.maximum(chi2, _CHI2_NOISE * A_f)
+    if not dim_prior:
+        nd_term = float(nfilt) if full_mask else ndim
+        lnl = -0.5 * chi2 - 0.5 * (nd_term * _LOG_2PI + logvar)
 
     if dim_prior:
         # dof = Ndim - 1 (pdf.py:228).
@@ -348,8 +411,15 @@ def _make_stack_kernel(nfilt, dim_prior, ignore_model_err, gl_table,
         def _():
             pdf_ref[:, :] = jnp.zeros_like(pdf_ref)
 
+        # HIGHEST precision on every pdf-stack dot (here and the
+        # one-pass / cut-stack / chi2-stack kernels): the MXU default
+        # rounds f32 inputs to bf16, which put ~0.1-0.7% of noise on
+        # stacked PDF cells (measured on v5e; dominant-weight products
+        # round directly into their cells).  The full-f32 passes ride
+        # under the VPU-bound lnl work, so the cost is ~nil.
         pdf_ref[:, :] += jnp.dot(wt, G[:, :],
-                                 preferred_element_type=jnp.float32)
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST)
 
     return kernel
 
@@ -388,7 +458,8 @@ def _make_onepass_kernel(nfilt, dim_prior, ignore_model_err, gl_table,
         lse_ref[:, :] = lse_ref[:, :] * alpha + jnp.sum(w, axis=1,
                                                         keepdims=True)
         pdf_ref[:, :] = pdf_ref[:, :] * alpha + jnp.dot(
-            w, G[:, :], preferred_element_type=jnp.float32)
+            w, G[:, :], preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
         lmap_ref[:, :] = new_m
 
         @pl.when(j == nj - 1)
@@ -479,7 +550,8 @@ def _make_cut_stack_kernel(nfilt, dim_prior, ignore_model_err, gl_table,
             pdf_ref[:, :] = jnp.zeros_like(pdf_ref)
 
         pdf_ref[:, :] += jnp.dot(wt, G[:, :],
-                                 preferred_element_type=jnp.float32)
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST)
 
     return kernel
 
@@ -673,7 +745,8 @@ def _make_chi2stack_kernel(nfilt, ignore_model_err, a1, log_wt_thresh,
             # lnl > ln(wt_thresh) + lmap is exactly w > wt_thresh.
             w = jnp.where(w > wthr, w, 0.0)
         pdf_ref[:, :] += jnp.dot(w, G[:, :],
-                                 preferred_element_type=jnp.float32)
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST)
 
     return kernel
 

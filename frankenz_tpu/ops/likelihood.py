@@ -61,6 +61,13 @@ __all__ = ["static_spec",
 
 _LOG_2PI = 1.8378770664093453  # log(2*pi)
 _LOG_2 = 0.6931471805599453  # log(2)
+# Free-scale chi2 comes from the cancelling ML identity A - inter^2/shape
+# (A = sum mask d^2/var); its roundoff is ~eps*A, so values below
+# _CHI2_NOISE_MULT*eps*A are pure noise and are floored there (the
+# margin covers both this path's and the Pallas tile's accumulation
+# orders).  Keeps the dof=1 dim-prior lnl = -0.5*log(chi2) DETERMINISTIC
+# for (near-)exact fits instead of noise-valued by tens of nats.
+_CHI2_NOISE_MULT = 16.0
 
 
 class LoglikeResult(NamedTuple):
@@ -247,13 +254,29 @@ def _loglike_free_jit(data, data_err, data_mask, models, models_err,
         # have shape == 0; 0/0 = NaN would poison downstream
         # max/logsumexp (see _loglike_fixed_jit).
         scale = inter / jnp.maximum(shape_vals, jnp.finfo(dt).tiny)
-        # The ML identity A - inter^2/shape cancels to ~eps*A roundoff
-        # for near-perfect fits and can land epsilon-NEGATIVE; clamp so
-        # the dof=1 chi2-prior (a1 = -1/2, divergent density at 0) gets
-        # a large finite lnl instead of xlogy(.., <0) = NaN.  The fused
-        # kernel floors identically (ops/fused.py), and the reference's
-        # direct-form chi2 is >= 0 by construction.
-        chi2 = jnp.maximum(A - inter * scale, 0.0)
+        # Final chi2 in RESIDUAL form (pdf.py:188-189), not the matmul-
+        # friendly ML identity A - inter*scale: the identity cancels to
+        # ~eps*A of roundoff for near-perfect fits, so in float32 every
+        # chi2 below ~100*eps*A was pure noise that legitimately
+        # differed O(1) between accumulation orders (XLA vs the Pallas
+        # tile on hardware) — and under the dof=1 chi2-prior (a1 = -1/2,
+        # divergent density at 0) that noise turned into lmap wobble of
+        # tens of nats (masked catalogs hit this on every near-exact
+        # 2-common-band pair).  The residual form is non-cancelling
+        # (relative error ~eps*sqrt(A/chi2), log-stable down to
+        # ~eps*A/4), one unrolled pass over the tiny filter axis.
+        chi2 = jnp.zeros_like(inter)
+        for k in range(nfilt):
+            rk = d[:, k:k + 1] - scale * m[None, :, k]
+            chi2 = chi2 + (inv_var[:, k:k + 1] * mm[None, :, k]) * rk * rk
+        # Floor at the per-pair cancellation scale 16*eps*A: below it
+        # even the residual form is rounding noise (r ~ eps*d), and the
+        # dof=1 dim-prior lnl = -0.5*log(chi2) must stay DETERMINISTIC
+        # across paths for (near-)exact fits.  The fused tile floors
+        # identically (ops/fused.py); the reference's f64 direct-form
+        # chi2 has the same singularity, unguarded — a documented
+        # deviation.
+        chi2 = jnp.maximum(chi2, _CHI2_NOISE_MULT * jnp.finfo(dt).eps * A)
         logvar = jnp.sum(jnp.log(de * de), axis=1, keepdims=True)
         lnl = -0.5 * chi2 - 0.5 * (ndim * _LOG_2PI + logvar)
         if dim_prior:
@@ -282,11 +305,14 @@ def _loglike_free_jit(data, data_err, data_mask, models, models_err,
         """One fixed-point sweep: var(scale_prev) -> scale -> chi2/lnl.
 
         scale_prev=None means the initial un-scaled variance
-        de^2 + me^2 (pdf.py:180-185).  chi2 uses the ML identity
-        ``sum mask (d - s m)^2 / var = A - s * inter`` (with
-        ``A = sum mask d^2/var`` and ``s = inter/shape``), which is exact
-        in real arithmetic and lets the whole sweep run as ONE pass over
-        the filter axis with a shared reciprocal per filter.
+        de^2 + me^2 (pdf.py:180-185).  chi2 is computed in the
+        reference's RESIDUAL form ``sum mask (d - s m)^2 / var``
+        (pdf.py:210-212) with a second pass over the filter axis —
+        non-cancelling, unlike the ML identity ``A - s * inter`` (equal
+        in real arithmetic, but ~eps*A of f32 roundoff for near-exact
+        fits; see the MXU path).  The variance is recomputed per filter
+        column in both passes, so no (Nobj, Nmodel, Nfilt) temporary is
+        ever materialized.
         """
         inter = jnp.zeros((nobj, nmodel), dt)
         shape = jnp.zeros((nobj, nmodel), dt)
@@ -320,8 +346,15 @@ def _loglike_free_jit(data, data_err, data_mask, models, models_err,
         # path) — 0/0 NaN would also make the convergence loop spin to
         # max_iter (NaN never satisfies the |delta lnl| test).
         scale = inter / jnp.maximum(shape, jnp.finfo(dt).tiny)
-        # Clamp the cancellation-prone ML identity (see the MXU path).
-        chi2 = jnp.maximum(A - inter * scale, 0.0)
+        chi2 = jnp.zeros((nobj, nmodel), dt)
+        for k in range(nfilt):
+            iv = 1.0 / var_k(k)
+            mask = dm[:, k:k + 1] * mm[None, :, k]
+            rk = d[:, k:k + 1] - scale * m[None, :, k]
+            chi2 = chi2 + (mask * iv) * rk * rk
+        # Floor at the per-pair cancellation scale (see the MXU path).
+        chi2 = jnp.maximum(chi2,
+                           _CHI2_NOISE_MULT * jnp.finfo(dt).eps * A)
         lnl = -0.5 * chi2 - 0.5 * (ndim * _LOG_2PI + logvar)
         return scale, shape, chi2, lnl, A
 

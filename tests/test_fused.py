@@ -285,6 +285,56 @@ def test_masked_zero_overlap_pairs_do_not_poison_rows():
         assert np.isfinite(lmap[rich]).all(), (fs, dp)
 
 
+def test_free_scale_dof1_noise_floor_determinism():
+    """dof=1 pairs (2 common bands) whose ML scale fits (near-)exactly:
+    chi2 is pure f32 cancellation noise there, and the dim-prior lnl =
+    -0.5*log(chi2) turned that noise into lmap values differing by TENS
+    of nats between the fused tile, the XLA while_loop, and different
+    ltol settings (found by the hardware parity sweep; masked catalogs
+    hit this on every near-degenerate 2-common-band pair).  Both paths
+    now floor chi2 at the per-pair cancellation scale 16*eps*A and must
+    agree -- and the XLA path must be ltol-independent."""
+    from frankenz_tpu.ops import likelihood as L
+
+    rng = np.random.default_rng(3)
+    B, M, F, Ng = 16, 192, 5, 33
+    m = rng.uniform(1, 10, (M, F)).astype(np.float32)
+    me = (0.05 * m).astype(np.float32)
+    mm = np.ones((M, F), np.float32)
+    # Every model overlaps each datum in exactly bands {0, 1} -> dof=1;
+    # the data are exact scalings of model rows on those bands, so the
+    # ML scale fit is exact and chi2 is pure roundoff.
+    mm[:, 2:] = 0.0
+    d = np.zeros((B, F), np.float32)
+    pick = rng.integers(0, M, B)
+    d[:, :2] = 1.7 * m[pick, :2]
+    de = np.full((B, F), 0.3, np.float32)
+    dm = np.ones((B, F), np.float32)
+    G = np.abs(rng.normal(size=(M, Ng))).astype(np.float32)
+    G /= G.sum(1, keepdims=True)
+
+    pdf, lmap, levid = fused_fit_pdf(
+        d, de, dm, m, me, mm, G, free_scale=True, dim_prior=True,
+        wt_thresh=1e-3, tb=8, tm=128, interpret=True, scale_ltol=1e-4)
+    lmap, levid = np.asarray(lmap), np.asarray(levid)
+    assert np.isfinite(lmap).all() and np.isfinite(levid).all()
+
+    ref = {}
+    for ltol in (1e-6, 1e-4):
+        res = L.loglike_free(
+            jnp.asarray(d), jnp.asarray(de), jnp.asarray(dm),
+            jnp.asarray(m), jnp.asarray(me), jnp.asarray(mm),
+            ignore_model_err=False, dim_prior=True, ltol=ltol)
+        lnp = np.asarray(res.lnlike)
+        ref[ltol] = lnp.max(1)
+        np.testing.assert_allclose(lmap, ref[ltol], rtol=1e-2, atol=0.1)
+    # ltol must not move the floored value at all.
+    np.testing.assert_allclose(ref[1e-6], ref[1e-4], rtol=1e-5, atol=1e-4)
+    # The floored lnl is bounded: -0.5*log(16 eps A) with A ~ sum d^2/de^2
+    # stays well under the ~34 nats the old 1e-30 floor produced.
+    assert lmap.max() < 10.0
+
+
 def test_chi2_mxu_optin_matches_vpu_path():
     """The benched-and-rejected MXU chi^2 decomposition (docs/MXU_NOTE.md)
     stays functional as an opt-in: in interpret mode its dots are exact,

@@ -258,6 +258,97 @@ def test_gng_training(blob_problem):
     assert pdfs.shape == (gng.NNODE, 151)
 
 
+class _FixedRng:
+    """Deterministic rng stand-in: hands train_network a preset draw
+    array (and node pair), so split-vs-continuous runs see the exact
+    same object stream."""
+
+    def __init__(self, draws, pair=(0, 1)):
+        self._draws = np.asarray(draws)
+        self._pair = np.asarray(pair)
+
+    def integers(self, low, high=None, size=None):
+        assert size == len(self._draws)
+        return self._draws
+
+    def choice(self, n, size=2, replace=False):
+        return self._pair
+
+
+def test_gng_graph_init_resumes_training(blob_problem):
+    """graph_init continues training from an exported graph
+    (networks.py:2132-2156): a run split into two train_network calls
+    bridged by export_graph() reproduces the uninterrupted run exactly
+    (same draws; ages are absolute in the export, so the pruning
+    schedule is preserved)."""
+    models, me, mm, zlab, centers, zc = blob_problem
+    rng = np.random.default_rng(11)
+    draws = rng.integers(0, len(models), 600)
+    kw = dict(nbatch=25, max_nodes=30, verbose=False)
+
+    full = GrowingNeuralGas(models, me, mm)
+    full.train_network(niter=24, rng=_FixedRng(draws, (3, 7)), **kw)
+
+    part = GrowingNeuralGas(models, me, mm)
+    part.train_network(niter=12, rng=_FixedRng(draws[:300], (3, 7)), **kw)
+    # Exact resume requires the half-way alive set to be the slot prefix
+    # (no mid-run deaths): compaction then preserves slot numbering.
+    assert part.NNODE == 2 + 12  # one insert per block, no deaths
+    resumed = GrowingNeuralGas(models, me, mm)
+    resumed.train_network(niter=12, rng=_FixedRng(draws[300:]),
+                          graph_init=part.export_graph(), **kw)
+
+    assert resumed.NNODE == full.NNODE
+    np.testing.assert_allclose(resumed.nodes, full.nodes, rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(resumed.nodes_err, full.nodes_err,
+                               rtol=1e-4, atol=1e-7)
+    np.testing.assert_array_equal(resumed.edge_ages, full.edge_ages)
+    # A trained instance is itself accepted as graph_init.
+    again = GrowingNeuralGas(models, me, mm)
+    again.train_network(niter=12, rng=_FixedRng(draws[300:]),
+                        graph_init=part, **kw)
+    np.testing.assert_array_equal(again.edge_ages, full.edge_ages)
+
+
+def test_gng_graph_init_networkx_and_errors(blob_problem):
+    """The reference's own graph_init form — a networkx.Graph with
+    pos/error/age attributes — seeds the dense state; malformed inputs
+    refuse loudly."""
+    nx = pytest.importorskip("networkx")
+    models, me, mm, zlab, centers, zc = blob_problem
+    g = nx.Graph()
+    g.add_node("a", pos=models[0], error=0.5)
+    g.add_node("b", pos=models[100], error=0.0)
+    g.add_node("c", pos=models[200])
+    g.add_edge("a", "b", age=3)
+    g.add_edge("b", "c")
+    gng = GrowingNeuralGas(models, me, mm)
+    gng.train_network(niter=8, nbatch=25, max_nodes=30, seed=2,
+                      graph_init=g, verbose=False)
+    assert gng.NNODE >= 3
+    assert len(gng.edges()) >= 1
+
+    from frankenz_tpu.models.networks import _gng_seed_state
+    pos0, err0, alive0, ids0, sref0, c0 = _gng_seed_state(g, 30, 3)
+    assert alive0[:3].all() and not alive0[3:].any()
+    np.testing.assert_allclose(err0[:3], [0.5, 0.0, 0.0])
+    # Seeded ages materialize as c - sref = [3, 0] on node b's slots.
+    assert sorted((c0[1] - sref0[1])[ids0[1] >= 0].tolist()) == [0, 3]
+
+    with pytest.raises(ValueError, match="at least 2"):
+        _gng_seed_state({"pos": models[:1]}, 30, 3)
+    with pytest.raises(ValueError, match="max_nodes"):
+        _gng_seed_state({"pos": models[:31]}, 30, 3)
+    with pytest.raises(TypeError, match="graph_init"):
+        _gng_seed_state(42, 30, 3)
+    big = nx.star_graph(40)  # hub degree 40 > K=32
+    for node in big.nodes():
+        big.add_node(node, pos=models[node])
+    with pytest.raises(ValueError, match="more than 32"):
+        _gng_seed_state(big, 60, 3)
+
+
 def test_fit_predict_save_fits_false_matches(blob_problem):
     """save_fits=False streams fused batches; results match the
     materializing fit()+predict() path on both prediction modes."""

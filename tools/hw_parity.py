@@ -1,0 +1,178 @@
+"""Hardware parity sweep: fused Pallas kernels (interpret=False, on the
+real TPU) vs the XLA path on the same chip, across the option combos the
+CPU fuzz sweep covers in interpret mode.
+
+Catches Mosaic hardware-vs-interpret divergence, which the CPU suite
+cannot see.  Hardware-only failure modes found by this sweep so far:
+
+* top-k tie/min-reduction semantics differing from interpret mode
+  (round 2 — the fused kNN top-k kernel was rejected over it);
+* f32 cancellation noise in the free-scale ML-identity chi2 amplified
+  by the dof=1 dim-prior log (fixed: residual-form final chi2 +
+  16*eps*A floor in both paths, ops/likelihood.py / ops/fused.py);
+* the MXU's default bf16 input rounding putting ~0.1-0.7% of noise on
+  pdf-stack cells (fixed: Precision.HIGHEST on the stack dots).
+
+Run from the repo root on a TPU-attached host:
+
+    python tools/hw_parity.py
+
+Prints one OK / OK-ENVELOPE / FAIL line per case and a final verdict.
+Wall time is dominated by remote compiles (one-time per kernel config,
+persistent-cached; 10-300 s each over the axon relay).
+
+Tolerances: GOF (lmap/levid) compares at ~2e-4 (fixed scale) / 5e-3
+(free scale: converged-fixed-point resolution, see below).  PDFs
+compare at rtol 2e-3 and, where they fail, against a THRESHOLD-FLIP
+ENVELOPE: XLA references with the weight cut shifted +-0.2% (wt) /
++-2% (cdf) — ulp-level lnl differences between the kernels and XLA
+legitimately flip pairs sitting ON the cut, and both discretizations
+are valid.  Free-scale cases tolerate rtol 5e-3 on GOF: the fixed-point
+iteration stops at |delta lnl| <= max(ltol, 4 eps max(A)), so two
+converged implementations can sit ~that far apart on slow-converging
+rows (the residual-form chi2 keeps the dim-prior log from amplifying
+it further).
+"""
+import time
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from frankenz_tpu.ops import kde as K
+from frankenz_tpu.ops import likelihood as L
+from frankenz_tpu.ops.fused import fused_fit_pdf
+
+rng = np.random.default_rng(7)
+B, M, Ngrid = 256, 2048, 301
+
+
+def make(F, full_mask, regime):
+    m = rng.uniform(1, 10, (M, F)).astype(np.float32)
+    me = (0.05 * m).astype(np.float32)
+    d = (m[rng.integers(0, M, B)]
+         + rng.normal(0, 0.3, (B, F))).astype(np.float32)
+    de = np.full((B, F), 0.3, np.float32)
+    if regime == "outlier":
+        off = np.sqrt(20000.0 / F) * 0.3
+        rows = rng.integers(0, B, B // 3)
+        d[rows] += off * rng.choice([-1.0, 1.0], (rows.size, F))
+    if full_mask:
+        dm, mm = np.ones((B, F), np.float32), np.ones((M, F), np.float32)
+    else:
+        dm = (rng.uniform(size=(B, F)) < 0.75).astype(np.float32)
+        mm = (rng.uniform(size=(M, F)) < 0.75).astype(np.float32)
+    G = np.asarray(K.kernel_matrix(
+        rng.uniform(0, 3, M), np.full(M, 0.1),
+        np.linspace(0, 3, Ngrid)), np.float32)
+    return d, de, dm, m, me, mm, G
+
+
+def xla_ref(d, de, dm, m, me, mm, G, *, dim_prior, ignore_model_err,
+            free_scale, wt_thresh, cdf_thresh):
+    if free_scale:
+        res = L.loglike_free(d, de, dm, m, me, mm, dim_prior=dim_prior,
+                             ignore_model_err=ignore_model_err, ltol=1e-6)
+    else:
+        res = L.loglike_fixed(d, de, dm, m, me, mm, dim_prior=dim_prior,
+                              ignore_model_err=ignore_model_err)
+    lnp = np.asarray(res.lnlike)
+    lnp = np.where(np.isnan(lnp), -np.inf, lnp)
+    from scipy.special import logsumexp
+    lmap = lnp.max(1)
+    levid = logsumexp(lnp, axis=1)
+    with np.errstate(invalid="ignore"):
+        wt = np.where(np.isfinite(levid)[:, None],
+                      np.exp(lnp - levid[:, None]), 0.0)
+    wt = np.asarray(K.threshold_weights(jnp.asarray(wt, jnp.float32),
+                                        wt_thresh, cdf_thresh))
+    return wt @ np.asarray(G, np.float64), lmap, levid
+
+
+CASES = [
+    # (name, F, full_mask, regime, kwargs,
+    #  tol (gof_rt, gof_at, pdf_rt, pdf_at))
+    ("fullmask-nolog", 5, True, "normal",
+     dict(), (2e-4, 2e-4, 2e-3, 3e-5)),
+    ("fullmask-nolog-outlier", 5, True, "outlier",
+     dict(), (2e-4, 2e-4, 2e-3, 3e-5)),
+    ("fullmask-logform-F20", 20, True, "normal",
+     dict(), (2e-4, 2e-4, 2e-3, 3e-5)),
+    ("masked-dimprior", 5, False, "normal",
+     dict(), (2e-4, 2e-4, 2e-3, 3e-5)),
+    ("masked-nodimprior-nomodelerr", 5, False, "normal",
+     dict(dim_prior=False, ignore_model_err=True), (2e-4, 2e-4, 2e-3, 3e-5)),
+    ("freescale-errfree-full", 5, True, "normal",
+     dict(free_scale=True, ignore_model_err=True), (5e-3, 2e-3, 5e-3, 2e-4)),
+    ("freescale-moderr-masked", 5, False, "normal",
+     dict(free_scale=True), (5e-3, 2e-3, 5e-3, 2e-4)),
+    ("cdf-thresh", 5, True, "normal",
+     dict(wt_thresh=None, cdf_thresh=2e-4), (2e-4, 2e-4, 2e-3, 3e-5)),
+]
+
+fails = 0
+for name, F, full_mask, regime, kw, (rt_g, at_g, rt_p, at_p) in CASES:
+    d, de, dm, m, me, mm, G = make(F, full_mask, regime)
+    kwargs = dict(wt_thresh=1e-3, cdf_thresh=None, dim_prior=True,
+                  ignore_model_err=False, free_scale=False)
+    kwargs.update(kw)
+    t0 = time.time()
+    pdf, lmap, levid = fused_fit_pdf(
+        d, de, dm, m, me, mm, G, full_mask=full_mask,
+        scale_ltol=1e-4, **kwargs)
+    pdf, lmap, levid = jax.device_get((pdf, lmap, levid))
+    t1 = time.time()
+    want_pdf, want_lmap, want_levid = xla_ref(
+        jnp.asarray(d), jnp.asarray(de), jnp.asarray(dm), jnp.asarray(m),
+        jnp.asarray(me), jnp.asarray(mm), G, **kwargs)
+    try:
+        np.testing.assert_allclose(lmap, want_lmap, rtol=rt_g, atol=at_g,
+                                   err_msg=name + " lmap")
+        np.testing.assert_allclose(levid, want_levid, rtol=rt_g,
+                                   atol=at_g, err_msg=name + " levid")
+    except AssertionError as e:
+        fails += 1
+        print(f"{name}: GOF FAIL\n{str(e)[:400]}", flush=True)
+        continue
+    try:
+        np.testing.assert_allclose(pdf, want_pdf, rtol=rt_p, atol=at_p,
+                                   err_msg=name)
+        print(f"{name}: OK ({t1-t0:.1f}s fused incl compile)", flush=True)
+        continue
+    except AssertionError as e:
+        msg = str(e)
+    # PDF mismatch: check the threshold-flip envelope (see module
+    # docstring) — the fused result must lie between XLA references
+    # with the weight cut shifted either way.
+    if kwargs["wt_thresh"] is None and kwargs["cdf_thresh"] is not None:
+        shift = 1.02
+        key = "cdf_thresh"
+    elif kwargs["wt_thresh"] is not None:
+        shift = 1.002
+        key = "wt_thresh"
+    else:
+        fails += 1
+        print(f"{name}: PDF FAIL\n{msg[:300]}", flush=True)
+        continue
+    lo_pdf, _, _ = xla_ref(jnp.asarray(d), jnp.asarray(de),
+                           jnp.asarray(dm), jnp.asarray(m),
+                           jnp.asarray(me), jnp.asarray(mm), G,
+                           **{**kwargs, key: kwargs[key] * shift})
+    hi_pdf, _, _ = xla_ref(jnp.asarray(d), jnp.asarray(de),
+                           jnp.asarray(dm), jnp.asarray(m),
+                           jnp.asarray(me), jnp.asarray(mm), G,
+                           **{**kwargs, key: kwargs[key] / shift})
+    env_lo = np.minimum(lo_pdf, hi_pdf) - (at_p + rt_p * np.abs(want_pdf))
+    env_hi = np.maximum(lo_pdf, hi_pdf) + (at_p + rt_p * np.abs(want_pdf))
+    inside = (pdf >= env_lo) & (pdf <= env_hi)
+    if inside.all():
+        flipped = (~np.isclose(pdf, want_pdf, rtol=rt_p,
+                               atol=at_p)).mean()
+        print(f"{name}: OK-ENVELOPE ({key}-flip bounded; "
+              f"{flipped:.3%} cells flipped) ({t1-t0:.1f}s)", flush=True)
+        continue
+    fails += 1
+    print(f"{name}: PDF FAIL even vs {key} envelope "
+          f"({(~inside).mean():.3%} outside)\n{msg[:300]}", flush=True)
+
+print("HW PARITY", "FAILED" if fails else "OK")
+raise SystemExit(1 if fails else 0)
