@@ -41,6 +41,7 @@ import jax.numpy as jnp
 from ..ops import fused as _fused
 from ..ops import kde as _kde
 from ..ops import likelihood as _like
+from ..ops import summarize as _summ
 from ..utils.metrics import metrics as _metrics
 from ..utils.progress import progress_iter
 
@@ -396,7 +397,7 @@ class BruteForce:
                     lprob_args=None, lprob_kwargs=None, return_gof=False,
                     track_scale=False, verbose=True, save_fits=False,
                     batch_size=None, wt_thresh=1e-3, cdf_thresh=2e-4,
-                    use_fused=None, mesh=None):
+                    use_fused=None, mesh=None, _post_setup=None):
         """Fused fit + predict: posteriors -> weights -> PDFs in one pass.
 
         Reference: `bruteforce.py:374-631`.  Unlike the reference (which
@@ -409,6 +410,12 @@ class BruteForce:
         fused Pallas kernel (`ops.fused.fused_fit_pdf`) — the (B, M) grid
         then never leaves VMEM; set ``use_fused=False`` to force the XLA
         path (or True to force the kernel, e.g. interpret mode in tests).
+
+        `_post_setup` (internal, see `fit_summarize` and
+        `ops.summarize.stream_summary_setup`): resolves to a jitted
+        device-side transform `(pdf_batch, i0) -> (B, width)` applied to
+        each normalized PDF batch before results leave the device — the
+        "pdfs" the caller receives are then the transformed columns.
         """
         data = np.atleast_2d(np.asarray(data))
         data_err = np.atleast_2d(np.asarray(data_err))
@@ -451,13 +458,13 @@ class BruteForce:
                     data, data_err, data_mask, G, lprob_func, lprob_args,
                     lprob_kwargs, wt_thresh, cdf_thresh, batch_size, mesh,
                     bool(use_fused) and not cdf_mode,
-                    return_gof, verbose)
+                    return_gof, verbose, _post_setup)
         if use_fused:
             with self._fp_metrics(ndata):
                 return self._fit_predict_fused(
                     data, data_err, data_mask, G, lprob_kwargs or {},
                     wt_thresh, cdf_thresh, batch_size, return_gof,
-                    verbose)
+                    verbose, _post_setup)
         if lprob_func is None:
             lprob_func = _like.logprob
         lprob_args = lprob_args or ()
@@ -474,7 +481,8 @@ class BruteForce:
 
         if save_fits:
             self._alloc_fits(ndata, track_scale)
-        ngrid = G.shape[1]
+        _post, ngrid = ((None, G.shape[1]) if _post_setup is None
+                        else _post_setup(ndata, batch_size))
         pdfs = np.zeros((ndata, ngrid), np.float32)
         lmap = np.zeros(ndata, np.float32)
         levid = np.zeros(ndata, np.float32)
@@ -488,6 +496,8 @@ class BruteForce:
                 pdf_b, lmap_b, levid_b, res = fused(
                     d, de, dm, self.models, self.models_err,
                     self.models_mask, G)
+                if _post is not None:
+                    pdf_b = _post(pdf_b, i0)
                 pdfs[i0:i0 + n] = np.asarray(pdf_b[:n])
                 lmap[i0:i0 + n] = np.asarray(lmap_b[:n])
                 levid[i0:i0 + n] = np.asarray(levid_b[:n])
@@ -500,10 +510,49 @@ class BruteForce:
             return pdfs, (lmap, levid)
         return pdfs
 
+    def fit_summarize(self, data, data_err, data_mask, model_labels,
+                      model_label_errs, label_dict=None, label_grid=None,
+                      kde_args=None, kde_kwargs=None, lprob_func=None,
+                      lprob_args=None, lprob_kwargs=None, verbose=True,
+                      batch_size=None, wt_thresh=1e-3, cdf_thresh=2e-4,
+                      use_fused=None, mesh=None, pkern="lorentz",
+                      pkern_grid=None, summary_seed=0):
+        """`fit_predict` + `pdfs_summarize` with the summary computed ON
+        DEVICE per batch: only the 21 packed summary columns (plus the
+        GOF metrics) ever stream back to the host — the (Ndata, Ngrid)
+        PDF matrix is reduced on-chip right after the KDE stack.
+
+        The reference workflow materializes every PDF and summarizes on
+        the host (pdf.py:899-1074 over bruteforce.py:374's output); at
+        catalog scale the PDF readback dominates the serving wall time
+        (Ngrid/21 ~ 15-30x more transfer than the summaries).  Results
+        are identical to ``pdfs_summarize(fit_predict(...))`` with
+        default conf window/renormalization; the MC draw uses uniforms
+        drawn once on the host as ``default_rng(summary_seed).random()``
+        per (padded) catalog row, so it is independent of batching.
+
+        Returns ``(PDFSummary, (lmap, levid))`` as host NumPy arrays.
+        Custom `wconf_func` consumers need the PDFs anyway — use
+        `fit_predict` + `pdfs_summarize`.
+        """
+        grid = _summ.label_grid_of(label_dict, label_grid)
+        cols, gof = self.fit_predict(
+            data, data_err, data_mask, model_labels, model_label_errs,
+            lprob_func=lprob_func, label_dict=label_dict,
+            label_grid=label_grid, kde_args=kde_args,
+            kde_kwargs=kde_kwargs, lprob_args=lprob_args,
+            lprob_kwargs=lprob_kwargs, return_gof=True, verbose=verbose,
+            batch_size=batch_size, wt_thresh=wt_thresh,
+            cdf_thresh=cdf_thresh, use_fused=use_fused, mesh=mesh,
+            _post_setup=_summ.stream_summary_setup(grid, pkern, pkern_grid,
+                                                   summary_seed))
+        return _summ.unpack_summary(cols), gof
+
     def _fit_predict_sharded(self, data, data_err, data_mask, G,
                              lprob_func, lprob_args, lprob_kwargs,
                              wt_thresh, cdf_thresh, batch_size, mesh,
-                             use_pallas, return_gof, verbose):
+                             use_pallas, return_gof, verbose,
+                             post_setup=None):
         """Stream object batches through a mesh-sharded fused step.
 
         Pure data parallelism over the mesh's first axis: every chip
@@ -545,7 +594,8 @@ class BruteForce:
         mask_p = np.pad(np.asarray(data_mask, np.float32),
                         ((0, pad), (0, 0)))
 
-        ngrid = G.shape[1]
+        post, ngrid = ((None, G.shape[1]) if post_setup is None
+                       else post_setup(ndata, batch_size))
         pdfs = np.zeros((ndata, ngrid), np.float32)
         lmap = np.zeros(ndata, np.float32)
         levid = np.zeros(ndata, np.float32)
@@ -559,7 +609,13 @@ class BruteForce:
             d = jax.device_put(data_p[sl], dspec)
             de = jax.device_put(err_p[sl], dspec)
             dm = jax.device_put(mask_p[sl], dspec)
-            parts.append((i0, n, step(d, de, dm, m, me, mm, Gr)))
+            pdf_b, lmap_b, levid_b = step(d, de, dm, m, me, mm, Gr)
+            if post is not None:
+                # The transform is a jitted per-object map; on the
+                # obj-sharded batch it runs shard-local and only its
+                # (B, post_width) output joins the bulk readback.
+                pdf_b = post(pdf_b, i0)
+            parts.append((i0, n, (pdf_b, lmap_b, levid_b)))
         for i0, n, out in jax.device_get(parts):
             pdf_b, lmap_b, levid_b = out
             pdfs[i0:i0 + n] = pdf_b[:n]
@@ -571,7 +627,8 @@ class BruteForce:
 
     def _fit_predict_fused(self, data, data_err, data_mask, G,
                            lprob_kwargs, wt_thresh, cdf_thresh,
-                           batch_size, return_gof, verbose):
+                           batch_size, return_gof, verbose,
+                           post_setup=None):
         """Stream object batches through the Pallas fused kernel.
 
         The whole catalog is uploaded once, batches are sliced on device,
@@ -580,6 +637,8 @@ class BruteForce:
         would serialize compute with tunnel round-trips).
         """
         ndata = data.shape[0]
+        post = (None if post_setup is None
+                else post_setup(ndata, batch_size)[0])
         dim_prior = lprob_kwargs.get("dim_prior", True)
         ignore_model_err = lprob_kwargs.get("ignore_model_err", False)
         free_scale = lprob_kwargs.get("free_scale", False)
@@ -619,7 +678,10 @@ class BruteForce:
                 scale_ltol=float(lprob_kwargs.get("ltol", 1e-4)),
                 scale_max_iter=int(lprob_kwargs.get("max_iter", 100)),
                 defer_cdf_check=True)
-            parts.append((_kde.norm_rows(pdf_b), lmap_b, levid_b, ok_b))
+            pdf_b = _kde.norm_rows(pdf_b)
+            if post is not None:
+                pdf_b = post(pdf_b, i0)
+            parts.append((pdf_b, lmap_b, levid_b, ok_b))
             starts.append(i0)
 
         parts = jax.device_get(parts)
@@ -636,6 +698,8 @@ class BruteForce:
                                 self.models_mask, lprob_spec=spec)
             lmap_b, levid_b, wt = _gof_weights(res[2])
             pdf_b = _kde.norm_rows(_kde.kde_stack(wt, G, None, cdf_thresh))
+            if post is not None:
+                pdf_b = post(pdf_b, i0)
             n = min(batch_size, ndata - i0)
             pdfs[i0:i0 + n] = np.asarray(pdf_b[:n])
             lmap[i0:i0 + n] = np.asarray(lmap_b[:n])

@@ -41,6 +41,7 @@ import jax.numpy as jnp
 
 from ..ops import kde as _kde
 from ..ops import likelihood as _like
+from ..ops import summarize as _summ
 from ..ops import transforms as _tf
 from ..utils.metrics import metrics as _metrics
 from ..utils.progress import progress_iter
@@ -569,7 +570,7 @@ class NearestNeighbors:
                     rng=None, k=20, eps=1e-3, lp_norm=2,
                     distance_upper_bound=np.inf, batch_size=4096,
                     wt_thresh=1e-3, cdf_thresh=2e-4, approx=False,
-                    mesh=None):
+                    mesh=None, _post_setup=None):
         """Fused KMCkNN fit + PDF prediction (knn.py:560-874).
 
         Each batch is ONE device program (jitter features -> ensemble
@@ -601,6 +602,8 @@ class NearestNeighbors:
         use_dict, ngrid, lab = _kde.pack_label_spec(
             label_dict, label_grid, model_labels, model_label_errs,
             dx=dx, sig_thresh=sig_thresh)
+        post, out_width = ((None, ngrid) if _post_setup is None
+                           else _post_setup(ndata, batch_size))
 
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -639,7 +642,7 @@ class NearestNeighbors:
                     self.models, self.models_err, self.models_mask, *lab,
                     **common)
 
-        pdfs = np.zeros((ndata, ngrid), np.float32)
+        pdfs = np.zeros((ndata, out_width), np.float32)
         lmap = np.zeros(ndata, np.float32)
         levid = np.zeros(ndata, np.float32)
 
@@ -663,6 +666,8 @@ class NearestNeighbors:
                     data, data_err, data_mask, batch_size, rng):
                 out = fused(jnp.asarray(jq), jnp.asarray(d),
                             jnp.asarray(de), jnp.asarray(dm))
+                if post is not None:
+                    out = (post(out[0], i0),) + tuple(out[1:])
                 parts.append((i0, n, out))
                 if len(parts) >= 32:
                     drain(parts)
@@ -680,3 +685,33 @@ class NearestNeighbors:
         if return_gof:
             return pdfs, (lmap, levid)
         return pdfs
+
+    def fit_summarize(self, data, data_err, data_mask, model_labels,
+                      model_label_errs, lprob_func=None, label_dict=None,
+                      label_grid=None, kde_args=None, kde_kwargs=None,
+                      lprob_args=None, lprob_kwargs=None, verbose=True,
+                      rng=None, k=20, eps=1e-3, lp_norm=2,
+                      distance_upper_bound=np.inf, batch_size=4096,
+                      wt_thresh=1e-3, cdf_thresh=2e-4, approx=False,
+                      mesh=None, pkern="lorentz", pkern_grid=None,
+                      summary_seed=0):
+        """`fit_predict` + `pdfs_summarize` with the summary reduced on
+        device per batch — only 21 columns per object stream back, not
+        the (Ndata, Ngrid) PDFs (see `BruteForce.fit_summarize`; same
+        contract and MC-uniform convention).  Returns
+        ``(PDFSummary, (lmap, levid))``.
+        """
+        grid = _summ.label_grid_of(label_dict, label_grid)
+        cols, gof = self.fit_predict(
+            data, data_err, data_mask, model_labels, model_label_errs,
+            lprob_func=lprob_func, label_dict=label_dict,
+            label_grid=label_grid, kde_args=kde_args,
+            kde_kwargs=kde_kwargs, lprob_args=lprob_args,
+            lprob_kwargs=lprob_kwargs, return_gof=True, verbose=verbose,
+            rng=rng, k=k, eps=eps, lp_norm=lp_norm,
+            distance_upper_bound=distance_upper_bound,
+            batch_size=batch_size, wt_thresh=wt_thresh,
+            cdf_thresh=cdf_thresh, approx=approx, mesh=mesh,
+            _post_setup=_summ.stream_summary_setup(grid, pkern, pkern_grid,
+                                                   summary_seed))
+        return _summ.unpack_summary(cols), gof

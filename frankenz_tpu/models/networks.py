@@ -995,7 +995,7 @@ class _Network:
                     track_scale=False, discrete=False, nodes_only=False,
                     verbose=True, save_fits=True, batch_size=256,
                     wt_thresh=1e-3, cdf_thresh=2e-4, max_sel_nodes=24,
-                    max_neighbors=4096, mesh=None):
+                    max_neighbors=4096, mesh=None, _post_setup=None):
         """fit + predict (networks.py:1130-1487).
 
         With ``save_fits=True`` (the reference default) this is
@@ -1010,6 +1010,9 @@ class _Network:
         if mesh is not None and save_fits:
             raise ValueError("mesh-sharded fit_predict streams PDFs only; "
                              "pass save_fits=False")
+        if _post_setup is not None and save_fits:
+            raise ValueError("streaming summaries require the fused "
+                             "save_fits=False path")
         if save_fits:
             self.fit(data, data_err, data_mask, lprob_func=lprob_func,
                      nodes_only=nodes_only, wt_thresh=wt_thresh,
@@ -1034,7 +1037,8 @@ class _Network:
             discrete=discrete, nodes_only=nodes_only,
             batch_size=batch_size, wt_thresh=wt_thresh,
             cdf_thresh=cdf_thresh, max_sel_nodes=max_sel_nodes,
-            max_neighbors=max_neighbors, mesh=mesh, verbose=verbose)
+            max_neighbors=max_neighbors, mesh=mesh, verbose=verbose,
+            post_setup=_post_setup)
 
     def _fit_predict_fused(self, data, data_err, data_mask, model_labels,
                            model_label_errs, lprob_func, label_dict,
@@ -1042,7 +1046,7 @@ class _Network:
                            lprob_kwargs, return_gof, discrete, nodes_only,
                            batch_size, wt_thresh, cdf_thresh,
                            max_sel_nodes, max_neighbors, mesh=None,
-                           verbose=True):
+                           verbose=True, post_setup=None):
         """save_fits=False streaming fit_predict (see fit_predict)."""
         data = np.atleast_2d(np.asarray(data, float))
         data_err = np.atleast_2d(np.asarray(data_err, float))
@@ -1137,7 +1141,9 @@ class _Network:
                         kde_wt_thresh=kde_wt, kde_cdf_thresh=kde_cdf,
                         use_dict=use_dict, nx=ngrid)
 
-        pdfs = np.zeros((ndata, ngrid), np.float32)
+        post, out_width = ((None, ngrid) if post_setup is None
+                           else post_setup(ndata, batch_size))
+        pdfs = np.zeros((ndata, out_width), np.float32)
         lmap = np.zeros(ndata, np.float32)
         levid = np.zeros(ndata, np.float32)
 
@@ -1163,7 +1169,10 @@ class _Network:
             x = jnp.asarray(_pad_rows(data[i0:i0 + n], batch_size))
             xe = jnp.asarray(_pad_rows(data_err[i0:i0 + n], batch_size))
             xm = jnp.asarray(_pad_rows(data_mask[i0:i0 + n], batch_size))
-            parts.append((i0, n, run(x, xe, xm)))
+            out = run(x, xe, xm)
+            if post is not None:
+                out = (post(out[0], i0),) + tuple(out[1:])
+            parts.append((i0, n, out))
             if len(parts) >= 64:
                 drain(parts)
                 parts = []
@@ -1171,6 +1180,38 @@ class _Network:
         if return_gof:
             return pdfs, (lmap, levid)
         return pdfs
+
+    def fit_summarize(self, data, data_err, data_mask, model_labels,
+                      model_label_errs, lprob_func=None, label_dict=None,
+                      label_grid=None, kde_args=None, kde_kwargs=None,
+                      lprob_args=None, lprob_kwargs=None, discrete=False,
+                      nodes_only=False, verbose=True, batch_size=256,
+                      wt_thresh=1e-3, cdf_thresh=2e-4, max_sel_nodes=24,
+                      max_neighbors=4096, mesh=None, pkern="lorentz",
+                      pkern_grid=None, summary_seed=0):
+        """Streaming `fit_predict(save_fits=False)` + on-device
+        `pdfs_summarize` — only 21 summary columns per object stream
+        back, not the (Ndata, Ngrid) PDFs (see
+        `BruteForce.fit_summarize`; same contract and MC-uniform
+        convention).  Works on both the nodes_only and exact-union
+        paths.  Returns ``(PDFSummary, (lmap, levid))``.
+        """
+        from ..ops import summarize as _summ
+
+        grid = _summ.label_grid_of(label_dict, label_grid)
+        cols, gof = self.fit_predict(
+            data, data_err, data_mask, model_labels, model_label_errs,
+            lprob_func=lprob_func, label_dict=label_dict,
+            label_grid=label_grid, kde_args=kde_args,
+            kde_kwargs=kde_kwargs, lprob_args=lprob_args,
+            lprob_kwargs=lprob_kwargs, return_gof=True,
+            discrete=discrete, nodes_only=nodes_only, verbose=verbose,
+            save_fits=False, batch_size=batch_size, wt_thresh=wt_thresh,
+            cdf_thresh=cdf_thresh, max_sel_nodes=max_sel_nodes,
+            max_neighbors=max_neighbors, mesh=mesh,
+            _post_setup=_summ.stream_summary_setup(grid, pkern, pkern_grid,
+                                                   summary_seed))
+        return _summ.unpack_summary(cols), gof
 
 
 @functools.partial(jax.jit, static_argnames=("lprob_spec", "learn_spec",

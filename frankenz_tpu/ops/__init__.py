@@ -36,6 +36,8 @@ from .transforms import (  # noqa: F401
 from .summarize import (  # noqa: F401
     PDFSummary,
     PointEstimate,
+    loss_kernel_matrix,
     pdfs_resample,
     pdfs_summarize,
+    unpack_summary,
 )

@@ -11,10 +11,13 @@ from __future__ import annotations
 
 from typing import Callable, NamedTuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["pdfs_resample", "pdfs_summarize", "PDFSummary", "PointEstimate"]
+__all__ = ["pdfs_resample", "pdfs_summarize", "PDFSummary", "PointEstimate",
+           "SUMMARY_NCOLS", "loss_kernel_matrix", "summary_stream_step",
+           "unpack_summary"]
 
 
 class PointEstimate(NamedTuple):
@@ -84,6 +87,19 @@ def _loss_kernel(pkern, pkern_grid):
     raise ValueError("unknown loss kernel: {!r}".format(pkern))
 
 
+def loss_kernel_matrix(pgrid, pkern="lorentz", pkern_grid=None):
+    """(Ngrid, Ngrid) complementary loss matrix 1 - kernel.
+
+    The risk map is `pdfs @ loss_kernel_matrix(...)` (pdf.py:1024-1025);
+    precompute it once when summarizing many batches over the same grid
+    (see `summary_stream_step`).
+    """
+    pgrid = jnp.asarray(pgrid)
+    if pkern_grid is None:
+        pkern_grid = _default_photoz_kern_grid(pgrid)
+    return 1.0 - _loss_kernel(pkern, jnp.asarray(pkern_grid))
+
+
 def pdfs_summarize(pdfs, pgrid, renormalize=True, rng=None, pkern="lorentz",
                    pkern_grid=None, wconf_func=None):
     """Compute point estimators + quality metrics for a batch of PDFs.
@@ -101,7 +117,19 @@ def pdfs_summarize(pdfs, pgrid, renormalize=True, rng=None, pkern="lorentz",
     """
     pdfs = jnp.atleast_2d(jnp.asarray(pdfs))
     pgrid = jnp.asarray(pgrid)
-    nobj, ngrid = pdfs.shape
+    if rng is None:
+        rng = jax.random.key(0)
+    u = jax.random.uniform(rng, (pdfs.shape[0],), dtype=pdfs.dtype)
+    kern_c = loss_kernel_matrix(pgrid, pkern, pkern_grid)
+    return _summarize_core(pdfs, pgrid, kern_c, u, renormalize, wconf_func)
+
+
+def _summarize_core(pdfs, pgrid, kern_c, u, renormalize=True,
+                    wconf_func=None):
+    """`pdfs_summarize` body with the MC uniforms `u` (Nobj,) and the
+    complementary loss matrix `kern_c` passed explicitly — jit-traceable
+    with no per-call randomness or kernel rebuild (the streaming path)."""
+    pdfs = jnp.atleast_2d(jnp.asarray(pdfs))
     if renormalize:
         pdfs = pdfs / jnp.sum(pdfs, axis=1, keepdims=True)
 
@@ -109,9 +137,6 @@ def pdfs_summarize(pdfs, pgrid, renormalize=True, rng=None, pkern="lorentz",
     pmode = pgrid[jnp.argmax(pdfs, axis=1)]
 
     cdfs = jnp.cumsum(pdfs, axis=1)
-    if rng is None:
-        rng = jax.random.key(0)
-    u = jax.random.uniform(rng, (nobj,), dtype=pdfs.dtype)
 
     def quantiles(cdf, ui):
         qs = jnp.array([0.025, 0.16, 0.5, 0.84, 0.975])
@@ -124,10 +149,7 @@ def pdfs_summarize(pdfs, pgrid, renormalize=True, rng=None, pkern="lorentz",
 
     # Risk map: expected loss of guessing column g when truth follows the
     # PDF — a single MXU contraction (pdf.py:1024-1025).
-    if pkern_grid is None:
-        pkern_grid = _default_photoz_kern_grid(pgrid)
-    kernel = _loss_kernel(pkern, jnp.asarray(pkern_grid))
-    prisk = pdfs @ (1.0 - kernel)
+    prisk = pdfs @ kern_c
     pbest = pgrid[jnp.argmin(prisk, axis=1)]
 
     def point_std(point):
@@ -153,3 +175,83 @@ def pdfs_summarize(pdfs, pgrid, renormalize=True, rng=None, pkern="lorentz",
 
     return PDFSummary(estimate(pmean), estimate(pmed), estimate(pmode),
                       estimate(pbest), plow2, plow1, phigh1, phigh2, pmc)
+
+
+# Packed-column layout for the streaming summary path: 4 point estimators
+# x (point, std, conf, risk), then the 4 credible bounds and the MC draw.
+SUMMARY_NCOLS = 21
+
+
+def _pack_summary(s):
+    """PDFSummary -> (Nobj, SUMMARY_NCOLS) matrix (see SUMMARY_NCOLS)."""
+    cols = []
+    for est in (s.mean, s.median, s.mode, s.best):
+        cols += [est.point, est.std, est.conf, est.risk]
+    cols += [s.low95, s.low68, s.high68, s.high95, s.mc]
+    return jnp.stack(cols, axis=1)
+
+
+def unpack_summary(cols):
+    """(Nobj, SUMMARY_NCOLS) matrix -> PDFSummary (inverse of packing)."""
+    ests = [PointEstimate(cols[:, 4 * i], cols[:, 4 * i + 1],
+                          cols[:, 4 * i + 2], cols[:, 4 * i + 3])
+            for i in range(4)]
+    return PDFSummary(*ests, cols[:, 16], cols[:, 17], cols[:, 18],
+                      cols[:, 19], cols[:, 20])
+
+
+def label_grid_of(label_dict, label_grid):
+    """The label grid a fit_predict call will stack PDFs on (the
+    fitters' shared `label_dict`-or-`label_grid` contract)."""
+    if label_dict is not None:
+        return np.asarray(label_dict.grid)
+    if label_grid is not None:
+        return np.asarray(label_grid)
+    raise ValueError("`label_dict` or `label_grid` must be specified.")
+
+
+def stream_summary_setup(grid, pkern="lorentz", pkern_grid=None,
+                         summary_seed=0):
+    """Factory for the fitters' streaming-summary hook.
+
+    Returns ``setup(ndata, batch_size) -> (post, SUMMARY_NCOLS)`` where
+    `post(pdf_batch, i0)` is the jitted on-device summary transform the
+    fit_predict streaming loops apply before results leave the chip.
+    The two-stage shape lets each fitter resolve its final (rounded)
+    batch size first, so the once-drawn MC uniforms cover exactly the
+    padded catalog and every batch slices the same global rows —
+    results are independent of batching.
+    """
+    grid_dev = jnp.asarray(grid, jnp.float32)
+    kern_c = jnp.asarray(loss_kernel_matrix(grid_dev, pkern, pkern_grid),
+                         jnp.float32)
+
+    def setup(ndata, batch_size):
+        npad = -(-ndata // batch_size) * batch_size
+        u_dev = jnp.asarray(
+            np.random.default_rng(summary_seed).random(npad), jnp.float32)
+
+        def post(pdf_b, i0):
+            return summary_stream_step(pdf_b, grid_dev, kern_c, u_dev, i0)
+
+        return post, SUMMARY_NCOLS
+
+    return setup
+
+
+@jax.jit
+def summary_stream_step(pdfs, pgrid, kern_c, u_all, i0):
+    """One streaming-summary batch: summarize `pdfs` (B, Ngrid) on device
+    and return the packed (B, SUMMARY_NCOLS) column matrix.
+
+    `u_all` holds the whole catalog's MC uniforms (drawn once on the
+    host, so results are independent of batching); `i0` is the batch's
+    first global row.  Everything stays on device — the caller reads
+    back only the 21 summary columns, never the PDFs (the reference
+    reads back every PDF and summarizes on the host, pdf.py:899-1074;
+    over a remote-TPU relay that readback dominates the wall time).
+    Default conf window and renormalization; custom `wconf_func`/`pkern`
+    consumers use `pdfs_summarize` on materialized PDFs.
+    """
+    u = jax.lax.dynamic_slice_in_dim(u_all, i0, pdfs.shape[0])
+    return _pack_summary(_summarize_core(pdfs, pgrid, kern_c, u))
