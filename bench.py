@@ -21,6 +21,7 @@ the primary metric, is the default):
   2  KMCkNN: 100K train / 10K test, K=25 ensembles, k=20
   3  SOM 50x50 + GNG on 100K models; cell-conditioned PDFs for 10K objs
   5  hierarchical + population MCMC over stacked PDFs
+  6  serving: fit_summarize (on-device summaries) vs full-PDF readback
 Each extra config prints its own one-line JSON (no vs_baseline — the
 reference publishes no numbers; BASELINE.md documents its asymptotic
 costs instead).
@@ -266,6 +267,49 @@ def config5():
           nobs=nobs)
 
 
+def config6():
+    """Serving: streaming on-device summaries vs full-PDF readback.
+
+    fit_summarize reduces each PDF batch to 21 summary columns on-chip;
+    fit_predict reads back the whole (Nobj, Ngrid) matrix.  Identical
+    device compute — the delta is purely the host readback (over the
+    remote-TPU relay the PDF transfer dominates at catalog scale).
+    """
+    from frankenz_tpu.fitting import BruteForce
+
+    rng = np.random.default_rng(0)
+    nobj = int(os.environ.get("BENCH_NOBJ", 100_000))
+    nmodel = int(os.environ.get("BENCH_NMODEL", 20_000))
+    m = rng.uniform(1, 10, (nmodel, 5)).astype(np.float32)
+    me = (0.05 * m).astype(np.float32)
+    d = (m[rng.integers(0, nmodel, nobj)]
+         + rng.normal(0, 0.3, (nobj, 5))).astype(np.float32)
+    de = np.full((nobj, 5), 0.3, np.float32)
+    dm = np.ones_like(d)
+    bf = BruteForce(m, me, np.ones_like(m))
+    z = rng.uniform(0, 3, nmodel)
+    grid = np.linspace(0, 3.2, 321)
+    args = (d, de, dm, z, np.full(nmodel, 0.05))
+    kw = dict(label_grid=grid, verbose=False)
+
+    bf.fit_summarize(*args, **kw)  # warm
+    t0 = time.time()
+    summary, _ = bf.fit_summarize(*args, **kw)
+    t_summ = time.time() - t0
+    assert np.isfinite(summary.median.point).all()
+
+    bf.fit_predict(*args, **kw)  # warm
+    t0 = time.time()
+    pdfs = bf.fit_predict(*args, **kw)
+    t_pdf = time.time() - t0
+    assert pdfs.shape == (nobj, len(grid))
+
+    _emit("config6_serving_summaries", nobj / t_summ, "obj/s",
+          fit_summarize_s=round(t_summ, 2), fit_predict_s=round(t_pdf, 2),
+          readback_speedup=round(t_pdf / t_summ, 2), nobj=nobj,
+          nmodel=nmodel, ngrid=len(grid))
+
+
 def main():
     nobj = int(os.environ.get("BENCH_NOBJ", 1_000_000))
     nmodel = int(os.environ.get("BENCH_NMODEL", 100_000))
@@ -405,4 +449,4 @@ if __name__ == "__main__":
         main()
     else:
         {"1": config1, "2": config2, "3": config3,
-         "5": config5}[cfg]()
+         "5": config5, "6": config6}[cfg]()
