@@ -355,7 +355,8 @@ def _stack_node_pdfs_jit(lwt, node_pdfs_occ):
     lmap = jnp.max(lwt, axis=1)
     levid = jax.scipy.special.logsumexp(lwt, axis=1)
     wt = jnp.exp(lwt - levid[:, None])
-    pdf = wt @ node_pdfs_occ
+    # HIGHEST precision: see ops/kde.py `_matmul` (PDF contract).
+    pdf = jnp.dot(wt, node_pdfs_occ, precision=jax.lax.Precision.HIGHEST)
     return _kde.norm_rows(pdf), lmap, levid
 
 

@@ -303,7 +303,11 @@ def threshold_weights(wts, wt_thresh=1e-3, cdf_thresh=2e-4):
 
 @jax.jit
 def _matmul(wts, G):
-    return wts @ G
+    # HIGHEST: the MXU's default bf16 input rounding puts ~0.1-0.7% of
+    # noise on stacked PDF cells (measured on hardware, tools/
+    # hw_parity.py) — the 1e-6 PDF-parity contract needs full-f32 dots.
+    # The Pallas stack kernels pin the same precision (ops/fused.py).
+    return jnp.dot(wts, G, precision=jax.lax.Precision.HIGHEST)
 
 
 def kde_stack_gathered_dict(pdfdict, pos, sig, wts):
@@ -338,14 +342,17 @@ def _kde_stack_gathered_jit(sigmas, widths, delta, pos, sig, wts, *, nx):
     norm = jnp.sum(vals, axis=-1, keepdims=True)
     rows = jnp.where(norm > 0.0, vals / jnp.where(norm > 0.0, norm, 1.0),
                      0.0)
-    return jnp.einsum("bj,bjg->bg", wts, rows)
+    # HIGHEST precision: see `_matmul` (PDF cells are contractual).
+    return jnp.einsum("bj,bjg->bg", wts, rows,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 @jax.jit
 def _kde_stack_gathered_grid_jit(y, y_std, wts, grid, dx, sig_thresh):
     rows = jax.vmap(lambda yy, ss: _kernel_matrix_jit(yy, ss, grid, dx,
                                                       sig_thresh))(y, y_std)
-    return jnp.einsum("bj,bjg->bg", wts, rows)
+    return jnp.einsum("bj,bjg->bg", wts, rows,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def kde_stack_gathered(y, y_std, wts, grid, dx=None, sig_thresh=5.0):

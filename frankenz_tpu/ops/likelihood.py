@@ -247,9 +247,15 @@ def _loglike_free_jit(data, data_err, data_mask, models, models_err,
         # elementwise path is retained for model-error configurations and
         # float64 runs bit-match the reference.
         inv_var = dm / (de * de)
-        inter = (d * inv_var) @ (mm * m).T
-        shape_vals = inv_var @ (mm * m * m).T
-        A = (d * d * inv_var) @ mm.T
+        # HIGHEST on the accuracy-bearing dots: the MXU default rounds
+        # f32 inputs to bf16 (~1e-3 relative), far over the 1e-6 parity
+        # bar; the contraction axis is only Nfilt, so the full-f32
+        # passes are ~free next to the (Nobj, Nmodel) elementwise work.
+        # (ndim above keeps the default: 0/1 masks are exact in bf16.)
+        hi = jax.lax.Precision.HIGHEST
+        inter = jnp.dot(d * inv_var, (mm * m).T, precision=hi)
+        shape_vals = jnp.dot(inv_var, (mm * m * m).T, precision=hi)
+        A = jnp.dot(d * d * inv_var, mm.T, precision=hi)
         # Guarded divide: zero-overlap pairs (and all-zero-flux models)
         # have shape == 0; 0/0 = NaN would poison downstream
         # max/logsumexp (see _loglike_fixed_jit).

@@ -133,7 +133,11 @@ def _summarize_core(pdfs, pgrid, kern_c, u, renormalize=True,
     if renormalize:
         pdfs = pdfs / jnp.sum(pdfs, axis=1, keepdims=True)
 
-    pmean = pdfs @ pgrid
+    # HIGHEST on the point-estimate dots: the MXU's default bf16 input
+    # rounding costs ~1e-3 relative on TPU (see ops/kde.py `_matmul`);
+    # point estimates carry the same parity contract as the PDFs.
+    hi = jax.lax.Precision.HIGHEST
+    pmean = jnp.dot(pdfs, pgrid, precision=hi)
     pmode = pgrid[jnp.argmax(pdfs, axis=1)]
 
     cdfs = jnp.cumsum(pdfs, axis=1)
@@ -149,7 +153,7 @@ def _summarize_core(pdfs, pgrid, kern_c, u, renormalize=True,
 
     # Risk map: expected loss of guessing column g when truth follows the
     # PDF — a single MXU contraction (pdf.py:1024-1025).
-    prisk = pdfs @ kern_c
+    prisk = jnp.dot(pdfs, kern_c, precision=hi)
     pbest = pgrid[jnp.argmin(prisk, axis=1)]
 
     def point_std(point):

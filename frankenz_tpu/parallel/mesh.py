@@ -184,7 +184,10 @@ def model_sharded_fit_predict_step(mesh, wt_thresh=1e-3, dim_prior=True,
         if wt_thresh is not None:
             keep = lnp > jnp.log(wt_thresh) + lmap[:, None]
             wt = jnp.where(keep, wt, 0.0)
-        pdf = jax.lax.psum(wt @ G, MODEL_AXIS)
+        # HIGHEST precision: see ops/kde.py `_matmul` (PDF contract).
+        pdf = jax.lax.psum(
+            jnp.dot(wt, G, precision=jax.lax.Precision.HIGHEST),
+            MODEL_AXIS)
         return _kde.norm_rows(pdf), lmap, levid
 
     data_spec = P(OBJ_AXIS, None)
@@ -267,7 +270,8 @@ def ring_fit_predict_step(mesh, wt_thresh=1e-3, dim_prior=True,
                 alpha = jnp.exp(rm - new_m)
                 w = jnp.exp(lnp - new_m[:, None])
                 s = s * alpha + jnp.sum(w, axis=1)
-                pdf = pdf * alpha[:, None] + w @ G
+                pdf = pdf * alpha[:, None] + jnp.dot(
+                    w, G, precision=jax.lax.Precision.HIGHEST)
                 m, me, mm, G = rotate(m, me, mm, G)
                 return (m, me, mm, G, new_m, s, pdf), ()
 
@@ -305,7 +309,8 @@ def ring_fit_predict_step(mesh, wt_thresh=1e-3, dim_prior=True,
                 lnp = lnp_of(m, me, mm)
                 w = jnp.exp(lnp - levid[:, None])
                 w = jnp.where(lnp > log_thr + lmap[:, None], w, 0.0)
-                pdf = pdf + w @ G
+                pdf = pdf + jnp.dot(w, G,
+                                    precision=jax.lax.Precision.HIGHEST)
                 m, me, mm, G = rotate(m, me, mm, G)
                 return (m, me, mm, G, pdf), ()
 
