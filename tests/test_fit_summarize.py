@@ -192,6 +192,21 @@ def test_network_fit_summarize_both_paths(problem):
         _assert_matches_host(got, pdfs, problem["grid"])
 
 
+def test_fit_summarize_cdf_thresh_mode(problem):
+    """wt_thresh=None routes through the cdf-mass selection; the
+    streamed summary still matches the host pipeline."""
+    bf = _fit(problem)
+    kw = dict(label_grid=problem["grid"], verbose=False,
+              wt_thresh=None, cdf_thresh=2e-4)
+    pdfs = bf.fit_predict(problem["data"], problem["data_err"],
+                          problem["data_mask"], problem["zgrid"],
+                          problem["zerr"], **kw)
+    got, _ = bf.fit_summarize(problem["data"], problem["data_err"],
+                              problem["data_mask"], problem["zgrid"],
+                              problem["zerr"], **kw)
+    _assert_matches_host(got, pdfs, problem["grid"])
+
+
 def test_pack_unpack_roundtrip():
     rng = np.random.default_rng(2)
     pdfs = rng.random((9, 41))
