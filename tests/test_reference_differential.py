@@ -1,0 +1,235 @@
+"""Differential tests against the ACTUAL reference implementation.
+
+These import frankenz v0.3.5 from the read-only reference mount and
+compare our outputs function-by-function on seeded float64 problems —
+no hand-written oracle in the middle.  Skipped entirely when the mount
+is absent (e.g. a standalone checkout of this repo).
+
+Documented deviations asserted explicitly where they fire:
+zero-overlap / 0-dof pairs are NaN in the reference and -inf here
+(ops/likelihood.py).
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+_REF = "/root/reference"
+if not os.path.isdir(os.path.join(_REF, "frankenz")):  # pragma: no cover
+    pytest.skip("reference mount not available", allow_module_level=True)
+if _REF not in sys.path:
+    sys.path.insert(0, _REF)
+
+rpdf = pytest.importorskip("frankenz.pdf")
+rpriors = pytest.importorskip("frankenz.priors")
+rred = pytest.importorskip("frankenz.reddening")
+rsamp = pytest.importorskip("frankenz.samplers")
+
+from frankenz_tpu import ops
+from frankenz_tpu import plotting  # noqa: F401  (keeps lazy imports warm)
+from frankenz_tpu.samplers import loglike_nz
+from frankenz_tpu.sim import bpz_pt_m, bpz_pz_tm, madau_teff, pmag
+
+RTOL, ATOL = 1e-6, 1e-10
+
+
+@pytest.fixture(scope="module")
+def problem():
+    rng = np.random.default_rng(17)
+    nobj, nmodel, nfilt = 12, 80, 5
+    models = rng.uniform(1, 10, (nmodel, nfilt))
+    models_err = 0.1 * models
+    models_mask = np.ones((nmodel, nfilt))
+    # ~15% masked cells on both sides, but always >= 2 common bands so
+    # the dof stays positive for the dim-prior variants.
+    models_mask[rng.uniform(size=models_mask.shape) < 0.15] = 0.0
+    models_mask[:, :2] = 1.0
+    data = models[rng.integers(0, nmodel, nobj)] + rng.normal(
+        0, 0.3, (nobj, nfilt))
+    data_err = np.full((nobj, nfilt), 0.3)
+    data_mask = np.ones((nobj, nfilt))
+    data_mask[rng.uniform(size=data_mask.shape) < 0.15] = 0.0
+    data_mask[:, :2] = 1.0
+    return data, data_err, data_mask, models, models_err, models_mask
+
+
+def _ref_loglike_rows(d, de, dm, m, me, mm, **kw):
+    """Reference loglike per object (it is one-datum-vs-all-models and
+    mutates its inputs on cleaning — hand it copies)."""
+    outs = [rpdf.loglike(d[i].copy(), de[i].copy(), dm[i].copy(),
+                         m.copy(), me.copy(), mm.copy(), **kw)
+            for i in range(len(d))]
+    return [np.stack([o[j] for o in outs]) for j in range(len(outs[0]))]
+
+
+def _compare_lnl(got, want):
+    """NaN-aware: where the reference NaNs (0-dof / zero-overlap pairs),
+    we return -inf by documented policy; everywhere else 1e-6."""
+    got, want = np.asarray(got, float), np.asarray(want)
+    bad = ~np.isfinite(want)
+    assert (got[bad] == -np.inf).all()
+    np.testing.assert_allclose(got[~bad], want[~bad], rtol=RTOL, atol=ATOL)
+
+
+@pytest.mark.parametrize("dim_prior", [True, False])
+@pytest.mark.parametrize("ignore_model_err", [True, False])
+def test_loglike_fixed_scale(problem, dim_prior, ignore_model_err):
+    d, de, dm, m, me, mm = problem
+    want_lnl, want_ndim, want_chi2 = _ref_loglike_rows(
+        d, de, dm, m, me, mm, free_scale=False,
+        ignore_model_err=ignore_model_err, dim_prior=dim_prior)
+    got = ops.loglike(d, de, dm, m, me, mm, free_scale=False,
+                      ignore_model_err=ignore_model_err,
+                      dim_prior=dim_prior)
+    np.testing.assert_array_equal(np.asarray(got.ndim), want_ndim)
+    np.testing.assert_allclose(np.asarray(got.chi2), want_chi2,
+                               rtol=RTOL, atol=ATOL)
+    _compare_lnl(got.lnlike, want_lnl)
+
+
+@pytest.mark.parametrize("ignore_model_err", [True, False])
+def test_loglike_free_scale(problem, ignore_model_err):
+    d, de, dm, m, me, mm = problem
+    want = _ref_loglike_rows(
+        d, de, dm, m, me, mm, free_scale=True,
+        ignore_model_err=ignore_model_err, dim_prior=True,
+        return_scale=True)
+    want_lnl, want_ndim, want_chi2, want_s, want_serr = want
+    got = ops.loglike(d, de, dm, m, me, mm, free_scale=True,
+                      ignore_model_err=ignore_model_err, dim_prior=True,
+                      return_scale=True)
+    np.testing.assert_array_equal(np.asarray(got.ndim), want_ndim)
+    fin = np.isfinite(want_lnl)
+    np.testing.assert_allclose(np.asarray(got.chi2)[fin], want_chi2[fin],
+                               rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(got.scale)[fin], want_s[fin],
+                               rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(got.scale_err)[fin],
+                               want_serr[fin], rtol=1e-5, atol=1e-8)
+    _compare_lnl(got.lnlike, want_lnl)
+
+
+def test_gauss_kde(problem):
+    rng = np.random.default_rng(3)
+    y = rng.uniform(0, 3, 200)
+    y_std = rng.uniform(0.05, 0.3, 200)
+    y_wt = rng.uniform(size=200)
+    x = np.linspace(0, 3, 301)
+    want = rpdf.gauss_kde(y, y_std, x, y_wt=y_wt, wt_thresh=1e-3)
+    got = np.asarray(ops.gauss_kde(y, y_std, x, y_wt=y_wt, wt_thresh=1e-3))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-12)
+    # cdf-mass thresholding variant (incl. the reference's
+    # drop-the-largest-weight discretization quirk).
+    want = rpdf.gauss_kde(y, y_std, x, y_wt=y_wt, wt_thresh=None,
+                          cdf_thresh=2e-4)
+    got = np.asarray(ops.gauss_kde(y, y_std, x, y_wt=y_wt, wt_thresh=None,
+                                   cdf_thresh=2e-4))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-12)
+
+
+def test_pdfdict_and_gauss_kde_dict():
+    # Kernels kept interior to the grid: the REFERENCE's dictionary edge
+    # normalization crashes outright (IndexError, pdf.py:617) once a
+    # truncated kernel overhangs both grid edges — another latent
+    # reference bug (cf. SURVEY.md 2.3); our edge behavior is covered by
+    # the window-mask oracle in tests/_oracle.py instead.
+    rng = np.random.default_rng(4)
+    grid = np.linspace(0, 3, 301)
+    sig = np.linspace(0.01, 0.12, 100)
+    rd = rpdf.PDFDict(grid, sig)
+    od = ops.PDFDict(grid, sig)
+    y = rng.uniform(0.7, 2.3, 150)
+    ys = rng.uniform(0.02, 0.11, 150)
+    ri, rsi = rd.fit(y, ys)
+    oi, osi = od.fit(y, ys)
+    np.testing.assert_array_equal(np.asarray(oi), ri)
+    np.testing.assert_array_equal(np.asarray(osi), rsi)
+    wt = rng.uniform(size=150)
+    want = rpdf.gauss_kde_dict(rd, y_idx=ri, y_std_idx=rsi, y_wt=wt)
+    got = np.asarray(ops.gauss_kde_dict(od, y_idx=oi, y_std_idx=osi,
+                                        y_wt=wt))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-12)
+
+
+def test_photometry_transforms():
+    rng = np.random.default_rng(5)
+    phot = rng.uniform(0.1, 50, (20, 5))
+    err = 0.05 * phot
+    for rf, of, args in [
+            (rpdf.magnitude, ops.magnitude, (phot, err)),
+            (rpdf.luptitude, ops.luptitude, (phot, err, 0.5)),
+    ]:
+        wm, we = rf(*args)
+        gm, ge = of(*args)
+        np.testing.assert_allclose(np.asarray(gm), wm, rtol=RTOL)
+        np.testing.assert_allclose(np.asarray(ge), we, rtol=RTOL)
+    m, me_ = rpdf.magnitude(phot, err)
+    wf, wfe = rpdf.inv_magnitude(m, me_)
+    gf, gfe = ops.inv_magnitude(m, me_)
+    np.testing.assert_allclose(np.asarray(gf), wf, rtol=RTOL)
+    np.testing.assert_allclose(np.asarray(gfe), wfe, rtol=RTOL)
+    lu, lue = rpdf.luptitude(phot, err, 0.5)
+    wf, wfe = rpdf.inv_luptitude(lu, lue, 0.5)
+    gf, gfe = ops.inv_luptitude(lu, lue, 0.5)
+    np.testing.assert_allclose(np.asarray(gf), wf, rtol=RTOL)
+    np.testing.assert_allclose(np.asarray(gfe), wfe, rtol=RTOL)
+
+
+def test_pdfs_resample_and_summarize():
+    rng = np.random.default_rng(6)
+    grid = np.linspace(0, 3, 201)
+    c = rng.uniform(0.3, 2.7, (25, 1))
+    pdfs = np.exp(-0.5 * ((grid[None] - c) / 0.15) ** 2)
+    pdfs /= pdfs.sum(1, keepdims=True)
+    new = np.linspace(0, 3, 121)
+    want = rpdf.pdfs_resample(pdfs, grid, new)
+    got = np.asarray(ops.pdfs_resample(pdfs, grid, new))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-12)
+
+    want = rpdf.pdfs_summarize(pdfs, grid, rstate=np.random.RandomState(1))
+    got = ops.pdfs_summarize(pdfs, grid)
+    for i, est in enumerate(("mean", "median", "mode", "best")):
+        g = getattr(got, est)
+        for j, field in enumerate(("point", "std", "conf", "risk")):
+            np.testing.assert_allclose(
+                np.asarray(getattr(g, field)), want[i][j], rtol=1e-5,
+                atol=1e-7, err_msg=f"{est}.{field}")
+    for j, field in enumerate(("low95", "low68", "high68", "high95")):
+        np.testing.assert_allclose(np.asarray(getattr(got, field)),
+                                   want[4][j], rtol=1e-5, atol=1e-7,
+                                   err_msg=field)
+
+
+def test_priors_and_igm():
+    rng = np.random.default_rng(7)
+    mags = rng.uniform(14, 26, 200)
+    np.testing.assert_allclose(np.asarray(pmag(mags, maglim=24.5)),
+                               rpriors.pmag(mags, 24.5), rtol=1e-6)
+    m = rng.uniform(18, 25, 50)
+    for t in (0, 1, 2):
+        np.testing.assert_allclose(
+            np.asarray(bpz_pt_m(t, m)), rpriors.bpz_pt_m(t, m),
+            rtol=1e-5, atol=1e-8, err_msg=f"bpz_pt_m t={t}")
+    z = rng.uniform(0.01, 4.0, 50)
+    for t in (0, 1, 2):
+        np.testing.assert_allclose(
+            np.asarray(bpz_pz_tm(z, t, m)), rpriors.bpz_pz_tm(z, t, m),
+            rtol=1e-5, atol=1e-8, err_msg=f"bpz_pz_tm t={t}")
+    wave = np.linspace(300, 9000, 400)
+    for zz in (0.5, 2.5, 4.5):
+        np.testing.assert_allclose(np.asarray(madau_teff(wave, zz)),
+                                   rred.madau_teff(wave, zz),
+                                   rtol=1e-6, atol=1e-12, err_msg=str(zz))
+
+
+def test_loglike_nz():
+    rng = np.random.default_rng(8)
+    pdfs = rng.uniform(size=(100, 40))
+    pdfs /= pdfs.sum(1, keepdims=True)
+    nz = rng.uniform(size=40)
+    nz /= nz.sum()
+    want = rsamp.loglike_nz(nz, pdfs)
+    got = loglike_nz(nz, pdfs)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-8)
