@@ -224,6 +224,85 @@ def test_priors_and_igm():
                                    rtol=1e-6, atol=1e-12, err_msg=str(zz))
 
 
+class _IdentityJitter:
+    """rng/rstate stand-in whose `.normal(loc, scale)` returns `loc`:
+    disables the Monte Carlo jitters on BOTH implementations so the
+    end-to-end kNN pipelines become deterministic and comparable."""
+
+    def normal(self, loc, scale=None, size=None):
+        arr = np.asarray(loc, float)
+        if size is not None:
+            arr = np.broadcast_to(arr, size).copy()
+        return arr
+
+
+@pytest.mark.parametrize("free_scale", [False, True])
+def test_bruteforce_fit_predict_differential(problem, free_scale):
+    """Flagship end-to-end path vs the reference: identical PDFs, lmap,
+    levid from fit_predict on a masked problem (grid-KDE variant)."""
+    import frankenz.bruteforce as rbfmod
+
+    from frankenz_tpu.models import BruteForce
+
+    d, de, dm, m, me, mm = problem
+    rng = np.random.default_rng(23)
+    zl = rng.uniform(0.2, 2.8, len(m))
+    zle = rng.uniform(0.05, 0.2, len(m))
+    grid = np.linspace(0, 3, 151)
+    kw = dict(label_grid=grid, return_gof=True, verbose=False,
+              lprob_kwargs=dict(free_scale=free_scale))
+
+    ref = rbfmod.BruteForce(m.copy(), me.copy(), mm.copy())
+    want_pdfs, (want_lmap, want_levid) = ref.fit_predict(
+        d.copy(), de.copy(), dm.copy(), zl, zle, **kw)
+
+    ours = BruteForce(m, me, mm)
+    got_pdfs, (got_lmap, got_levid) = ours.fit_predict(
+        d, de, dm, zl, zle, use_fused=False, **kw)
+
+    np.testing.assert_allclose(got_lmap, want_lmap, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(got_levid, want_levid, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(got_pdfs, want_pdfs, rtol=1e-5, atol=1e-7)
+
+
+def test_knn_fit_predict_differential(problem):
+    """End-to-end KMCkNN vs the reference with identity jitters (zero
+    model errors + a fake rng, so both MC pipelines are deterministic
+    and the K ensembles/trees coincide): identical neighbor unions give
+    identical PDFs and GOF."""
+    import frankenz.knn as rknnmod
+
+    from frankenz_tpu.models import NearestNeighbors
+
+    d, de, dm, m, _, mm = problem
+    me0 = np.zeros_like(m)
+    rng = np.random.default_rng(29)
+    zl = rng.uniform(0.2, 2.8, len(m))
+    zle = rng.uniform(0.05, 0.2, len(m))
+    grid = np.linspace(0, 3, 151)
+    # Full masks: the reference maps masked cells through luptitude
+    # anyway; keep the feature spaces trivially identical.
+    dm1, mm1 = np.ones_like(dm), np.ones_like(mm)
+
+    ref = rknnmod.NearestNeighbors(m.copy(), me0.copy(), mm1.copy(),
+                                   K=4, rstate=_IdentityJitter(),
+                                   verbose=False)
+    want_pdfs, (want_lmap, want_levid) = ref.fit_predict(
+        d.copy(), de.copy(), dm1.copy(), zl, zle, k=10,
+        rstate=_IdentityJitter(), label_grid=grid, return_gof=True,
+        verbose=False)
+
+    ours = NearestNeighbors(m, me0, mm1, K=4, seed=0, verbose=False)
+    got_pdfs, (got_lmap, got_levid) = ours.fit_predict(
+        d, de, dm1, zl, zle, k=10, rng=_IdentityJitter(),
+        label_grid=grid, return_gof=True, verbose=False)
+
+    np.testing.assert_allclose(got_lmap, want_lmap, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(got_levid, want_levid, rtol=1e-5,
+                               atol=1e-5)
+    np.testing.assert_allclose(got_pdfs, want_pdfs, rtol=1e-5, atol=1e-7)
+
+
 def test_loglike_nz():
     rng = np.random.default_rng(8)
     pdfs = rng.uniform(size=(100, 40))
