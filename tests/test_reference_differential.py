@@ -303,6 +303,63 @@ def test_knn_fit_predict_differential(problem):
     np.testing.assert_allclose(got_pdfs, want_pdfs, rtol=1e-5, atol=1e-7)
 
 
+def test_network_populate_and_fit_differential(problem):
+    """populate_network + fit_predict (nodes_only AND exact-union) vs
+    the reference on IDENTICAL nodes: our trained SOM's node table is
+    injected into an untrained reference instance (training itself is
+    rng-entangled by design, SURVEY.md 2.3 "RNG parity"), after which
+    both pipelines are deterministic — memberships, BMU lists, node
+    log-weights, PDFs, and GOF must coincide."""
+    import frankenz.networks as rnetmod
+
+    from frankenz_tpu.models import SelfOrganizingMap
+
+    d, de, dm, m, me, mm = problem
+    dm1, mm1 = np.ones_like(dm), np.ones_like(mm)
+    rng = np.random.default_rng(31)
+    zl = rng.uniform(0.2, 2.8, len(m))
+    zle = rng.uniform(0.05, 0.2, len(m))
+    grid = np.linspace(0, 3, 151)
+
+    som = SelfOrganizingMap(m, me, mm1)
+    som.train_network(nside=3, nproj=2, niter=50, nbatch=20, seed=3,
+                      verbose=False)
+    som.populate_network(verbose=False)
+
+    ref = rnetmod.SelfOrganizingMap(m.copy(), me.copy(), mm1.copy())
+    ref.nodes = np.asarray(som.nodes, float).copy()
+    ref.NNODE = len(ref.nodes)
+    ref.nodes_pos = np.zeros((ref.NNODE, 2))
+    ref.populate_network(verbose=False)
+
+    for j in range(ref.NNODE):
+        ridx = np.asarray(ref.nodes_idxs[j], int)
+        rlw = np.asarray(ref.nodes_logwts[j], float)
+        n = int(som.nodes_Nmatch[j])
+        oidx = np.asarray(som.nodes_idxs[j, :n], int)
+        olw = np.asarray(som.nodes_logwts[j, :n], float)
+        assert sorted(ridx.tolist()) == sorted(oidx.tolist()), j
+        np.testing.assert_allclose(rlw[np.argsort(ridx)],
+                                   olw[np.argsort(oidx)], rtol=1e-5,
+                                   atol=1e-5, err_msg=f"node {j} logwts")
+        rb = sorted(np.asarray(ref.nodes_bmus[j], int).tolist())
+        nb = int((som.nodes_bmus[j] >= 0).sum())
+        ob = sorted(np.asarray(som.nodes_bmus[j, :nb], int).tolist())
+        assert rb == ob, f"node {j} bmus"
+
+    for nodes_only in (True, False):
+        want, (wl, wv) = ref.fit_predict(
+            d.copy(), de.copy(), dm1.copy(), zl, zle,
+            nodes_only=nodes_only, label_grid=grid, return_gof=True,
+            verbose=False)
+        got, (gl, gv) = som.fit_predict(
+            d, de, dm1, zl, zle, nodes_only=nodes_only, label_grid=grid,
+            return_gof=True, save_fits=False, verbose=False)
+        np.testing.assert_allclose(gl, wl, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(gv, wv, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+
+
 def test_loglike_nz():
     rng = np.random.default_rng(8)
     pdfs = rng.uniform(size=(100, 40))
