@@ -360,6 +360,39 @@ def test_network_populate_and_fit_differential(problem):
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
 
 
+def test_mock_survey_model_grid_differential():
+    """MockSurvey.make_model_grid vs the reference: the whole synthesis
+    stack (filter curves, template f_lambda->f_nu + normalization, Madau
+    IGM, trapezoid flux integral, reference-band scaling) is
+    deterministic and must agree to machine epsilon.  The reference's
+    loaders need a shim on modern NumPy (float `num` into linspace,
+    legacy behavior)."""
+    import frankenz.simulate as rsim
+
+    from frankenz_tpu.sim import MockSurvey
+
+    orig = np.linspace
+
+    def shim(start, stop, num=50, **kw):
+        return orig(start, stop, int(num), **kw)
+
+    np.linspace = shim
+    try:
+        ref = rsim.MockSurvey(survey="sdss", templates="cww+", prior="bpz")
+    finally:
+        np.linspace = orig
+    z = np.linspace(0.05, 2.0, 12)
+    ref.make_model_grid(z, verbose=False)
+    want = np.asarray(ref.models["data"])
+
+    ours = MockSurvey(survey="sdss", templates="cww+", prior="bpz", seed=1)
+    ours.make_model_grid(z)
+    got = np.asarray(ours.models["data"], float)
+
+    assert got.shape == want.shape == (12, 8, 5)
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=0.0)
+
+
 def test_loglike_nz():
     rng = np.random.default_rng(8)
     pdfs = rng.uniform(size=(100, 40))
