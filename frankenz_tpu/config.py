@@ -77,9 +77,9 @@ class GNGConfig(_AsDict):
     niter: int = 5000
     nbatch: int = 50
     max_nodes: int = 2500
-    max_age: int = 25
+    max_age: int = 15
     learn_best: float = 0.2
-    learn_neighbor: float = 0.006
+    learn_neighbor: float = 0.005
     new_err_dec: float = 0.5
     all_err_dec: float = 0.005
     track_scale: bool = False

@@ -2358,8 +2358,8 @@ class GrowingNeuralGas(_Network):
     """
 
     def train_network(self, models=None, models_err=None, models_mask=None,
-                      niter=5000, nbatch=50, max_nodes=2500, max_age=25,
-                      learn_best=0.2, learn_neighbor=0.006,
+                      niter=5000, nbatch=50, max_nodes=2500, max_age=15,
+                      learn_best=0.2, learn_neighbor=0.005,
                       new_err_dec=0.5, all_err_dec=0.005, graph_init=None,
                       err_kernel=None, lprob_func=None, rng=None, seed=None,
                       lprob_args=None, lprob_kwargs=None, track_scale=False,

@@ -360,6 +360,82 @@ def test_network_populate_and_fit_differential(problem):
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
 
 
+def test_gng_training_differential():
+    """FULL GNG training vs the reference's networkx implementation on
+    an identical scripted draw stream (both rngs replaced; the reference
+    draws one model per step, we take the whole stream up front): the
+    fixed-degree adjacency + counter-aging redesign must land on the
+    same graph — same node count, node positions (f32-vs-f64 training
+    accumulation apart), and EXACT edge set with EXACT ages.  This also
+    pins the default hyperparameters: max_age=15 / learn_neighbor=0.005
+    (networks.py:1898-1902) — a defaults drift this test originally
+    caught.
+
+    Clustered (blob) models: on near-uniform random models two nodes
+    can sit within f32 lnl roundoff of the BMU rank boundary, and a
+    single f32-vs-f64 rank flip cascades into different graphs — a
+    sensitivity of the ALGORITHM, not an implementation gap."""
+    import frankenz.networks as rnetmod
+
+    from frankenz_tpu.models import GrowingNeuralGas
+
+    rng = np.random.default_rng(42)
+    centers = np.array([[2.0, 5.0, 8.0], [8.0, 3.0, 2.0],
+                        [5.0, 9.0, 4.0], [9.0, 8.0, 7.0]])
+    m = np.vstack([c + rng.normal(0, 0.3, (100, 3)) for c in centers])
+    me = np.full_like(m, 0.05)
+    mm1 = np.ones_like(m)
+    nsteps = 600
+    draws = rng.integers(0, len(m), nsteps)
+    pair = (3, 7)
+
+    class ScriptedRef:
+        ptr = 0
+
+        def choice(self, n, size=None, replace=True):
+            if size == 2:
+                return np.asarray(pair)
+            v = int(draws[ScriptedRef.ptr])
+            ScriptedRef.ptr += 1
+            return v
+
+    class ScriptedOurs:
+        def integers(self, low, high=None, size=None):
+            assert size == nsteps
+            return draws
+
+        def choice(self, n, size=2, replace=False):
+            return np.asarray(pair)
+
+    kw = dict(niter=24, nbatch=25, max_nodes=30, verbose=False)
+    ref = rnetmod.GrowingNeuralGas(m.copy(), me.copy(), mm1.copy())
+    ref.train_network(rstate=ScriptedRef(), **kw)
+    ours = GrowingNeuralGas(m, me, mm1)
+    ours.train_network(rng=ScriptedOurs(), **kw)
+
+    assert ours.NNODE == ref.NNODE
+    np.testing.assert_allclose(np.asarray(ours.nodes),
+                               np.asarray(ref.nodes, float), rtol=2e-5,
+                               atol=2e-5)
+    # Edge set + ages: exact (integers; insertion/pruning step-identical).
+    want = {}
+    for u, v, a in ref.graph.edges(data="age"):
+        cu, cv = ref.graph.nodes[u]["count"], ref.graph.nodes[v]["count"]
+        want[tuple(sorted((cu, cv)))] = a
+    ages = np.asarray(ours.edge_ages)
+    got = {(int(i), int(j)): int(ages[i, j])
+           for i, j in zip(*np.nonzero(ages >= 0)) if i < j}
+    assert got == want
+    # Accumulated errors: f32 training accumulation vs the reference's
+    # f64 over 600 steps.
+    order = np.argsort([ref.graph.nodes[i]["count"]
+                        for i in ref.graph.nodes()])
+    want_err = np.array([ref.graph.nodes[i]["error"]
+                         for i in ref.graph.nodes()])[order]
+    np.testing.assert_allclose(np.asarray(ours.nodes_err), want_err,
+                               rtol=1e-3, atol=1e-3)
+
+
 def test_mock_survey_model_grid_differential():
     """MockSurvey.make_model_grid vs the reference: the whole synthesis
     stack (filter curves, template f_lambda->f_nu + normalization, Madau
