@@ -227,7 +227,7 @@ def _weighted_median(ys, wts):
 def plot2d_network(network, counts="weighted", label_name=None, labels=None,
                    labels_err=None, vals=None, dims=(0, 1), cmap="viridis",
                    Nmc=5, point_est="median", plot_kwargs=None, rng=None,
-                   seed=None, discrete=False, verbose=False, plot=True,
+                   seed=None, discrete=False, verbose=True, plot=True,
                    **kwargs):
     """Scatter the network's projected nodes colored by a per-node value
     (plotting.py:524-678): member counts, weighted counts, or a weighted

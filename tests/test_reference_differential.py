@@ -469,6 +469,90 @@ def test_mock_survey_model_grid_differential():
     np.testing.assert_allclose(got, want, rtol=1e-12, atol=0.0)
 
 
+def test_shared_kwarg_defaults_match_reference():
+    """Every kwarg shared by name with the reference keeps the
+    reference's default, except the explicitly-intended deviations
+    below (each documented in docs/MIGRATING.md).  Guards against the
+    defaults drift the GNG differential caught (max_age/learn_neighbor)."""
+    import inspect
+
+    import frankenz.bruteforce as rbf
+    import frankenz.knn as rknn
+    import frankenz.networks as rnet
+    import frankenz.plotting as rplot
+    import frankenz.samplers as rs
+
+    from frankenz_tpu import plotting as oplot
+    from frankenz_tpu.models import (BruteForce, GrowingNeuralGas,
+                                     NearestNeighbors, SelfOrganizingMap)
+    from frankenz_tpu.models import networks as onet
+    from frankenz_tpu.samplers import (hierarchical_sampler,
+                                       population_sampler)
+
+    # Intended deviations: save_fits=False (the reference's 7 full
+    # (Ndata, Nmodel) float64 grids are 5.6 TB at target scale).
+    ALLOW = {("fit_predict", "save_fits")}
+    # Equivalent-empty containers ((), None vs [], {}).
+    EMPTYISH = (None, (), [], {})
+
+    PAIRS = [
+        (rpdf.loglike, ops.loglike), (rpdf.logprob, ops.logprob),
+        (rpdf.gauss_kde, ops.gauss_kde),
+        (rpdf.gauss_kde_dict, ops.gauss_kde_dict),
+        (rpdf.PDFDict.__init__, ops.PDFDict.__init__),
+        (rpdf.pdfs_resample, ops.pdfs_resample),
+        (rpdf.pdfs_summarize, ops.pdfs_summarize),
+        (rpdf.magnitude, ops.magnitude), (rpdf.luptitude, ops.luptitude),
+        (rbf.BruteForce.fit, BruteForce.fit),
+        (rbf.BruteForce.predict, BruteForce.predict),
+        (rbf.BruteForce.fit_predict, BruteForce.fit_predict),
+        (rknn.NearestNeighbors.__init__, NearestNeighbors.__init__),
+        (rknn.NearestNeighbors.fit_predict, NearestNeighbors.fit_predict),
+        (rnet.SelfOrganizingMap.train_network,
+         SelfOrganizingMap.train_network),
+        (rnet.GrowingNeuralGas.train_network,
+         GrowingNeuralGas.train_network),
+        (rnet._Network.populate_network, onet._Network.populate_network),
+        (rnet._Network.fit_predict, onet._Network.fit_predict),
+        (rnet._Network.get_pdfs, onet._Network.get_pdfs),
+        (rnet._Network.get_node, onet._Network.get_node),
+        (rs.population_sampler.run_mcmc, population_sampler.run_mcmc),
+        (rs.population_sampler.sample, population_sampler.sample),
+        (rs.hierarchical_sampler.run_mcmc, hierarchical_sampler.run_mcmc),
+        (rs.hierarchical_sampler.sample, hierarchical_sampler.sample),
+        (rs.loglike_nz, loglike_nz), (rpriors.pmag, pmag),
+        (rplot.input_vs_pdf, oplot.input_vs_pdf),
+        (rplot.input_vs_dpdf, oplot.input_vs_dpdf),
+        (rplot.cdf_vs_epdf, oplot.cdf_vs_epdf),
+        (rplot.cdf_vs_ecdf, oplot.cdf_vs_ecdf),
+        (rplot.plot2d_network, oplot.plot2d_network),
+        (rplot.plot_node, oplot.plot_node),
+    ]
+
+    def defaults(fn):
+        return {n: p.default
+                for n, p in inspect.signature(fn).parameters.items()
+                if p.default is not inspect.Parameter.empty}
+
+    drifts = []
+    for rf, of in PAIRS:
+        rd, od = defaults(rf), defaults(of)
+        for k in sorted(set(rd) & set(od)):
+            rv, ov = rd[k], od[k]
+            if (rf.__name__, k) in ALLOW:
+                continue
+            if rv in EMPTYISH and ov in EMPTYISH:
+                continue
+            same = (rv is ov) or (rv == ov)
+            if (not same and isinstance(rv, float)
+                    and isinstance(ov, (int, float))):
+                same = (np.isnan(rv) and np.isnan(ov)) or abs(rv - ov) < 1e-12
+            if not same:
+                drifts.append(f"{rf.__qualname__}.{k}: ref={rv!r} "
+                              f"ours={ov!r}")
+    assert not drifts, "\n".join(drifts)
+
+
 def test_loglike_nz():
     rng = np.random.default_rng(8)
     pdfs = rng.uniform(size=(100, 40))
