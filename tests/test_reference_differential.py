@@ -265,6 +265,43 @@ def test_bruteforce_fit_predict_differential(problem, free_scale):
     np.testing.assert_allclose(got_pdfs, want_pdfs, rtol=1e-5, atol=1e-7)
 
 
+def test_bruteforce_fit_then_predict_differential(problem):
+    """The materializing fit() -> predict() path (saved-grid contract):
+    full float64 fit grids and the prediction from stored log-weights
+    both match the reference."""
+    import frankenz.bruteforce as rbfmod
+
+    from frankenz_tpu.models import BruteForce
+
+    d, de, dm, m, me, mm = problem
+    rng = np.random.default_rng(41)
+    zl = rng.uniform(0.2, 2.8, len(m))
+    zle = rng.uniform(0.05, 0.2, len(m))
+    grid = np.linspace(0, 3, 151)
+
+    ref = rbfmod.BruteForce(m.copy(), me.copy(), mm.copy())
+    ref.fit(d.copy(), de.copy(), dm.copy(), verbose=False)
+    want, (wl, wv) = ref.predict(zl, zle, label_grid=grid,
+                                 return_gof=True, verbose=False)
+
+    ours = BruteForce(m, me, mm)
+    ours.fit(d, de, dm, verbose=False, fit_dtype=np.float64)
+    fin = np.isfinite(ref.fit_lnprob)
+    assert ours.fit_lnprob.dtype == np.float64
+    np.testing.assert_allclose(ours.fit_lnprob[fin], ref.fit_lnprob[fin],
+                               rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(ours.fit_chi2[fin], ref.fit_chi2[fin],
+                               rtol=1e-6, atol=1e-9)
+    np.testing.assert_array_equal(ours.fit_Ndim, ref.fit_Ndim)
+    assert (np.asarray(ours.fit_lnprob)[~fin] == -np.inf).all()
+
+    got, (gl, gv) = ours.predict(zl, zle, label_grid=grid,
+                                 return_gof=True, verbose=False)
+    np.testing.assert_allclose(gl, wl, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(gv, wv, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+
+
 def test_knn_fit_predict_differential(problem):
     """End-to-end KMCkNN vs the reference with identity jitters (zero
     model errors + a fake rng, so both MC pipelines are deterministic
@@ -346,6 +383,13 @@ def test_network_populate_and_fit_differential(problem):
         nb = int((som.nodes_bmus[j] >= 0).sum())
         ob = sorted(np.asarray(som.nodes_bmus[j, :nb], int).tolist())
         assert rb == ob, f"node {j} bmus"
+
+    # Per-node member-stacked PDFs with the exp(levid) density scaling
+    # (networks.py:495-496).
+    want_np = ref.get_pdfs(zl, zle, label_grid=grid, verbose=False)
+    got_np = som.get_pdfs(zl, zle, label_grid=grid, verbose=False)
+    np.testing.assert_allclose(np.asarray(got_np), want_np, rtol=1e-4,
+                               atol=1e-6)
 
     for nodes_only in (True, False):
         want, (wl, wv) = ref.fit_predict(
