@@ -597,6 +597,45 @@ def test_shared_kwarg_defaults_match_reference():
     assert not drifts, "\n".join(drifts)
 
 
+def test_samplers_statistical_differential():
+    """Population and hierarchical samplers vs the reference on the
+    same mock N(z) problem: rng streams differ by construction
+    (SURVEY.md 2.3, "RNG parity"), so compare each sampler's posterior
+    mean against the KNOWN truth — ours must recover it at least as
+    well as the reference does (same burn/thin/steps)."""
+    rng = np.random.default_rng(0)
+    nbins, nobs = 30, 2000
+    grid = np.arange(nbins)
+    nz = np.exp(-0.5 * ((grid - 12) / 4.0) ** 2)
+    nz /= nz.sum()
+    zt = rng.choice(nbins, nobs, p=nz)
+    c = zt + rng.normal(0, 1.2, nobs)
+    pdfs = np.exp(-0.5 * ((grid[None] - c[:, None]) / 1.2) ** 2)
+    pdfs /= pdfs.sum(1, keepdims=True)
+
+    from frankenz_tpu.samplers import (hierarchical_sampler,
+                                       population_sampler)
+
+    rps = rs.population_sampler(pdfs)
+    rps.run_mcmc(40, thin=100, mh_steps=3,
+                 rstate=np.random.RandomState(3), verbose=False)
+    ref_err = np.abs(rps.results[0][20:].mean(0) - nz).mean()
+    ops_ = population_sampler(pdfs)
+    ops_.run_mcmc(40, thin=100, mh_steps=3, seed=3, verbose=False)
+    our_err = np.abs(np.asarray(ops_.results[0])[20:].mean(0) - nz).mean()
+    assert ref_err < 0.03 and our_err < 0.03, (ref_err, our_err)
+    assert our_err <= 1.5 * ref_err + 0.005, (ref_err, our_err)
+
+    rhs = rs.hierarchical_sampler(pdfs)
+    rhs.run_mcmc(150, rstate=np.random.RandomState(4), verbose=False)
+    ref_err = np.abs(rhs.results[0][50:].mean(0) - nz).mean()
+    ohs = hierarchical_sampler(pdfs)
+    ohs.run_mcmc(150, seed=4, verbose=False)
+    our_err = np.abs(np.asarray(ohs.results[0])[50:].mean(0) - nz).mean()
+    assert ref_err < 0.02 and our_err < 0.02, (ref_err, our_err)
+    assert our_err <= 1.5 * ref_err + 0.005, (ref_err, our_err)
+
+
 def test_loglike_nz():
     rng = np.random.default_rng(8)
     pdfs = rng.uniform(size=(100, 40))
