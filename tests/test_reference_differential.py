@@ -616,7 +616,7 @@ def test_samplers_statistical_differential():
     from frankenz_tpu.samplers import (hierarchical_sampler,
                                        population_sampler)
 
-    rps = rs.population_sampler(pdfs)
+    rps = rsamp.population_sampler(pdfs)
     rps.run_mcmc(40, thin=100, mh_steps=3,
                  rstate=np.random.RandomState(3), verbose=False)
     ref_err = np.abs(rps.results[0][20:].mean(0) - nz).mean()
@@ -626,7 +626,7 @@ def test_samplers_statistical_differential():
     assert ref_err < 0.03 and our_err < 0.03, (ref_err, our_err)
     assert our_err <= 1.5 * ref_err + 0.005, (ref_err, our_err)
 
-    rhs = rs.hierarchical_sampler(pdfs)
+    rhs = rsamp.hierarchical_sampler(pdfs)
     rhs.run_mcmc(150, rstate=np.random.RandomState(4), verbose=False)
     ref_err = np.abs(rhs.results[0][50:].mean(0) - nz).mean()
     ohs = hierarchical_sampler(pdfs)
