@@ -304,7 +304,16 @@ class BruteForce:
             self._alloc_fits(ndata, track_scale, fit_dtype)
         self._fit_rows_done = done
 
+        def drain(parts):
+            # Bulk readback: JAX's async dispatch pipelines the queued
+            # batches; a per-batch np.asarray would serialize each
+            # device program with a (slow) relay round-trip.
+            for j0, jn, jres in jax.device_get(parts):
+                self._store_fits(j0, jn, jres)
+                self._fit_rows_done = j0 + jn
+
         nb = 0
+        parts = []
         with _metrics.timer("bruteforce.fit",
                             items=(ndata - done) * self.NMODEL,
                             item_counter="chi2_pair_evals"):
@@ -316,13 +325,18 @@ class BruteForce:
                 d = _pad_rows(data[i0:i0 + n], batch_size)
                 de = _pad_rows(data_err[i0:i0 + n], batch_size)
                 dm = _pad_rows(data_mask[i0:i0 + n], batch_size)
-                res = step(d, de, dm, self.models, self.models_err,
-                           self.models_mask)
-                self._store_fits(i0, n, res)
-                self._fit_rows_done = i0 + n
+                parts.append((i0, n, step(d, de, dm, self.models,
+                                          self.models_err,
+                                          self.models_mask)))
                 nb += 1
                 if checkpoint_every and nb % checkpoint_every == 0:
+                    drain(parts)
+                    parts = []
                     _ckpt.save(checkpoint_file, self)
+                elif len(parts) >= 16:
+                    drain(parts)
+                    parts = []
+            drain(parts)
         return self
 
     def predict(self, model_labels, model_label_errs, label_dict=None,
