@@ -34,6 +34,11 @@ from frankenz_tpu.sim import bpz_pt_m, bpz_pz_tm, madau_teff, pmag
 
 RTOL, ATOL = 1e-6, 1e-10
 
+# The REFERENCE uses long-deprecated NumPy/SciPy spellings (np.trapz,
+# scipy.ndimage.filters); its warnings are not ours to fix.
+pytestmark = pytest.mark.filterwarnings(
+    "ignore::DeprecationWarning")
+
 
 @pytest.fixture(scope="module")
 def problem():
