@@ -44,8 +44,7 @@ from ..ops import likelihood as _like
 from ..ops import summarize as _summ
 from ..ops import transforms as _tf
 from ..utils.metrics import metrics as _metrics
-from ..utils.progress import progress_iter
-from .bruteforce import _batch_slices, _pad_rows, default_batch_size
+from .bruteforce import _batch_slices, _pad_rows
 
 __all__ = ["NearestNeighbors"]
 

@@ -31,7 +31,6 @@ config-4 benchmark.  Free-scale fits use the XLA path.
 from __future__ import annotations
 
 import functools
-import math
 
 import numpy as np
 import jax

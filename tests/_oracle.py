@@ -9,7 +9,7 @@ the JAX/Pallas implementations.
 """
 
 import numpy as np
-from scipy.special import erf, gammaln, xlogy
+from scipy.special import gammaln, xlogy
 
 
 def loglike_fixed_1(d, de, dm, m, me, mm, ignore_model_err=False,

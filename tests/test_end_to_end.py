@@ -7,7 +7,7 @@ import numpy as np
 import pytest
 
 from frankenz_tpu.models import BruteForce
-from frankenz_tpu.ops import pdfs_resample, pdfs_summarize
+from frankenz_tpu.ops import pdfs_summarize
 from frankenz_tpu.samplers import hierarchical_sampler
 from frankenz_tpu.sim import make_sdss_mock
 

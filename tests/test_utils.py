@@ -9,7 +9,7 @@ from frankenz_tpu import config as fzconfig
 from frankenz_tpu.models import BruteForce, NearestNeighbors, \
     SelfOrganizingMap
 from frankenz_tpu.samplers import hierarchical_sampler
-from frankenz_tpu.utils import (Metrics, load_state_dict, metrics, restore,
+from frankenz_tpu.utils import (Metrics, metrics, restore,
                                 save, state_dict)
 
 
