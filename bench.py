@@ -443,7 +443,40 @@ def main():
     print(json.dumps(result))
 
 
+def _require_devices(timeout_s=600):
+    """Fail fast (one JSON error line) when the TPU relay is down.
+
+    Device enumeration over the remote relay HANGS indefinitely during
+    an outage (observed: 4+ h); a hung bench run leaves the driver with
+    no artifact at all, so probe in a daemon thread and emit a
+    machine-readable failure instead.
+    """
+    import threading
+
+    out = {}
+
+    def probe():
+        try:
+            out["devices"] = jax.devices()
+        except Exception as exc:  # pragma: no cover
+            out["error"] = repr(exc)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "devices" in out:
+        return
+    print(json.dumps({
+        "metric": "chi2_evals_per_sec", "value": 0.0,
+        "unit": "pair-evals/s", "vs_baseline": 0.0,
+        "error": out.get("error",
+                         f"TPU backend unreachable after {timeout_s}s "
+                         "(relay outage?)")}))
+    os._exit(1)
+
+
 if __name__ == "__main__":
+    _require_devices()
     cfg = os.environ.get("BENCH_CONFIG", "4")
     if cfg == "4":
         main()
