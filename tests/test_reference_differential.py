@@ -489,6 +489,67 @@ def test_gng_training_differential():
                                rtol=1e-3, atol=1e-3)
 
 
+def test_som_training_differential():
+    """FULL SOM training vs the reference on an identical scripted draw
+    stream (one init-node draw + per-step object draws; both rngs
+    replaced): the lax.scan path (networks.py:1826-1865 semantics —
+    harmonic rate, Gaussian neighborhood, wt_thresh window) must land on
+    the same lattice positions and the same node table, f32-vs-f64
+    training accumulation apart.  Clustered (blob) models keep the BMU
+    argmax away from f32 rank boundaries — same caveat as the GNG
+    differential above."""
+    import frankenz.networks as rnetmod
+
+    from frankenz_tpu.models import SelfOrganizingMap
+
+    rng = np.random.default_rng(7)
+    centers = np.array([[2.0, 5.0, 8.0], [8.0, 3.0, 2.0],
+                        [5.0, 9.0, 4.0], [9.0, 8.0, 7.0]])
+    m = np.vstack([c + rng.normal(0, 0.3, (100, 3)) for c in centers])
+    me = np.full_like(m, 0.05)
+    mm1 = np.ones_like(m)
+    nside, nproj = 5, 2
+    nnode = nside ** nproj
+    niter, nbatch = 20, 10
+    nsteps = niter * nbatch
+    init_idxs = rng.choice(len(m), size=nnode, replace=False)
+    draws = rng.integers(0, len(m), nsteps)
+
+    class ScriptedRef:
+        ptr = 0
+
+        def choice(self, n, size=None, replace=True):
+            if size is not None:  # the one init-node draw
+                assert size == nnode and not replace
+                return init_idxs.copy()
+            v = int(draws[ScriptedRef.ptr])
+            ScriptedRef.ptr += 1
+            return v
+
+    class ScriptedOurs:
+        def choice(self, n, size=None, replace=True):
+            assert size == nnode and not replace
+            return init_idxs.copy()
+
+        def integers(self, low, high=None, size=None):
+            assert size == nsteps
+            return draws
+
+    kw = dict(nside=nside, nproj=nproj, niter=niter, nbatch=nbatch,
+              verbose=False)
+    ref = rnetmod.SelfOrganizingMap(m.copy(), me.copy(), mm1.copy())
+    ref.train_network(rstate=ScriptedRef(), **kw)
+    assert ScriptedRef.ptr == nsteps  # every scripted draw consumed
+    ours = SelfOrganizingMap(m, me, mm1)
+    ours.train_network(rng=ScriptedOurs(), use_pallas=False, **kw)
+
+    np.testing.assert_allclose(np.asarray(ours.nodes_pos),
+                               np.asarray(ref.nodes_pos, float))
+    np.testing.assert_allclose(np.asarray(ours.nodes),
+                               np.asarray(ref.nodes, float),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_mock_survey_model_grid_differential():
     """MockSurvey.make_model_grid vs the reference: the whole synthesis
     stack (filter curves, template f_lambda->f_nu + normalization, Madau
