@@ -58,10 +58,25 @@ def _outer_weight_sel(weights, nobj, wt_thresh, cdf_thresh):
 
 
 def _threshold_renorm_pdfs(pdfs, pdf_wt_thresh, pdf_cdf_thresh):
-    """Per-row PDF thresholding + renormalization (plotting.py:138-144)."""
-    P = np.asarray(
-        _kde.threshold_weights(jnp.asarray(pdfs), pdf_wt_thresh,
-                               pdf_cdf_thresh))
+    """Per-row PDF thresholding + renormalization (plotting.py:138-144).
+
+    NB: the reference's *plotting* cdf cut runs on the UNNORMALIZED
+    cumsum (plotting.py:325-328) — unlike ``gauss_kde``'s normalized one
+    (pdf.py:512-516) — so the kept mass depends on the row's sum.  That
+    matters for ``input_vs_dpdf``, whose resampled rows no longer sum
+    to 1.  Replicated exactly (host-side numpy: same argsort ties)."""
+    P = np.array(pdfs, float)
+    if pdf_wt_thresh is None and pdf_cdf_thresh is None:
+        keep = np.ones(P.shape, bool)  # reference: wt_thresh = -inf
+    elif pdf_wt_thresh is not None:
+        keep = P > P.max(axis=1, keepdims=True) * pdf_wt_thresh
+    else:
+        order = np.argsort(P, axis=1)
+        cs = np.cumsum(np.take_along_axis(P, order, axis=1), axis=1)
+        keep = np.zeros(P.shape, bool)
+        np.put_along_axis(keep, order, cs <= (1.0 - pdf_cdf_thresh),
+                          axis=1)
+    P[~keep] = 0.0
     norm = P.sum(axis=1, keepdims=True)
     return np.divide(P, norm, out=np.zeros_like(P), where=norm > 0)
 

@@ -715,3 +715,119 @@ def test_loglike_nz():
     want = rsamp.loglike_nz(nz, pdfs)
     got = loglike_nz(nz, pdfs)
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-8)
+
+def _plot_problem(seed=11, nobj=40, ngrid=101):
+    rng = np.random.default_rng(seed)
+    grid = np.linspace(0.0, 3.0, ngrid)
+    ztrue = rng.uniform(0.3, 2.7, nobj)
+    zerr = rng.uniform(0.05, 0.2, nobj)
+    sig = rng.uniform(0.1, 0.3, nobj)
+    pdfs = np.exp(-0.5 * ((grid[None, :] - ztrue[:, None])
+                          / sig[:, None]) ** 2)
+    pdfs /= pdfs.sum(axis=1, keepdims=True)
+    weights = rng.uniform(0.2, 1.0, nobj)
+    return grid, ztrue, zerr, pdfs, weights
+
+
+def test_plotting_stack_differentials():
+    """input_vs_pdf / input_vs_dpdf vs the reference: identical stacked
+    2-D densities across the threshold modes.  The outer cdf_thresh mode
+    uses UNIFORM weights: with non-uniform weights the reference pairs
+    object `idx_sort[i]`'s PDF with object `i`'s weight
+    (plotting.py:128-159 `zip(arange, objids, sel_arr)` ... `weights[i]`)
+    — a pairing bug we deliberately do not reproduce (each object
+    carries its own weight here)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    import frankenz.plotting as rplot
+
+    from frankenz_tpu import plotting as fzplot
+    from frankenz_tpu.ops import PDFDict
+
+    grid, ztrue, zerr, pdfs, weights = _plot_problem()
+    sig_grid = np.linspace(0.02, 0.3, 40)
+    vdict_r = rpdf.PDFDict(grid, sig_grid)
+    vdict_o = PDFDict(grid, sig_grid)
+
+    cases = [
+        (dict(), weights),                                   # wt outer mode
+        (dict(wt_thresh=None, cdf_thresh=2e-2), None),       # cdf outer mode
+        (dict(pdf_wt_thresh=None, pdf_cdf_thresh=5e-3),      # cdf inner mode
+         weights),
+    ]
+    for kw, w in cases:
+        want = rplot.input_vs_pdf(ztrue, zerr, vdict_r, pdfs.copy(), grid,
+                                  weights=w, verbose=False, **kw)
+        plt.close("all")
+        got = fzplot.input_vs_pdf(ztrue, zerr, vdict_o, pdfs, grid,
+                                  weights=w, plot=False, **kw)
+        np.testing.assert_allclose(np.asarray(got), want,
+                                   rtol=1e-6, atol=1e-12)
+
+    dgrid = np.linspace(-0.75, 0.75, 81)
+    cent = ztrue + 0.05  # slightly-off point estimates
+    for kw, w in cases:
+        want = rplot.input_vs_dpdf(ztrue, zerr, vdict_r, pdfs.copy(), grid,
+                                   cent, dgrid, weights=w, verbose=False,
+                                   **kw)
+        plt.close("all")
+        got = fzplot.input_vs_dpdf(ztrue, zerr, vdict_o, pdfs, grid,
+                                   cent, dgrid, weights=w, plot=False, **kw)
+        np.testing.assert_allclose(np.asarray(got), want,
+                                   rtol=1e-6, atol=1e-12)
+
+
+def test_plotting_coverage_differentials():
+    """cdf_vs_epdf / cdf_vs_ecdf vs the reference on one scripted MC
+    stream (the reference draws per-object rows, we draw the (Nobj, Nmc)
+    block in one call — both rngs replaced by the same matrix)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    import frankenz.plotting as rplot
+
+    from frankenz_tpu import plotting as fzplot
+
+    grid, ztrue, zerr, pdfs, weights = _plot_problem(seed=13)
+    nobj, nmc = len(ztrue), 25
+    mc = np.random.default_rng(29).normal(ztrue[:, None], zerr[:, None],
+                                          (nobj, nmc))
+
+    class ScriptedRef:
+        ptr = 0
+
+        def normal(self, loc, scale, size=None):
+            assert size == nmc
+            row = mc[ScriptedRef.ptr]
+            ScriptedRef.ptr += 1
+            return row.copy()
+
+    class ScriptedOurs:
+        def normal(self, loc, scale, size=None):
+            assert size == mc.shape
+            return mc.copy()
+
+    want = rplot.cdf_vs_epdf(ztrue, zerr, pdfs, grid, Nmc=nmc,
+                             weights=weights, Nbins=20,
+                             rstate=ScriptedRef())
+    plt.close("all")
+    assert ScriptedRef.ptr == nobj
+    got = fzplot.cdf_vs_epdf(ztrue, zerr, pdfs, grid, Nmc=nmc,
+                             weights=weights, Nbins=20,
+                             rng=ScriptedOurs(), plot=False)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6, atol=1e-12)
+
+    ScriptedRef.ptr = 0
+    wx, wy = rplot.cdf_vs_ecdf(ztrue, zerr, pdfs, grid, Nmc=nmc,
+                               weights=weights, rstate=ScriptedRef())
+    plt.close("all")
+    gx, gy = fzplot.cdf_vs_ecdf(ztrue, zerr, pdfs, grid, Nmc=nmc,
+                                weights=weights, rng=ScriptedOurs(),
+                                plot=False)
+    np.testing.assert_allclose(np.asarray(gx), wx, rtol=1e-6, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(gy), wy, rtol=1e-6, atol=1e-12)
