@@ -831,3 +831,131 @@ def test_plotting_coverage_differentials():
                                 plot=False)
     np.testing.assert_allclose(np.asarray(gx), wx, rtol=1e-6, atol=1e-12)
     np.testing.assert_allclose(np.asarray(gy), wy, rtol=1e-6, atol=1e-12)
+
+def test_plot2d_network_differential():
+    """plot2d_network vs the reference on identically-built SOMs (same
+    nodes_init, one scripted training step, same populate): counts modes,
+    all four deterministic point estimates, the discrete(BMU) path, and
+    the Monte Carlo label-error path on one scripted draw stream."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    import frankenz.networks as rnetmod
+    import frankenz.plotting as rplot
+
+    from frankenz_tpu import plotting as fzplot
+    from frankenz_tpu.models import SelfOrganizingMap
+
+    rng = np.random.default_rng(23)
+    nmodel, nfilt = 400, 3
+    m = rng.uniform(1.0, 10.0, (nmodel, nfilt))
+    me = np.full_like(m, 0.1)
+    mm1 = np.ones_like(m)
+    nside, nproj = 4, 2
+    nnode = nside ** nproj
+    init = m[rng.choice(nmodel, nnode, replace=False)].copy()
+    draw = int(rng.integers(0, nmodel))
+
+    class ScriptedRef:
+        def choice(self, n, size=None, replace=True):
+            return draw
+
+    class ScriptedOurs:
+        def integers(self, low, high=None, size=None):
+            assert size == 1
+            return np.array([draw])
+
+    kw = dict(nside=nside, nproj=nproj, niter=1, nbatch=1, verbose=False)
+    ref = rnetmod.SelfOrganizingMap(m.copy(), me.copy(), mm1.copy())
+    # NB: the reference trains `nodes_init` IN PLACE (networks.py:1819
+    # binds self.nodes = nodes_init, :1864 += on it) — each run needs
+    # its own copy.
+    ref.train_network(rstate=ScriptedRef(), nodes_init=init.copy(), **kw)
+    ref.populate_network(verbose=False)
+    ours = SelfOrganizingMap(m, me, mm1)
+    ours.train_network(rng=ScriptedOurs(), use_pallas=False,
+                       nodes_init=init.copy(), **kw)
+    ours.populate_network(verbose=False)
+
+    nm_ours = np.asarray(ours.nodes_Nmatch, int)
+    np.testing.assert_array_equal(nm_ours, np.asarray(ref.nodes_Nmatch))
+    assert (nm_ours > 0).all()  # reference crashes on empty nodes
+
+    labels = rng.uniform(0.0, 3.0, nmodel)
+    labels_err = rng.uniform(0.02, 0.1, nmodel)
+
+    def both(**pkw):
+        # rtol 1e-4: node logwts/scales are f32 on our side (populate
+        # stores device f32), the reference's are f64.
+        want = rplot.plot2d_network(ref, verbose=False, **pkw)
+        plt.close("all")
+        got = fzplot.plot2d_network(ours, plot=False, **pkw)
+        np.testing.assert_allclose(np.asarray(got, float),
+                                   np.asarray(want, float),
+                                   rtol=1e-4, atol=1e-8)
+
+    both(counts="absolute")
+    both(counts="weighted")
+    for pe in ("mean", "median", "std", "mad"):
+        both(labels=labels, point_est=pe)
+
+    # The REFERENCE's discrete path is broken twice over: nodes_bmus[i]
+    # is a plain list, so `np.log(nodes_bmus[i] + 1e-100)`
+    # (plotting.py:630) raises TypeError — and it pairs Nbmu weights
+    # with Nmatch labels.  Ours implements the documented intent
+    # (BMU members, uniform weights); pin both facts.
+    with pytest.raises(TypeError):
+        rplot.plot2d_network(ref, labels=labels, point_est="mean",
+                             discrete=True, verbose=False)
+    got = np.asarray(fzplot.plot2d_network(ours, labels=labels,
+                                           point_est="mean", discrete=True,
+                                           plot=False), float)
+    ok = np.isfinite(got)
+    assert ok.any()
+    assert got[ok].min() >= labels.min() and got[ok].max() <= labels.max()
+
+    # Monte Carlo label-error path: one shared draw stream.  The
+    # reference draws (Nmc, Ny) per node; we draw the tiled flat vector
+    # — identical row-major layout.
+    nmc = 4
+    streams = []
+    for i in range(nnode):
+        n = int(nm_ours[i])
+        idxs = np.asarray(ours.nodes_idxs[i, :n], int)
+        streams.append(rng.normal(np.tile(labels[idxs], nmc),
+                                  np.tile(labels_err[idxs], nmc)))
+
+    class MCRef:
+        ptr = 0
+
+        def normal(self, loc, scale, size=None):
+            s = streams[MCRef.ptr]
+            MCRef.ptr += 1
+            assert size == (nmc, len(s) // nmc)
+            return s.reshape(size).copy()
+
+    class MCOurs:
+        ptr = 0
+
+        def normal(self, loc, scale, size=None):
+            s = streams[MCOurs.ptr]
+            MCOurs.ptr += 1
+            assert s.shape == np.shape(loc)
+            return s.copy()
+
+    for pe in ("mean", "median"):
+        MCRef.ptr = MCOurs.ptr = 0
+        want = rplot.plot2d_network(ref, labels=labels,
+                                    labels_err=labels_err, Nmc=nmc,
+                                    point_est=pe, rstate=MCRef(),
+                                    verbose=False)
+        plt.close("all")
+        assert MCRef.ptr == nnode
+        got = fzplot.plot2d_network(ours, labels=labels,
+                                    labels_err=labels_err, Nmc=nmc,
+                                    point_est=pe, rng=MCOurs(), plot=False)
+        np.testing.assert_allclose(np.asarray(got, float),
+                                   np.asarray(want, float),
+                                   rtol=1e-4, atol=1e-8)
