@@ -959,3 +959,81 @@ def test_plot2d_network_differential():
         np.testing.assert_allclose(np.asarray(got, float),
                                    np.asarray(want, float),
                                    rtol=1e-4, atol=1e-8)
+
+def test_draw_sampling_differential():
+    """draw_mag / draw_type_given_mag / draw_redshift_given_type_mag vs
+    the reference on one scripted uniform stream, with the REFERENCE's
+    own prior functions passed to both sides — isolates the inverse-CDF
+    sampling machinery (left-padded CDF, augmented categorical draw,
+    z >= 0 clip) exactly."""
+    import frankenz.simulate as rsim
+
+    from frankenz_tpu.sim import survey as osim
+
+    nobj = 60
+    rng = np.random.default_rng(31)
+    u_mag = rng.uniform(size=nobj)
+    u_type = rng.uniform(size=nobj)
+    u_z = rng.uniform(size=nobj)
+
+    class ScriptedRef:
+        queue = []
+
+        def rand(self, n=None):
+            if n is not None:
+                return u_mag.copy()
+            return ScriptedRef.queue.pop(0)
+
+    class ScriptedOurs:
+        queue = []
+
+        def uniform(self, size=None):
+            return ScriptedOurs.queue.pop(0)
+
+    # Stage 1: magnitudes.
+    pmkw = {"maglim": 25.0}
+    want_m = rsim.draw_mag(nobj, rpriors.pmag, rstate=ScriptedRef(),
+                           pmag_kwargs=pmkw)
+    ScriptedOurs.queue = [u_mag.copy()]
+    got_m = osim.draw_mag(nobj, rpriors.pmag, ScriptedOurs(),
+                          pmag_kwargs=pmkw)
+    np.testing.assert_allclose(got_m, want_m, rtol=1e-12)
+
+    # Stage 2: types given magnitudes (reference: generator consuming
+    # one scalar per object).
+    ScriptedRef.queue = list(u_type)
+    want_t = np.array(list(rsim.draw_type_given_mag(
+        rpriors.bpz_pt_m, want_m, 3, rstate=ScriptedRef())))
+    ScriptedOurs.queue = [u_type.copy()]
+    got_t = osim.draw_type_given_mag(rpriors.bpz_pt_m, got_m, 3,
+                                     rng=ScriptedOurs())
+    np.testing.assert_array_equal(got_t, want_t)
+
+    # Stage 3: redshifts given (type, mag).
+    ScriptedRef.queue = list(u_z)
+    want_z = np.array(list(rsim.draw_redshift_given_type_mag(
+        rpriors.bpz_pz_tm, want_t, want_m, rstate=ScriptedRef())))
+    ScriptedOurs.queue = [u_z.copy()]
+    got_z = osim.draw_redshift_given_type_mag(rpriors.bpz_pz_tm, got_t,
+                                              got_m, rng=ScriptedOurs())
+    np.testing.assert_allclose(got_z, want_z, rtol=1e-10, atol=1e-12)
+    assert ScriptedRef.queue == [] and ScriptedOurs.queue == []
+
+
+def test_gaussian_kernels_differential():
+    """gaussian / gaussian_bin vs the reference.  The broadcast case
+    covers `gaussian` only: the reference's `gaussian_bin` diffs the CDF
+    along axis 0 (pdf.py:439), so it is 1-D-only — ours generalizes with
+    an `[..., 1:]` trailing-axis diff; compared per kernel."""
+    rng = np.random.default_rng(37)
+    mu = rng.uniform(0.5, 2.5, (8, 1))
+    std = rng.uniform(0.05, 0.4, (8, 1))
+    x = np.linspace(0.0, 3.0, 121)
+    np.testing.assert_allclose(
+        np.asarray(ops.gaussian(mu, std, x)), rpdf.gaussian(mu, std, x),
+        rtol=1e-10, atol=1e-300)
+    for i in range(len(mu)):
+        np.testing.assert_allclose(
+            np.asarray(ops.gaussian_bin(mu[i, 0], std[i, 0], x)),
+            rpdf.gaussian_bin(mu[i, 0], std[i, 0], x),
+            rtol=1e-8, atol=1e-30)
