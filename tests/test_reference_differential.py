@@ -1037,3 +1037,70 @@ def test_gaussian_kernels_differential():
             np.asarray(ops.gaussian_bin(mu[i, 0], std[i, 0], x)),
             rpdf.gaussian_bin(mu[i, 0], std[i, 0], x),
             rtol=1e-8, atol=1e-30)
+
+def test_sample_phot_differential():
+    """MockSurvey.sample_phot vs the reference on an injected identical
+    catalog (same refmags/types/templates/redshifts) and one scripted
+    noise stream: the per-object gathered synthesis (we integrate each
+    object's own template; the reference loops objects) must agree with
+    the reference's asinh-interp trapezoid integral, reference-band
+    normalization, bad-photometry handling, and noise draw."""
+    import frankenz.simulate as rsim
+
+    from frankenz_tpu.sim import MockSurvey
+
+    orig = np.linspace
+
+    def shim(start, stop, num=50, **kw):
+        return orig(start, stop, int(num), **kw)
+
+    np.linspace = shim
+    try:
+        ref = rsim.MockSurvey(survey="sdss", templates="cww+", prior="bpz")
+    finally:
+        np.linspace = orig
+    ours = MockSurvey(survey="sdss", templates="cww+", prior="bpz", seed=1)
+
+    rng = np.random.default_rng(41)
+    nobj = 25
+    ntmpl = len(ours.TTYPE)
+    params = {
+        "refmags": rng.uniform(16.0, 24.0, nobj),
+        "types": rng.integers(0, 3, nobj),
+        "templates": rng.integers(0, ntmpl, nobj),
+        "redshifts": rng.uniform(0.05, 3.0, nobj),
+    }
+    noise = rng.normal(size=(nobj, ref.NFILTER))
+
+    class ScriptedRef:
+        def normal(self, loc, scale):
+            return loc + scale * noise
+
+    class ScriptedOurs:
+        def normal(self, loc, scale):
+            return np.asarray(loc, float) + np.asarray(scale) * noise
+
+    ref.data = {k: np.array(v) for k, v in params.items()}
+    ref.NOBJ = nobj
+    ref.sample_phot(rstate=ScriptedRef(), verbose=False)
+
+    ours.data = {k: np.array(v) for k, v in params.items()}
+    ours.NOBJ = nobj
+    ours.sample_phot(rng=ScriptedOurs())
+
+    np.testing.assert_allclose(np.asarray(ours.data["phot_true"], float),
+                               ref.data["phot_true"], rtol=1e-10,
+                               atol=1e-300)
+    np.testing.assert_allclose(np.asarray(ours.data["phot_err"], float),
+                               ref.data["phot_err"], rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(ours.data["phot_obs"], float),
+                               ref.data["phot_obs"], rtol=1e-10,
+                               atol=1e-12)
+    # no-IGM branch too
+    ref.data = {k: np.array(v) for k, v in params.items()}
+    ref.sample_phot(red_fn=None, rstate=ScriptedRef(), verbose=False)
+    ours.data = {k: np.array(v) for k, v in params.items()}
+    ours.sample_phot(red_fn=None, rng=ScriptedOurs())
+    np.testing.assert_allclose(np.asarray(ours.data["phot_true"], float),
+                               ref.data["phot_true"], rtol=1e-10,
+                               atol=1e-300)
