@@ -1104,3 +1104,124 @@ def test_sample_phot_differential():
     np.testing.assert_allclose(np.asarray(ours.data["phot_true"], float),
                                ref.data["phot_true"], rtol=1e-10,
                                atol=1e-300)
+
+
+def test_get_node_and_plot_node_differential():
+    """get_node (idx + pos lookup, discrete) and plot_node vs the
+    reference on identically-built SOMs.  plot_node returns nothing in
+    the reference — the rescaled node line is recovered from the Agg
+    axes, the resampling weights from the scripted `choice(p=...)`
+    call, and the MC model draws from the y-limits it sets."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    import frankenz.networks as rnetmod
+    import frankenz.plotting as rplot
+
+    from frankenz_tpu import plotting as fzplot
+    from frankenz_tpu.models import SelfOrganizingMap
+
+    rng = np.random.default_rng(29)
+    nmodel, nfilt = 300, 4
+    m = rng.uniform(1.0, 10.0, (nmodel, nfilt))
+    me = np.full_like(m, 0.1)
+    mm1 = np.ones_like(m)
+    nside, nproj = 4, 2
+    nnode = nside ** nproj
+    init = m[rng.choice(nmodel, nnode, replace=False)].copy()
+    draw = int(rng.integers(0, nmodel))
+
+    class TrainRef:
+        def choice(self, n, size=None, replace=True):
+            return draw
+
+    class TrainOurs:
+        def integers(self, low, high=None, size=None):
+            return np.array([draw])
+
+    kw = dict(nside=nside, nproj=nproj, niter=1, nbatch=1, verbose=False)
+    ref = rnetmod.SelfOrganizingMap(m.copy(), me.copy(), mm1.copy())
+    ref.train_network(rstate=TrainRef(), nodes_init=init.copy(), **kw)
+    ref.populate_network(verbose=False)
+    ours = SelfOrganizingMap(m, me, mm1)
+    ours.train_network(rng=TrainOurs(), use_pallas=False,
+                       nodes_init=init.copy(), **kw)
+    ours.populate_network(verbose=False)
+
+    # --- get_node parity on every node (f32 populate state -> 1e-4).
+    for idx in range(nnode):
+        want = ref.get_node(idx=idx)
+        got = ours.get_node(idx=idx)
+        assert int(got[0]) == int(want[0]) == idx
+        np.testing.assert_allclose(np.asarray(got[1], float),
+                                   np.asarray(want[1], float), rtol=1e-4)
+        np.testing.assert_array_equal(np.asarray(got[2], float),
+                                      np.asarray(want[2], float))
+        np.testing.assert_array_equal(np.asarray(got[3], int),
+                                      np.asarray(want[3], int))
+        for j in (4, 5, 6):
+            np.testing.assert_allclose(np.asarray(got[j], float),
+                                       np.asarray(want[j], float),
+                                       rtol=1e-4, atol=1e-8)
+        # Discrete mode: BMU members with uniform weights.  The
+        # reference still returns the FULL Nmatch-long scales lists
+        # alongside Nbmu-long idxs (networks.py:402-410, a length
+        # mismatch plot_node would then mis-index); ours returns
+        # unit scales of matching length — compare idxs/logwts only.
+        want_d = ref.get_node(idx=idx, discrete=True)
+        got_d = ours.get_node(idx=idx, discrete=True)
+        np.testing.assert_array_equal(np.asarray(got_d[3], int),
+                                      np.asarray(want_d[3], int))
+        np.testing.assert_array_equal(np.asarray(got_d[4], float),
+                                      np.asarray(want_d[4], float))
+        assert len(got_d[5]) == len(got_d[3])
+
+    # --- pos lookup + argument validation.
+    pos = tuple(np.asarray(ref.nodes_pos[5], float) + 0.2)
+    assert int(ours.get_node(pos=pos)[0]) == int(ref.get_node(pos=pos)[0])
+    for bad in (dict(), dict(idx=0, pos=pos)):
+        with pytest.raises(ValueError):
+            ref.get_node(**bad)
+        with pytest.raises(ValueError):
+            ours.get_node(**bad)
+
+    # --- plot_node on the fullest node, one scripted draw stream.
+    idx = int(np.argmax(np.asarray(ours.nodes_Nmatch, int)))
+    nmatch = int(ours.nodes_Nmatch[idx])
+    nrsamp = 2
+    rs = rng.integers(0, nmatch, nmatch * nrsamp)
+    noise = rng.normal(size=(len(rs), nfilt))
+
+    class Scripted:
+        def __init__(self):
+            self.p = None
+
+        def choice(self, n, p=None, size=None, replace=True):
+            assert n == nmatch and size == nmatch * nrsamp
+            self.p = np.asarray(p, float)
+            return rs.copy()
+
+        def normal(self, loc, scale, size=None):
+            return np.asarray(loc, float) + np.asarray(scale, float) * noise
+
+    sref, sours = Scripted(), Scripted()
+    plt.figure()
+    rplot.plot_node(ref, m, me, idx=idx, Nrsamp=nrsamp, rstate=sref)
+    ax = plt.gca()
+    want_line = np.asarray(ax.lines[0].get_ydata(), float)
+    want_ylim = ax.get_ylim()
+    plt.close("all")
+
+    got_node, got_mc = fzplot.plot_node(ours, m, me, idx=idx, Nrsamp=nrsamp,
+                                        rng=sours, plot=False)
+    got_node = np.asarray(got_node, float)
+    got_mc = np.asarray(got_mc, float)
+
+    np.testing.assert_allclose(sours.p, sref.p, rtol=1e-4, atol=1e-10)
+    np.testing.assert_allclose(got_node, want_line, rtol=1e-4)
+    mean, std = got_mc.mean(axis=0), got_mc.std(axis=0)
+    np.testing.assert_allclose(
+        [float((mean - 3 * std).min()), float((mean + 3 * std).max())],
+        list(want_ylim), rtol=1e-4)
