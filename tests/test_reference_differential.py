@@ -94,6 +94,24 @@ def test_loglike_fixed_scale(problem, dim_prior, ignore_model_err):
     _compare_lnl(got.lnlike, want_lnl)
 
 
+@pytest.mark.parametrize("free_scale", [False, True])
+def test_loglike_input_cleaning(problem, free_scale):
+    """The sanitization rule (pdf.py:310-311): non-finite data, non-finite
+    errors, and non-positive errors are treated as masked (value 0,
+    sigma 1) — the reference mutates its inputs, ours is functional."""
+    d, de, dm, m, me, mm = problem
+    d, de, dm = d.copy(), de.copy(), dm.copy()
+    d[0, 2], d[1, 3] = np.nan, np.inf
+    de[2, 2], de[3, 3], de[4, 2] = 0.0, -1.0, np.nan
+    want_lnl = _ref_loglike_rows(d, de, dm, m, me, mm,
+                                 free_scale=free_scale, dim_prior=True)[0]
+    got = ops.loglike(d, de, dm, m, me, mm, free_scale=free_scale,
+                      dim_prior=True)
+    _compare_lnl(got.lnlike, want_lnl)
+    # and the inputs were not mutated
+    assert not np.isfinite(d[0, 2]) and de[2, 2] == 0.0
+
+
 @pytest.mark.parametrize("ignore_model_err", [True, False])
 def test_loglike_free_scale(problem, ignore_model_err):
     d, de, dm, m, me, mm = problem
