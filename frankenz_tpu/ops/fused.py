@@ -206,6 +206,11 @@ def _lnl_tile(d_ref, de_ref, dm_ref, mT_ref, meT_ref, mmT_ref, valid_ref,
     else:
         nd_term = float(nfilt) if full_mask else ndim
         lnl = -0.5 * chi2 - 0.5 * (nd_term * _LOG_2PI + logvar)
+        if free_scale and not full_mask:
+            # Zero-overlap pairs: the ML scale is 0/0 (reference NaN,
+            # pdf.py:180-185) — no evidence, floor (matches the XLA
+            # path; fixed-scale keeps the reference's finite value).
+            lnl = jnp.where(ndim > 0.0, lnl, _NEG_INF)
     # Clamp to a finite floor: true -inf would poison the online
     # logsumexp with (-inf) - (-inf) = nan.  Degenerate all-floor rows
     # are zeroed by the caller.
@@ -334,6 +339,10 @@ def _lnl_tile_freescale_me(d_ref, de_ref, dm_ref, mT_ref, meT_ref, mmT_ref,
     if not dim_prior:
         nd_term = float(nfilt) if full_mask else ndim
         lnl = -0.5 * chi2 - 0.5 * (nd_term * _LOG_2PI + logvar)
+        if not full_mask:
+            # Zero-overlap: 0/0 scale (reference NaN) -> floor, matching
+            # the XLA path and _lnl_tile.
+            lnl = jnp.where(ndim > 0.0, lnl, _NEG_INF)
 
     if dim_prior:
         # dof = Ndim - 1 (pdf.py:228).

@@ -292,6 +292,12 @@ def _loglike_free_jit(data, data_err, data_mask, models, models_err,
                                    jnp.maximum(chi2, 1e-30),
                                    max_ndim=d.shape[1])
             lnl = jnp.where(ndim >= 2, lnl, -jnp.inf)
+        else:
+            # Zero-overlap pairs: the ML scale is 0/0 — NaN in the
+            # reference (pdf.py:180-185); without this floor they'd get
+            # the finite nonsense value -logvar/2 (which can even win
+            # the row max).  Documented policy: no evidence, -inf.
+            lnl = jnp.where(ndim > 0, lnl, -jnp.inf)
         if return_scale:
             return LoglikeResult(lnl, ndim, chi2, scale,
                                  jnp.sqrt(1.0 / shape_vals))
@@ -405,6 +411,10 @@ def _loglike_free_jit(data, data_err, data_mask, models, models_err,
                                max_ndim=d.shape[1])
         # dof = Ndim - 1 needs Ndim >= 2 (see the MXU path).
         lnl = jnp.where(ndim >= 2, lnl, -jnp.inf)
+    else:
+        # Zero-overlap: 0/0 scale (reference NaN) -> -inf (see the
+        # MXU path).
+        lnl = jnp.where(ndim > 0, lnl, -jnp.inf)
 
     if return_scale:
         scale_err = jnp.sqrt(1.0 / shape_vals)

@@ -112,6 +112,44 @@ def test_loglike_input_cleaning(problem, free_scale):
     assert not np.isfinite(d[0, 2]) and de[2, 2] == 0.0
 
 
+@pytest.mark.parametrize("seed", range(10))
+def test_loglike_fuzz_vs_reference(seed):
+    """Randomized loglike differential: shapes, mask densities, data
+    magnitudes, and the full option lattice drawn per seed — the regime
+    holes (zero-overlap pairs, single-band rows, huge/tiny fluxes) that
+    hand-written cases miss.  NaN cells (0-dof in the reference) assert
+    the documented -inf policy via _compare_lnl."""
+    rng = np.random.default_rng(52000 + seed)
+    nobj = int(rng.integers(2, 7))
+    nmodel = int(rng.integers(3, 41))
+    nfilt = int(rng.integers(2, 9))
+    mag = 10.0 ** rng.uniform(-4, 4)
+    models = rng.uniform(0.1, 10.0, (nmodel, nfilt)) * mag
+    models_err = rng.uniform(0.01, 0.5, (nmodel, nfilt)) * mag
+    data = models[rng.integers(0, nmodel, nobj)] + rng.normal(
+        0, 0.3 * mag, (nobj, nfilt))
+    data_err = rng.uniform(0.05, 0.6, (nobj, nfilt)) * mag
+    # mask density up to "almost everything masked" (exercises 0-dof)
+    pmask = rng.uniform(0.0, 0.6)
+    dm = (rng.uniform(size=(nobj, nfilt)) >= pmask).astype(float)
+    mm = (rng.uniform(size=(nmodel, nfilt)) >= pmask).astype(float)
+    free_scale = bool(rng.integers(0, 2))
+    dim_prior = bool(rng.integers(0, 2))
+    ime = bool(rng.integers(0, 2))
+
+    kw = dict(free_scale=free_scale, dim_prior=dim_prior,
+              ignore_model_err=ime)
+    with np.errstate(all="ignore"):
+        want = _ref_loglike_rows(data, data_err, dm, models, models_err, mm,
+                                 **kw)
+    got = ops.loglike(data, data_err, dm, models, models_err, mm, **kw)
+    np.testing.assert_array_equal(np.asarray(got.ndim), want[1])
+    fin = np.isfinite(want[0])
+    np.testing.assert_allclose(np.asarray(got.chi2)[fin], want[2][fin],
+                               rtol=1e-5, atol=1e-8)
+    _compare_lnl(got.lnlike, want[0])
+
+
 @pytest.mark.parametrize("ignore_model_err", [True, False])
 def test_loglike_free_scale(problem, ignore_model_err):
     d, de, dm, m, me, mm = problem
