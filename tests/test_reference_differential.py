@@ -214,6 +214,75 @@ def test_pdfdict_and_gauss_kde_dict():
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-12)
 
 
+@pytest.mark.parametrize("seed", range(8))
+def test_kde_and_summarize_fuzz_vs_reference(seed):
+    """Randomized gauss_kde / gauss_kde_dict / pdfs_resample /
+    pdfs_summarize differential: grid sizes and spans, kernel widths,
+    weight sparsity, and the threshold-mode choice drawn per seed.
+    Kernels are kept from overhanging BOTH grid edges — there the
+    reference's dict edge normalization raises IndexError outright
+    (pdf.py:617, documented bug)."""
+    rng = np.random.default_rng(61000 + seed)
+    ngrid = int(rng.integers(40, 400))
+    span = 10.0 ** rng.uniform(-1, 1)
+    x = np.linspace(0.0, span, ngrid)
+    ny = int(rng.integers(5, 300))
+    sig_max = span / rng.uniform(15.0, 60.0)
+    y = rng.uniform(0.0, span, ny)
+    y_std = rng.uniform(0.1 * sig_max, sig_max, ny)
+    y_wt = rng.uniform(size=ny)
+    y_wt[rng.uniform(size=ny) < 0.2] = 0.0  # sparse weights
+    if rng.integers(0, 2):
+        kw = dict(wt_thresh=10.0 ** rng.uniform(-5, -2))
+    else:
+        kw = dict(wt_thresh=None, cdf_thresh=10.0 ** rng.uniform(-5, -3))
+    want = rpdf.gauss_kde(y, y_std, x, y_wt=y_wt, **kw)
+    got = np.asarray(ops.gauss_kde(y, y_std, x, y_wt=y_wt, **kw))
+    np.testing.assert_allclose(got, want, rtol=1e-6,
+                               atol=1e-12 * max(1.0, want.max()))
+
+    # dictionary variant on the same draw (interior-kernel regime)
+    sig_dict = np.linspace(0.1 * sig_max, sig_max, int(rng.integers(8, 60)))
+    rd = rpdf.PDFDict(x, sig_dict)
+    od = ops.PDFDict(x, sig_dict)
+    lo, hi = 5.5 * sig_max, span - 5.5 * sig_max
+    yc = np.clip(y, lo, hi)
+    ri, rsi = rd.fit(yc, y_std)
+    oi, osi = od.fit(yc, y_std)
+    np.testing.assert_array_equal(np.asarray(oi), ri)
+    np.testing.assert_array_equal(np.asarray(osi), rsi)
+    want = rpdf.gauss_kde_dict(rd, y_idx=ri, y_std_idx=rsi, y_wt=y_wt, **kw)
+    got = np.asarray(ops.gauss_kde_dict(od, y_idx=oi, y_std_idx=osi,
+                                        y_wt=y_wt, **kw))
+    np.testing.assert_allclose(got, want, rtol=1e-6,
+                               atol=1e-12 * max(1.0, want.max()))
+
+    # resample + summarize on random gaussian mixtures over this grid
+    nobj = int(rng.integers(3, 12))
+    ncomp = int(rng.integers(1, 4))
+    c = rng.uniform(0.1 * span, 0.9 * span, (nobj, ncomp, 1))
+    w = rng.uniform(0.2, 1.0, (nobj, ncomp, 1))
+    s = rng.uniform(0.02 * span, 0.1 * span, (nobj, ncomp, 1))
+    pdfs = (w * np.exp(-0.5 * ((x[None, None] - c) / s) ** 2)).sum(axis=1)
+    pdfs /= pdfs.sum(axis=1, keepdims=True)
+    new = np.linspace(0.0, span, int(rng.integers(30, 250)))
+    np.testing.assert_allclose(
+        np.asarray(ops.pdfs_resample(pdfs, x, new)),
+        rpdf.pdfs_resample(pdfs, x, new), rtol=1e-6, atol=1e-12)
+    want = rpdf.pdfs_summarize(pdfs, x, rstate=np.random.RandomState(1))
+    got = ops.pdfs_summarize(pdfs, x)
+    for i, est in enumerate(("mean", "median", "mode", "best")):
+        g = getattr(got, est)
+        for j, field in enumerate(("point", "std", "conf", "risk")):
+            np.testing.assert_allclose(
+                np.asarray(getattr(g, field)), want[i][j], rtol=1e-5,
+                atol=1e-7 * span, err_msg=f"seed {seed}: {est}.{field}")
+    for j, field in enumerate(("low95", "low68", "high68", "high95")):
+        np.testing.assert_allclose(np.asarray(getattr(got, field)),
+                                   want[4][j], rtol=1e-5, atol=1e-7 * span,
+                                   err_msg=f"seed {seed}: {field}")
+
+
 def test_photometry_transforms():
     rng = np.random.default_rng(5)
     phot = rng.uniform(0.1, 50, (20, 5))
