@@ -469,6 +469,22 @@ def test_knn_fit_predict_differential(problem):
                                atol=1e-5)
     np.testing.assert_allclose(got_pdfs, want_pdfs, rtol=1e-5, atol=1e-7)
 
+    # The separate fit() -> predict() path (stored padded neighbor
+    # grids -> prediction from stored log-weights), same determinism.
+    ref.fit(d.copy(), de.copy(), dm1.copy(), k=10,
+            rstate=_IdentityJitter(), verbose=False)
+    want_pdfs, (want_lmap, want_levid) = ref.predict(
+        zl, zle, label_grid=grid, return_gof=True, verbose=False)
+    ours.fit(d, de, dm1, k=10, rng=_IdentityJitter(), verbose=False)
+    np.testing.assert_array_equal(np.asarray(ours.Nneighbors, int),
+                                  np.asarray(ref.Nneighbors, int))
+    got_pdfs, (got_lmap, got_levid) = ours.predict(
+        zl, zle, label_grid=grid, return_gof=True, verbose=False)
+    np.testing.assert_allclose(got_lmap, want_lmap, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(got_levid, want_levid, rtol=1e-5,
+                               atol=1e-5)
+    np.testing.assert_allclose(got_pdfs, want_pdfs, rtol=1e-5, atol=1e-7)
+
 
 def test_network_populate_and_fit_differential(problem):
     """populate_network + fit_predict (nodes_only AND exact-union) vs
@@ -533,6 +549,19 @@ def test_network_populate_and_fit_differential(problem):
         got, (gl, gv) = som.fit_predict(
             d, de, dm1, zl, zle, nodes_only=nodes_only, label_grid=grid,
             return_gof=True, save_fits=False, verbose=False)
+        np.testing.assert_allclose(gl, wl, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(gv, wv, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+
+        # The separate fit() -> predict() path (stored node / padded
+        # union grids -> prediction from stored log-weights).
+        ref.fit(d.copy(), de.copy(), dm1.copy(), nodes_only=nodes_only,
+                verbose=False)
+        want, (wl, wv) = ref.predict(zl, zle, label_grid=grid,
+                                     return_gof=True, verbose=False)
+        som.fit(d, de, dm1, nodes_only=nodes_only, verbose=False)
+        got, (gl, gv) = som.predict(zl, zle, label_grid=grid,
+                                    return_gof=True, verbose=False)
         np.testing.assert_allclose(gl, wl, rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(gv, wv, rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
