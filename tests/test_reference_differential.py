@@ -395,6 +395,64 @@ def test_bruteforce_fit_predict_differential(problem, free_scale):
     np.testing.assert_allclose(got_pdfs, want_pdfs, rtol=1e-5, atol=1e-7)
 
 
+@pytest.mark.parametrize("seed", range(6))
+def test_bruteforce_option_lattice_fuzz(seed):
+    """End-to-end BruteForce.fit_predict vs the reference with the whole
+    option lattice drawn per seed: scale mode, dim prior, model-error
+    handling, wt-vs-cdf thresholding, and grid-vs-dictionary KDE, on
+    masked catalogs (>= 2 shared bands, so no 0-dof NaN cells)."""
+    import frankenz.bruteforce as rbfmod
+
+    from frankenz_tpu.models import BruteForce
+
+    rng = np.random.default_rng(73000 + seed)
+    nobj = int(rng.integers(4, 9))
+    nmodel = int(rng.integers(30, 70))
+    nfilt = int(rng.integers(4, 7))
+    m = rng.uniform(1, 10, (nmodel, nfilt))
+    me = rng.uniform(0.05, 0.3, (nmodel, nfilt))
+    mm = np.ones((nmodel, nfilt))
+    mm[rng.uniform(size=mm.shape) < 0.15] = 0.0
+    mm[:, :2] = 1.0
+    d = m[rng.integers(0, nmodel, nobj)] + rng.normal(0, 0.3, (nobj, nfilt))
+    de = rng.uniform(0.1, 0.5, (nobj, nfilt))
+    dm = np.ones((nobj, nfilt))
+    dm[rng.uniform(size=dm.shape) < 0.15] = 0.0
+    dm[:, :2] = 1.0
+    zl = rng.uniform(0.2, 2.8, nmodel)
+    zle = rng.uniform(0.05, 0.2, nmodel)
+    grid = np.linspace(0, 3, int(rng.integers(80, 220)))
+
+    kw = dict(return_gof=True, verbose=False,
+              lprob_kwargs=dict(
+                  free_scale=bool(rng.integers(0, 2)),
+                  dim_prior=bool(rng.integers(0, 2)),
+                  ignore_model_err=bool(rng.integers(0, 2))))
+    if rng.integers(0, 2):
+        kw["kde_kwargs"] = dict(wt_thresh=10.0 ** rng.uniform(-4, -2))
+    else:
+        kw["kde_kwargs"] = dict(wt_thresh=None,
+                                cdf_thresh=10.0 ** rng.uniform(-5, -3))
+    if rng.integers(0, 2):
+        kw["label_grid"] = grid
+        rkw = okw = kw
+    else:
+        sig = np.linspace(0.01, 0.12, 80)
+        rkw = dict(kw, label_dict=rpdf.PDFDict(grid, sig))
+        okw = dict(kw, label_dict=ops.PDFDict(grid, sig))
+        zl = np.clip(zl, 6 * 0.12, 3 - 6 * 0.12)  # interior kernels
+
+    ref = rbfmod.BruteForce(m.copy(), me.copy(), mm.copy())
+    want, (wl, wv) = ref.fit_predict(d.copy(), de.copy(), dm.copy(),
+                                     zl, zle, **rkw)
+    ours = BruteForce(m, me, mm)
+    got, (gl, gv) = ours.fit_predict(d, de, dm, zl, zle, use_fused=False,
+                                     **okw)
+    np.testing.assert_allclose(gl, wl, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(gv, wv, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+
+
 def test_bruteforce_fit_then_predict_differential(problem):
     """The materializing fit() -> predict() path (saved-grid contract):
     full float64 fit grids and the prediction from stored log-weights
