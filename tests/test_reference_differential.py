@@ -625,6 +625,64 @@ def test_network_populate_and_fit_differential(problem):
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
 
 
+@pytest.mark.parametrize("seed", range(6))
+def test_network_option_lattice_fuzz(seed):
+    """_Network.fit_predict vs the reference on injected identical nodes
+    with the option lattice drawn per seed: nodes_only x discrete x
+    node-threshold mode (wt vs cdf) x KDE-threshold mode x scale mode."""
+    import frankenz.networks as rnetmod
+
+    from frankenz_tpu.models import SelfOrganizingMap
+
+    rng = np.random.default_rng(83000 + seed)
+    nobj = int(rng.integers(3, 7))
+    nmodel = int(rng.integers(25, 45))
+    nfilt = int(rng.integers(3, 6))
+    m = rng.uniform(1, 10, (nmodel, nfilt))
+    me = rng.uniform(0.05, 0.3, (nmodel, nfilt))
+    mm1 = np.ones((nmodel, nfilt))
+    d = m[rng.integers(0, nmodel, nobj)] + rng.normal(0, 0.3, (nobj, nfilt))
+    de = rng.uniform(0.1, 0.5, (nobj, nfilt))
+    dm1 = np.ones((nobj, nfilt))
+    zl = rng.uniform(0.2, 2.8, nmodel)
+    zle = rng.uniform(0.05, 0.2, nmodel)
+    grid = np.linspace(0, 3, int(rng.integers(80, 200)))
+
+    som = SelfOrganizingMap(m, me, mm1)
+    som.train_network(nside=3, nproj=2, niter=40, nbatch=15,
+                      seed=int(rng.integers(0, 100)), verbose=False)
+    som.populate_network(verbose=False)
+    ref = rnetmod.SelfOrganizingMap(m.copy(), me.copy(), mm1.copy())
+    ref.nodes = np.asarray(som.nodes, float).copy()
+    ref.NNODE = len(ref.nodes)
+    ref.nodes_pos = np.zeros((ref.NNODE, 2))
+    ref.populate_network(verbose=False)
+
+    kw = dict(nodes_only=bool(rng.integers(0, 2)),
+              discrete=bool(rng.integers(0, 2)),
+              return_gof=True, verbose=False,
+              lprob_kwargs=dict(free_scale=bool(rng.integers(0, 2)),
+                                dim_prior=bool(rng.integers(0, 2))),
+              label_grid=grid)
+    if rng.integers(0, 2):
+        kw.update(wt_thresh=10.0 ** rng.uniform(-4, -2))
+    else:
+        kw.update(wt_thresh=None, cdf_thresh=10.0 ** rng.uniform(-5, -3))
+    if rng.integers(0, 2):
+        kw["kde_kwargs"] = dict(wt_thresh=10.0 ** rng.uniform(-4, -2))
+    else:
+        kw["kde_kwargs"] = dict(wt_thresh=None,
+                                cdf_thresh=10.0 ** rng.uniform(-5, -3))
+
+    want, (wl, wv) = ref.fit_predict(d.copy(), de.copy(), dm1.copy(),
+                                     zl, zle, **kw)
+    got, (gl, gv) = som.fit_predict(d, de, dm1, zl, zle, save_fits=False,
+                                    **kw)
+    np.testing.assert_allclose(gl, wl, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(gv, wv, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+
+
 def test_gng_training_differential():
     """FULL GNG training vs the reference's networkx implementation on
     an identical scripted draw stream (both rngs replaced; the reference
