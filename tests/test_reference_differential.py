@@ -544,6 +544,58 @@ def test_knn_fit_predict_differential(problem):
     np.testing.assert_allclose(got_pdfs, want_pdfs, rtol=1e-5, atol=1e-7)
 
 
+@pytest.mark.parametrize("seed", range(5))
+def test_knn_option_lattice_fuzz(seed):
+    """KMCkNN vs the reference (identity jitters) with the option
+    lattice drawn per seed: feature map x K x k x lp_norm x scale mode
+    x threshold mode — same ensembles, same unions, same PDFs."""
+    import frankenz.knn as rknnmod
+
+    from frankenz_tpu.models import NearestNeighbors
+
+    rng = np.random.default_rng(91000 + seed)
+    nobj = int(rng.integers(4, 8))
+    nmodel = int(rng.integers(40, 80))
+    nfilt = int(rng.integers(3, 6))
+    m = rng.uniform(1, 10, (nmodel, nfilt))
+    me0 = np.zeros_like(m)
+    mm1 = np.ones((nmodel, nfilt))
+    d = m[rng.integers(0, nmodel, nobj)] + rng.normal(0, 0.3, (nobj, nfilt))
+    de = rng.uniform(0.1, 0.5, (nobj, nfilt))
+    dm1 = np.ones((nobj, nfilt))
+    zl = rng.uniform(0.2, 2.8, nmodel)
+    zle = rng.uniform(0.05, 0.2, nmodel)
+    grid = np.linspace(0, 3, 151)
+
+    fmap = ("identity", "magnitude", "luptitude")[int(rng.integers(0, 3))]
+    K = int(rng.integers(1, 5))
+    k = int(rng.integers(3, 12))
+    lp = (1, 2)[int(rng.integers(0, 2))]
+    kw = dict(k=k, lp_norm=lp, label_grid=grid, return_gof=True,
+              verbose=False,
+              lprob_kwargs=dict(free_scale=bool(rng.integers(0, 2)),
+                                dim_prior=bool(rng.integers(0, 2))))
+    if rng.integers(0, 2):
+        kw["kde_kwargs"] = dict(wt_thresh=10.0 ** rng.uniform(-4, -2))
+    else:
+        kw["kde_kwargs"] = dict(wt_thresh=None,
+                                cdf_thresh=10.0 ** rng.uniform(-5, -3))
+
+    ref = rknnmod.NearestNeighbors(m.copy(), me0.copy(), mm1.copy(),
+                                   K=K, feature_map=fmap,
+                                   rstate=_IdentityJitter(), verbose=False)
+    want, (wl, wv) = ref.fit_predict(d.copy(), de.copy(), dm1.copy(),
+                                     zl, zle, rstate=_IdentityJitter(),
+                                     **kw)
+    ours = NearestNeighbors(m, me0, mm1, K=K, feature_map=fmap, seed=0,
+                            verbose=False)
+    got, (gl, gv) = ours.fit_predict(d, de, dm1, zl, zle,
+                                     rng=_IdentityJitter(), **kw)
+    np.testing.assert_allclose(gl, wl, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(gv, wv, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+
+
 def test_network_populate_and_fit_differential(problem):
     """populate_network + fit_predict (nodes_only AND exact-union) vs
     the reference on IDENTICAL nodes: our trained SOM's node table is
