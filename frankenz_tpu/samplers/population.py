@@ -68,6 +68,38 @@ def _zero_prior(pos, *args, **kwargs):
     return 0.0
 
 
+def _log1p_f32(x):
+    """f32-accurate log1p from Mosaic-safe primitives (log/mul/where):
+    3-term series for |x| < 1e-3 (truncation < |x|^3/4 relative), plain
+    log(1 + x) above (cancellation <= eps/|x| <= 6e-5 relative)."""
+    small = jnp.abs(x) < 1e-3
+    series = x * (1.0 - x * (0.5 - x * (1.0 / 3.0)))
+    return jnp.where(small, series, jnp.log(1.0 + jnp.where(small, 0.0, x)))
+
+
+def _pair_dlnl_terms(ov, half):
+    """Elementwise ln(ov + half) - ln(ov - half), cancellation-free.
+
+    The numeric gradient (samplers.py:272-287) is the difference of two
+    overlap log-sums; computed as two separate f32 sums it cancels to
+    ~eps * sum|ln ov| of noise — at the reference's scale = 1e-4 *
+    min(pos) step that noise was tens of percent of the true value, and
+    the proposal scale gscale = |1/grad| inherited it (the f64 reference
+    computes the same subtraction losslessly).  Taking the log of the
+    per-element RATIO instead keeps every term at machine precision:
+    ln((ov+h)/(ov-h)) = log1p(2h / (ov-h)).  Degenerate terms
+    (|half| >= ov, where the old form hit its 1e-30 clamps) keep the
+    clamped-subtraction semantics exactly.
+    """
+    num = ov + half
+    den = ov - half
+    ok = ov - jnp.abs(half) > 1e-25
+    fast = _log1p_f32((2.0 * half) / jnp.where(ok, den, 1.0))
+    slow = (jnp.log(jnp.maximum(num, 1e-30))
+            - jnp.log(jnp.maximum(den, 1e-30)))
+    return jnp.where(ok, fast, slow)
+
+
 class _BoundPrior:
     """Hashable binding of (prior_func, args, kwargs) so `_pop_run`'s jit
     cache keys on the *contents* rather than a per-call closure identity —
@@ -215,13 +247,16 @@ def _make_pop_mega_kernel(*, chunk, nsteps, thin, mh_steps, nbins, nobs):
                      - jnp.where(lid == j11, 1.0, 0.0))
                 pi = pick_lane(pos, i11)
                 pj = pick_lane(pos, j11)
-                # Numeric gradient scale (samplers.py:272-287).
+                # Numeric gradient scale (samplers.py:272-287), via the
+                # cancellation-free ratio form (_pair_dlnl_terms).
                 scale = 1e-4 * jnp.minimum(
                     jnp.minimum(pi, pj),
                     jnp.minimum(1.0 - pi, 1.0 - pj))
-                lnp1 = lnsum(ov + (scale[0, 0] / 2.0) * dcol)
-                lnp2 = lnsum(ov - (scale[0, 0] / 2.0) * dcol)
-                grad = (lnp1 - lnp2) / scale
+                half = (scale[0, 0] / 2.0) * dcol
+                dlnl = jnp.sum(jnp.where(valid_obj,
+                                         _pair_dlnl_terms(ov, half), 0.0),
+                               keepdims=True)
+                grad = dlnl / scale
                 gscale = jnp.where(
                     grad != 0.0,
                     jnp.minimum(jnp.abs(1.0 / grad),
@@ -355,14 +390,16 @@ def _chain_step(pdfsT, logprior_nz, mh_steps, axis_name=None):
         dcol = pdfsT[i, :] - pdfsT[j, :]
         t = jnp.zeros_like(pos).at[i].set(1.0).at[j].set(-1.0)
 
-        # Numerical gradient along the pair direction (samplers.py:272-287).
+        # Numerical gradient along the pair direction (samplers.py:272-287),
+        # via the cancellation-free ratio form (_pair_dlnl_terms).
         vals = jnp.stack([pos[i], pos[j], 1.0 - pos[i], 1.0 - pos[j]])
         scale = 1e-4 * jnp.min(vals)
-        lnp1 = (lnlike_from_overlap(overlap + (scale / 2.0) * dcol)
-                + logprior_nz(pos + t * (scale / 2.0)))
-        lnp2 = (lnlike_from_overlap(overlap - (scale / 2.0) * dcol)
-                + logprior_nz(pos - t * (scale / 2.0)))
-        grad = (lnp1 - lnp2) / scale
+        half = (scale / 2.0) * dcol
+        dlnl = jnp.sum(_pair_dlnl_terms(overlap, half))
+        if axis_name is not None:
+            dlnl = jax.lax.psum(dlnl, axis_name)
+        grad = (dlnl + logprior_nz(pos + t * (scale / 2.0))
+                - logprior_nz(pos - t * (scale / 2.0))) / scale
         gscale = jnp.where(grad != 0.0,
                            jnp.minimum(jnp.abs(1.0 / grad),
                                        jnp.abs(scale * 1e4)),

@@ -1028,6 +1028,82 @@ def test_samplers_statistical_differential():
     assert our_err <= 1.5 * ref_err + 0.005, (ref_err, our_err)
 
 
+def test_population_sampler_scripted_differential(monkeypatch):
+    """EXACT population-sampler chain differential (not statistical):
+    one shared draw stream — pair choices, MH normals, exponentials —
+    is fed to the reference via a scripted rstate and to our chain
+    mega-kernel via a scripted _pop_draws table, so every proposal,
+    gradient scale, and accept decision must coincide; samples and
+    lnpost trajectories compared along the whole chain (f32 kernel vs
+    f64 reference)."""
+    from frankenz_tpu.samplers import population as pop_mod
+    from frankenz_tpu.samplers import population_sampler
+
+    rng = np.random.default_rng(97)
+    nobs, nbins = 60, 12
+    niter, thin, mh = 15, 4, 2
+    nsteps = niter * thin
+    c = rng.uniform(1, 10, (nobs, 1))
+    grid = np.arange(nbins)[None]
+    pdfs = np.exp(-0.5 * ((grid - c) / 2.0) ** 2) + 0.05
+    pdfs /= pdfs.sum(axis=1, keepdims=True)
+    pos0 = np.full(nbins, 1.0 / nbins)
+
+    ii = rng.integers(0, nbins, nsteps)
+    jj = rng.integers(0, nbins - 1, nsteps)
+    jj = jj + (jj >= ii)
+    # f32 exactly: the kernel ingests the slab in f32 — hand the
+    # reference the identical values.
+    zs = rng.normal(size=(nsteps, mh)).astype(np.float32)
+    es = rng.exponential(size=(nsteps, mh)).astype(np.float32)
+
+    class ScriptedRef:
+        cp = zp = ep = 0
+
+        def choice(self, n, size=None, replace=True):
+            assert size == 2 and not replace
+            k = ScriptedRef.cp
+            ScriptedRef.cp += 1
+            return np.array([ii[k], jj[k]])
+
+        def randn(self):
+            k = ScriptedRef.zp
+            ScriptedRef.zp += 1
+            return float(zs[k // mh, k % mh])
+
+        def exponential(self):
+            k = ScriptedRef.ep
+            ScriptedRef.ep += 1
+            return float(es[k // mh, k % mh])
+
+    table = np.concatenate([ii[:, None].astype(np.float32),
+                            jj[:, None].astype(np.float32), zs, es], axis=1)
+
+    def scripted_draws(key, *, nsteps, nbins, mh_steps):
+        assert nsteps == niter * thin and mh_steps == mh
+        import jax.numpy as jnp
+        return jnp.asarray(table[:nsteps])
+
+    ref = rsamp.population_sampler(pdfs.copy())
+    ref.run_mcmc(niter, pos_init=pos0.copy(), thin=thin, mh_steps=mh,
+                 rstate=ScriptedRef(), verbose=False)
+    want_s, want_lnp = ref.results
+    assert ScriptedRef.cp == nsteps and ScriptedRef.zp == nsteps * mh
+
+    monkeypatch.setattr(pop_mod, "_pop_draws", scripted_draws)
+    monkeypatch.setattr(population_sampler, "_kernel_ok",
+                        lambda *a, **k: True)
+    ours = population_sampler(pdfs)
+    ours.run_mcmc(niter, pos_init=pos0, thin=thin, mh_steps=mh, seed=0,
+                  verbose=False)
+    got_s, got_lnp = ours.results
+
+    np.testing.assert_allclose(got_s, np.asarray(want_s), rtol=2e-4,
+                               atol=2e-6)
+    np.testing.assert_allclose(got_lnp, np.asarray(want_lnp), rtol=2e-5,
+                               atol=2e-4)
+
+
 def test_loglike_nz():
     rng = np.random.default_rng(8)
     pdfs = rng.uniform(size=(100, 40))
