@@ -135,3 +135,44 @@ def test_transform_round_trips(flux, err):
     f3, e3 = inv_luptitude(np.asarray(lu), np.asarray(lue))
     np.testing.assert_allclose(np.asarray(f3), flux, rtol=1e-8)
     np.testing.assert_allclose(np.asarray(e3), err, rtol=1e-8)
+
+
+def test_fit_predict_bitwise_repeatable():
+    """The BASELINE accuracy bar demands bitwise-stable PDFs: the same
+    fit_predict call repeated (fresh fitter instance, identical inputs)
+    must return BIT-IDENTICAL PDFs and GOF on both the fused and XLA
+    paths (fixed per-path reduction orders), and batch size must not
+    move the result beyond matmul re-tiling roundoff."""
+    from frankenz_tpu.models import BruteForce
+
+    rng = np.random.default_rng(19)
+    nobj, nmodel, nfilt = 40, 120, 5
+    m = rng.uniform(1, 10, (nmodel, nfilt))
+    me = 0.1 * m
+    mm = np.ones_like(m)
+    d = m[rng.integers(0, nmodel, nobj)] + rng.normal(0, 0.3, (nobj, nfilt))
+    de = np.full_like(d, 0.3)
+    dm = np.ones_like(d)
+    zl = rng.uniform(0.2, 2.8, nmodel)
+    zle = rng.uniform(0.05, 0.2, nmodel)
+    grid = np.linspace(0, 3, 151)
+
+    def run(use_fused, batch_size=None):
+        bf = BruteForce(m, me, mm)
+        pdfs, (lmap, levid) = bf.fit_predict(
+            d, de, dm, zl, zle, label_grid=grid, return_gof=True,
+            use_fused=use_fused, verbose=False,
+            **({"batch_size": batch_size} if batch_size else {}))
+        return (np.asarray(pdfs), np.asarray(lmap), np.asarray(levid))
+
+    for use_fused in (False, True):
+        a = run(use_fused)
+        b = run(use_fused)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)
+
+    a = run(False)
+    c = run(False, batch_size=17)
+    np.testing.assert_allclose(c[0], a[0], rtol=1e-6, atol=1e-12)
+    np.testing.assert_allclose(c[1], a[1], rtol=1e-6)
+    np.testing.assert_allclose(c[2], a[2], rtol=1e-6)
