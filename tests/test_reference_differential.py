@@ -395,6 +395,50 @@ def test_bruteforce_fit_predict_differential(problem, free_scale):
     np.testing.assert_allclose(got_pdfs, want_pdfs, rtol=1e-5, atol=1e-7)
 
 
+def test_custom_lprob_func_differential(problem):
+    """The lprob_func plugin contract (SURVEY.md 2.2, demo-2's custom
+    posterior pattern) end-to-end vs the reference: a per-model BPZ-style
+    log-prior added to the grid likelihood on both sides — the
+    reference's per-object hook vs our batched traceable hook."""
+    import jax.numpy as jnp
+
+    import frankenz.bruteforce as rbfmod
+
+    from frankenz_tpu.models import BruteForce
+    from frankenz_tpu.ops import logprob as our_logprob
+
+    d, de, dm, m, me, mm = problem
+    rng = np.random.default_rng(59)
+    zl = rng.uniform(0.2, 2.8, len(m))
+    zle = rng.uniform(0.05, 0.2, len(m))
+    lnprior_vec = np.log(0.1 + rng.uniform(size=len(m)))
+    grid = np.linspace(0, 3, 151)
+
+    def lprob_ref(x, xe, xm, m_, me_, mm_):
+        res = rpdf.logprob(x, xe, xm, m_, me_, mm_)
+        return ((lnprior_vec, res[1], res[1] + lnprior_vec)
+                + tuple(res[3:]))
+
+    def lprob_ours(x, xe, xm, m_, me_, mm_):
+        res = our_logprob(x, xe, xm, m_, me_, mm_)
+        lp = jnp.broadcast_to(jnp.asarray(lnprior_vec), res.lnlike.shape)
+        return (lp, res.lnlike, res.lnlike + lp, res.ndim, res.chi2)
+
+    ref = rbfmod.BruteForce(m.copy(), me.copy(), mm.copy())
+    want, (wl, wv) = ref.fit_predict(d.copy(), de.copy(), dm.copy(),
+                                     zl, zle, lprob_func=lprob_ref,
+                                     label_grid=grid, return_gof=True,
+                                     verbose=False)
+    ours = BruteForce(m, me, mm)
+    got, (gl, gv) = ours.fit_predict(d, de, dm, zl, zle,
+                                     lprob_func=lprob_ours,
+                                     label_grid=grid, return_gof=True,
+                                     verbose=False)
+    np.testing.assert_allclose(gl, wl, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(gv, wv, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+
+
 @pytest.mark.parametrize("seed", range(6))
 def test_bruteforce_option_lattice_fuzz(seed):
     """End-to-end BruteForce.fit_predict vs the reference with the whole
