@@ -356,7 +356,7 @@ def _stack_node_pdfs_jit(lwt, node_pdfs_occ):
     levid = jax.scipy.special.logsumexp(lwt, axis=1)
     wt = jnp.exp(lwt - levid[:, None])
     # HIGHEST precision: see ops/kde.py `_matmul` (PDF contract).
-    pdf = jnp.dot(wt, node_pdfs_occ, precision=jax.lax.Precision.HIGHEST)
+    pdf = jnp.dot(wt, node_pdfs_occ, precision=_kde.STACK_PRECISION)
     return _kde.norm_rows(pdf), lmap, levid
 
 

@@ -39,6 +39,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 from scipy.special import gammaln as _sp_gammaln
 
+from .kde import STACK_PRECISION
+
 __all__ = ["fused_fit_pdf", "pallas_supported", "FusedCdfFallback"]
 
 
@@ -63,6 +65,36 @@ def pallas_supported():
 
 def _round_up(x, m):
     return (x + m - 1) // m * m
+
+
+def _stack_dot(w, G):
+    """PDF-stack contraction at the package-wide STACK_PRECISION.
+
+    Mosaic supports only DEFAULT / HIGHEST dot precisions, so HIGH (the
+    3-pass bf16 decomposition XLA runs on f32 inputs) is emulated
+    manually: split each operand into a bf16 hi part plus an f32
+    residual and contract hi@hi + hi@lo + lo@hi, dropping the lo@lo
+    term whose relative weight is ~2^-16.  Error per product lands at
+    ~2^-17 relative — far below the f32 stack contract (2e-3 hardware
+    tolerance) — at half the MXU passes of HIGHEST (measured on v5e:
+    config 4 runs 1.65e10 pair-evals/s at HIGHEST, 2.43e10 at DEFAULT;
+    the 3-pass path recovers most of the gap, see docs/MXU_NOTE.md).
+    """
+    if STACK_PRECISION == jax.lax.Precision.HIGH and pallas_supported():
+        # Only on real Mosaic: in interpret mode (CPU test suite) the
+        # f32 dot below is exact, and the split's ~2^-17 representation
+        # error would needlessly loosen the 1e-6 interpret-vs-XLA
+        # parity assertions.
+        wh = w.astype(jnp.bfloat16)
+        wl = (w - wh.astype(jnp.float32)).astype(jnp.bfloat16)
+        Gh = G.astype(jnp.bfloat16)
+        Gl = (G - Gh.astype(jnp.float32)).astype(jnp.bfloat16)
+        acc = jnp.dot(wh, Gh, preferred_element_type=jnp.float32)
+        acc += jnp.dot(wh, Gl, preferred_element_type=jnp.float32)
+        acc += jnp.dot(wl, Gh, preferred_element_type=jnp.float32)
+        return acc
+    return jnp.dot(w, G, preferred_element_type=jnp.float32,
+                   precision=STACK_PRECISION)
 
 
 def _fast_recip(x):
@@ -425,9 +457,7 @@ def _make_stack_kernel(nfilt, dim_prior, ignore_model_err, gl_table,
         # stacked PDF cells (measured on v5e; dominant-weight products
         # round directly into their cells).  The full-f32 passes ride
         # under the VPU-bound lnl work, so the cost is ~nil.
-        pdf_ref[:, :] += jnp.dot(wt, G[:, :],
-                                 preferred_element_type=jnp.float32,
-                                 precision=jax.lax.Precision.HIGHEST)
+        pdf_ref[:, :] += _stack_dot(wt, G[:, :])
 
     return kernel
 
@@ -465,9 +495,7 @@ def _make_onepass_kernel(nfilt, dim_prior, ignore_model_err, gl_table,
         w = jnp.exp(lnl - new_m)
         lse_ref[:, :] = lse_ref[:, :] * alpha + jnp.sum(w, axis=1,
                                                         keepdims=True)
-        pdf_ref[:, :] = pdf_ref[:, :] * alpha + jnp.dot(
-            w, G[:, :], preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+        pdf_ref[:, :] = pdf_ref[:, :] * alpha + _stack_dot(w, G[:, :])
         lmap_ref[:, :] = new_m
 
         @pl.when(j == nj - 1)
@@ -557,9 +585,7 @@ def _make_cut_stack_kernel(nfilt, dim_prior, ignore_model_err, gl_table,
         def _():
             pdf_ref[:, :] = jnp.zeros_like(pdf_ref)
 
-        pdf_ref[:, :] += jnp.dot(wt, G[:, :],
-                                 preferred_element_type=jnp.float32,
-                                 precision=jax.lax.Precision.HIGHEST)
+        pdf_ref[:, :] += _stack_dot(wt, G[:, :])
 
     return kernel
 
@@ -752,9 +778,7 @@ def _make_chi2stack_kernel(nfilt, ignore_model_err, a1, log_wt_thresh,
             # w = exp(lnl - lmap), so the reference cut
             # lnl > ln(wt_thresh) + lmap is exactly w > wt_thresh.
             w = jnp.where(w > wthr, w, 0.0)
-        pdf_ref[:, :] += jnp.dot(w, G[:, :],
-                                 preferred_element_type=jnp.float32,
-                                 precision=jax.lax.Precision.HIGHEST)
+        pdf_ref[:, :] += _stack_dot(w, G[:, :])
 
     return kernel
 

@@ -44,6 +44,7 @@ Exact-parity details replicated from the reference:
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -51,6 +52,7 @@ import jax.numpy as jnp
 from jax.scipy.special import erf
 
 __all__ = [
+    "STACK_PRECISION",
     "norm_rows",
     "gaussian",
     "gaussian_bin",
@@ -98,6 +100,28 @@ def resolve_kde_opts(kde_args=None, kde_kwargs=None, wt_thresh=1e-3,
     wt_thresh = kw.get("wt_thresh", wt_thresh)
     cdf_thresh = kw.get("cdf_thresh", cdf_thresh)
     return dx, sig_thresh, wt_thresh, cdf_thresh
+
+
+# Matmul precision for every PDF-stack dot (wts @ G here, the fused
+# Pallas tiles, the ring/sharded mesh paths, node-PDF stacking, and the
+# plotting 2-D stacks).  The MXU's DEFAULT rounds f32 inputs to bf16
+# (~2e-3 relative noise on stacked cells, measured on v5e); HIGHEST is
+# the full 6-pass f32 emulation and measurably slows the flop-dominant
+# stack dot (config 4: 2.80e10 -> 1.65e10 pair-evals/s).  HIGH — the
+# 3-pass bf16 decomposition, ~2^-17 relative per product, far inside
+# the f32 stack contract — is the measured sweet spot and the default.
+# Mosaic does not lower Precision.HIGH, so the Pallas tiles emulate it
+# with an explicit hi/lo bf16 split (ops/fused.py `_stack_dot`); the
+# XLA paths pass it natively.  Override with
+# FRANKENZ_STACK_PRECISION={default,high,highest} before import
+# (measurements: docs/MXU_NOTE.md).  GOF-contractual dots (summarize
+# risk, the opt-in MXU chi2 expansion) are NOT governed by this knob —
+# they stay HIGHEST unconditionally.
+STACK_PRECISION = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}[os.environ.get("FRANKENZ_STACK_PRECISION", "high").lower()]
 
 
 def norm_rows(pdf):
@@ -307,7 +331,7 @@ def _matmul(wts, G):
     # noise on stacked PDF cells (measured on hardware, tools/
     # hw_parity.py) — the 1e-6 PDF-parity contract needs full-f32 dots.
     # The Pallas stack kernels pin the same precision (ops/fused.py).
-    return jnp.dot(wts, G, precision=jax.lax.Precision.HIGHEST)
+    return jnp.dot(wts, G, precision=STACK_PRECISION)
 
 
 def kde_stack_gathered_dict(pdfdict, pos, sig, wts):
@@ -344,7 +368,7 @@ def _kde_stack_gathered_jit(sigmas, widths, delta, pos, sig, wts, *, nx):
                      0.0)
     # HIGHEST precision: see `_matmul` (PDF cells are contractual).
     return jnp.einsum("bj,bjg->bg", wts, rows,
-                      precision=jax.lax.Precision.HIGHEST)
+                      precision=STACK_PRECISION)
 
 
 @jax.jit
@@ -352,7 +376,7 @@ def _kde_stack_gathered_grid_jit(y, y_std, wts, grid, dx, sig_thresh):
     rows = jax.vmap(lambda yy, ss: _kernel_matrix_jit(yy, ss, grid, dx,
                                                       sig_thresh))(y, y_std)
     return jnp.einsum("bj,bjg->bg", wts, rows,
-                      precision=jax.lax.Precision.HIGHEST)
+                      precision=STACK_PRECISION)
 
 
 def kde_stack_gathered(y, y_std, wts, grid, dx=None, sig_thresh=5.0):

@@ -186,7 +186,7 @@ def model_sharded_fit_predict_step(mesh, wt_thresh=1e-3, dim_prior=True,
             wt = jnp.where(keep, wt, 0.0)
         # HIGHEST precision: see ops/kde.py `_matmul` (PDF contract).
         pdf = jax.lax.psum(
-            jnp.dot(wt, G, precision=jax.lax.Precision.HIGHEST),
+            jnp.dot(wt, G, precision=_kde.STACK_PRECISION),
             MODEL_AXIS)
         return _kde.norm_rows(pdf), lmap, levid
 
@@ -271,7 +271,7 @@ def ring_fit_predict_step(mesh, wt_thresh=1e-3, dim_prior=True,
                 w = jnp.exp(lnp - new_m[:, None])
                 s = s * alpha + jnp.sum(w, axis=1)
                 pdf = pdf * alpha[:, None] + jnp.dot(
-                    w, G, precision=jax.lax.Precision.HIGHEST)
+                    w, G, precision=_kde.STACK_PRECISION)
                 m, me, mm, G = rotate(m, me, mm, G)
                 return (m, me, mm, G, new_m, s, pdf), ()
 
@@ -310,7 +310,7 @@ def ring_fit_predict_step(mesh, wt_thresh=1e-3, dim_prior=True,
                 w = jnp.exp(lnp - levid[:, None])
                 w = jnp.where(lnp > log_thr + lmap[:, None], w, 0.0)
                 pdf = pdf + jnp.dot(w, G,
-                                    precision=jax.lax.Precision.HIGHEST)
+                                    precision=_kde.STACK_PRECISION)
                 m, me, mm, G = rotate(m, me, mm, G)
                 return (m, me, mm, G, pdf), ()
 

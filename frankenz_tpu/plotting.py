@@ -86,9 +86,9 @@ def _stack2d(vals, errs, vdict, Pn, weights):
     vidx, eidx = vdict.fit(jnp.asarray(vals), jnp.asarray(errs))
     Gx = _kde.kernel_matrix_dict(vdict, vidx, eidx)  # (Nobj, Ngrid_x)
     W = jnp.asarray(weights)[:, None] * Gx
-    # HIGHEST precision: see ops/kde.py `_matmul` (PDF contract).
+    # Stack-dot precision: see ops/kde.py STACK_PRECISION (PDF contract).
     return np.asarray(jnp.dot(W.T, jnp.asarray(Pn),
-                              precision=jax.lax.Precision.HIGHEST))
+                              precision=_kde.STACK_PRECISION))
 
 
 def input_vs_pdf(vals, errs, vdict, pdfs, pgrid, weights=None,
