@@ -153,6 +153,32 @@ def test_tracing_helpers():
     assert isinstance(mem, dict)
 
 
+def test_profile_device_busy_measures_jitted_call():
+    """The xplane-parsing path bench.py's MFU / MXU-duty numbers run
+    through: capture a trace of a jitted call on the CPU backend and
+    sum its module events."""
+    import jax
+    import jax.numpy as jnp
+
+    from frankenz_tpu.utils.tracing import (collect_device_events,
+                                            profile_device_busy)
+
+    @jax.jit
+    def f(x):
+        return (x @ x.T).sum()
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(256, 256)),
+                    jnp.float32)
+    f(x).block_until_ready()  # compile outside the trace
+    busy, events = profile_device_busy(f, [(x,), (x,)],
+                                       plane_filter="")
+    # CPU traces still carry the jit_ module events on a host plane.
+    assert events is None or isinstance(events, dict)
+    if busy is not None:
+        assert busy > 0.0
+        assert any(k.startswith("jit_") for k in events)
+
+
 def test_fitters_emit_global_metrics():
     """The fit pipelines feed the global registry (VERDICT round-2 weak
     point 3: telemetry must have real call sites, not just exist)."""
