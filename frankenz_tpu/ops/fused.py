@@ -85,16 +85,92 @@ def _stack_dot(w, G):
         # f32 dot below is exact, and the split's ~2^-17 representation
         # error would needlessly loosen the 1e-6 interpret-vs-XLA
         # parity assertions.
-        wh = w.astype(jnp.bfloat16)
-        wl = (w - wh.astype(jnp.float32)).astype(jnp.bfloat16)
-        Gh = G.astype(jnp.bfloat16)
-        Gl = (G - Gh.astype(jnp.float32)).astype(jnp.bfloat16)
-        acc = jnp.dot(wh, Gh, preferred_element_type=jnp.float32)
-        acc += jnp.dot(wh, Gl, preferred_element_type=jnp.float32)
-        acc += jnp.dot(wl, Gh, preferred_element_type=jnp.float32)
-        return acc
+        Gh, Gl = _split_bf16(G)
+        return _stack_dot_split(w, Gh, Gl)
     return jnp.dot(w, G, preferred_element_type=jnp.float32,
                    precision=STACK_PRECISION)
+
+
+def _split_bf16(x):
+    """In-KERNEL (hi, lo) bf16 split of an f32 array: x ~= hi + lo with
+    ~2^-17 relative representation error (hi carries the top 8 mantissa
+    bits, lo the next 8).  Mosaic compiles the f32->bf16->f32 round-trip
+    literally (hardware-verified: in-tile split lands 3.2e-5 of max
+    cell vs an f64 host truth) — do NOT use this form in XLA-traced
+    code, where the convert pair is STRIPPED under excess-precision
+    rules (lo == 0 silently; see `_split_bf16_xla`)."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _split_bf16_xla(x):
+    """XLA-side (hi, lo) bf16 split, for pre-splitting G outside the
+    kernels (the opt-in ``g_split`` path).
+
+    A plain ``astype(bf16).astype(f32)`` round-trip is deleted by XLA's
+    excess-precision rules, making lo = x - x = 0 — measured on v5e as
+    a silent bf16-grade stack (2.9e-3 of max cell vs the in-tile
+    split's 3.2e-5).  `lax.reduce_precision` is contractual rounding
+    XLA must preserve, so the residual is computed against the
+    honestly-rounded hi."""
+    hi_f32 = jax.lax.reduce_precision(x, exponent_bits=8, mantissa_bits=7)
+    lo_f32 = jax.lax.reduce_precision(x - hi_f32, exponent_bits=8,
+                                      mantissa_bits=7)
+    return hi_f32.astype(jnp.bfloat16), lo_f32.astype(jnp.bfloat16)
+
+
+def _stack_dot_split(w, Gh, Gl):
+    """3-pass HIGH-emulation contraction against a PRE-SPLIT G.
+
+    Hoisting the static G split out of the tile (pass-B kernels take
+    (Gh, Gl) bf16 operands prepared once per predict call) was the
+    round-3 verdict's hypothesis for reclaiming the HIGH-precision
+    cost.  Measured on v5e at config-4 shape (round 4): results are
+    BITWISE identical to the in-tile split and timing is within relay
+    variance of it (340 vs 353 ms/batch one run, 326 vs 328 another) —
+    the in-tile VPU re-split rides under the serialized MXU passes, so
+    there is nothing to reclaim (docs/MXU_NOTE.md section 5: device
+    time is linear in MXU passes, not split passes).  Default stays
+    the single-operand in-tile form (no per-call prep pass, fewer
+    operand streams); ``fused_fit_pdf(g_split=True)`` keeps the
+    measurement reproducible.  Only the weights tile is split here;
+    the three bf16 MXU passes are identical to `_stack_dot`'s.
+    """
+    wh = w.astype(jnp.bfloat16)
+    wl = (w - wh.astype(jnp.float32)).astype(jnp.bfloat16)
+    acc = jnp.dot(wh, Gh, preferred_element_type=jnp.float32)
+    acc += jnp.dot(wh, Gl, preferred_element_type=jnp.float32)
+    acc += jnp.dot(wl, Gh, preferred_element_type=jnp.float32)
+    return acc
+
+
+def _stack_dot_g(w, g_refs):
+    """Stack contraction against the kernel's G ref(s): two refs = the
+    pre-split (Gh, Gl) HIGH path, one ref = plain `_stack_dot`."""
+    if len(g_refs) == 2:
+        return _stack_dot_split(w, g_refs[0][:, :], g_refs[1][:, :])
+    return _stack_dot(w, g_refs[0][:, :])
+
+
+def _g_operands(G, g_split, spec):
+    """Kernel operand(s) + block spec(s) for the KDE kernel matrix:
+    the pre-split (Gh, Gl) bf16 pair (see `_stack_dot_split`) when
+    ``g_split``, else the single f32 G."""
+    if g_split:
+        return _split_bf16_xla(G), [spec, spec]
+    return (G,), [spec]
+
+
+def _default_g_split(interpret):
+    """Always False: on v5e the hoisted pre-split measures bitwise
+    identical and within relay variance of the in-tile split (see
+    `_stack_dot_split`) — it buys nothing, so the shipped default is
+    the single-operand G with `_stack_dot`'s in-kernel split at HIGH.
+    ``g_split=True`` remains an explicit opt-in for reproducing the
+    measurement and for the CPU suite's two-operand kernel coverage."""
+    del interpret
+    return False
 
 
 def _fast_recip(x):
@@ -434,8 +510,9 @@ def _make_reduce_kernel(nfilt, dim_prior, ignore_model_err, gl_table,
 
 def _make_stack_kernel(nfilt, dim_prior, ignore_model_err, gl_table,
                        log_wt_thresh, full_mask, free_scale=False,
-                       scale_ltol=1e-3, scale_max_iter=100):
-    def kernel(d, de, dm, mT, meT, mmT, valid, G, lmap, levid, pdf_ref):
+                       scale_ltol=1e-3, scale_max_iter=100, ng=1):
+    def kernel(d, de, dm, mT, meT, mmT, valid, *rest):
+        g_refs, (lmap, levid, pdf_ref) = rest[:ng], rest[ng:]
         j = pl.program_id(1)
         lnl = _lnl_tile(d, de, dm, mT, meT, mmT, valid, nfilt=nfilt,
                         dim_prior=dim_prior,
@@ -451,28 +528,28 @@ def _make_stack_kernel(nfilt, dim_prior, ignore_model_err, gl_table,
         def _():
             pdf_ref[:, :] = jnp.zeros_like(pdf_ref)
 
-        # HIGHEST precision on every pdf-stack dot (here and the
+        # STACK_PRECISION on every pdf-stack dot (here and the
         # one-pass / cut-stack / chi2-stack kernels): the MXU default
         # rounds f32 inputs to bf16, which put ~0.1-0.7% of noise on
         # stacked PDF cells (measured on v5e; dominant-weight products
-        # round directly into their cells).  The full-f32 passes ride
-        # under the VPU-bound lnl work, so the cost is ~nil.
-        pdf_ref[:, :] += _stack_dot(wt, G[:, :])
+        # round directly into their cells).  At the HIGH default the
+        # caller pre-splits G into (Gh, Gl) bf16 operands (ng == 2).
+        pdf_ref[:, :] += _stack_dot_g(wt, g_refs)
 
     return kernel
 
 
 def _make_onepass_kernel(nfilt, dim_prior, ignore_model_err, gl_table,
                          full_mask, free_scale=False, scale_ltol=1e-3,
-                         scale_max_iter=100):
+                         scale_max_iter=100, ng=1):
     """Single-pass flash-style kernel (no weight threshold): carries a
     running max, rescaled sum-exp, AND a rescaled (TB, Gp) PDF
     accumulator; pdf_out = sum_j exp(lnl_j - rm_final) @ G_j, which the
     caller normalizes (identical post-normalization to exp(lnl - levid)
     weights)."""
 
-    def kernel(d, de, dm, mT, meT, mmT, valid, G, pdf_ref, lmap_ref,
-               lse_ref):
+    def kernel(d, de, dm, mT, meT, mmT, valid, *rest):
+        g_refs, (pdf_ref, lmap_ref, lse_ref) = rest[:ng], rest[ng:]
         j = pl.program_id(1)
         nj = pl.num_programs(1)
         lnl = _lnl_tile(d, de, dm, mT, meT, mmT, valid, nfilt=nfilt,
@@ -495,7 +572,7 @@ def _make_onepass_kernel(nfilt, dim_prior, ignore_model_err, gl_table,
         w = jnp.exp(lnl - new_m)
         lse_ref[:, :] = lse_ref[:, :] * alpha + jnp.sum(w, axis=1,
                                                         keepdims=True)
-        pdf_ref[:, :] = pdf_ref[:, :] * alpha + _stack_dot(w, G[:, :])
+        pdf_ref[:, :] = pdf_ref[:, :] * alpha + _stack_dot_g(w, g_refs)
         lmap_ref[:, :] = new_m
 
         @pl.when(j == nj - 1)
@@ -565,12 +642,13 @@ def _make_topk_kernel(nfilt, dim_prior, ignore_model_err, gl_table,
 
 def _make_cut_stack_kernel(nfilt, dim_prior, ignore_model_err, gl_table,
                            full_mask, free_scale, scale_ltol,
-                           scale_max_iter):
+                           scale_max_iter, ng=1):
     """Pass B against a per-object lnl cut: keep lnl <= cut (the exact
     complement of the reference's dropped descending prefix; see
     `_make_topk_kernel` / `_cdf_cut`)."""
 
-    def kernel(d, de, dm, mT, meT, mmT, valid, G, cut, levid, pdf_ref):
+    def kernel(d, de, dm, mT, meT, mmT, valid, *rest):
+        g_refs, (cut, levid, pdf_ref) = rest[:ng], rest[ng:]
         j = pl.program_id(1)
         lnl = _lnl_tile(d, de, dm, mT, meT, mmT, valid, nfilt=nfilt,
                         dim_prior=dim_prior,
@@ -585,7 +663,7 @@ def _make_cut_stack_kernel(nfilt, dim_prior, ignore_model_err, gl_table,
         def _():
             pdf_ref[:, :] = jnp.zeros_like(pdf_ref)
 
-        pdf_ref[:, :] += _stack_dot(wt, G[:, :])
+        pdf_ref[:, :] += _stack_dot_g(wt, g_refs)
 
     return kernel
 
@@ -738,7 +816,7 @@ _A1_NOLOG_MAX = 8.5
 
 
 def _make_chi2stack_kernel(nfilt, ignore_model_err, a1, log_wt_thresh,
-                           mxu=False):
+                           mxu=False, ng=1):
     """Pass B (full-mask, dim-prior): w = chi2^a1 * exp(-chi2/2 - shift),
     shift = max(lmap, lnl(clamp)) + gammaln-norm — one exp + one sqrt
     per pair, no log (a1 <= 8.5; the log-form otherwise — see
@@ -747,7 +825,8 @@ def _make_chi2stack_kernel(nfilt, ignore_model_err, a1, log_wt_thresh,
 
     wthr = None if log_wt_thresh is None else float(np.exp(log_wt_thresh))
 
-    def kernel(d, de, mT, meT, G, shift, pdf_ref, s_ref):
+    def kernel(d, de, mT, meT, *rest):
+        g_refs, (shift, pdf_ref, s_ref) = rest[:ng], rest[ng:]
         j = pl.program_id(1)
         chi2 = _chi2_tile_fullmask(d, de, mT, meT, nfilt=nfilt,
                                    ignore_model_err=ignore_model_err,
@@ -778,7 +857,7 @@ def _make_chi2stack_kernel(nfilt, ignore_model_err, a1, log_wt_thresh,
             # w = exp(lnl - lmap), so the reference cut
             # lnl > ln(wt_thresh) + lmap is exactly w > wt_thresh.
             w = jnp.where(w > wthr, w, 0.0)
-        pdf_ref[:, :] += _stack_dot(w, G[:, :])
+        pdf_ref[:, :] += _stack_dot_g(w, g_refs)
 
     return kernel
 
@@ -786,10 +865,10 @@ def _make_chi2stack_kernel(nfilt, ignore_model_err, a1, log_wt_thresh,
 @functools.partial(
     jax.jit,
     static_argnames=("ignore_model_err", "wt_thresh", "tb", "tm",
-                     "interpret", "chi2_mxu", "m_pad"))
+                     "interpret", "chi2_mxu", "m_pad", "g_split"))
 def _fused_call_fullmask_dimprior(d, de, mT, meT, G, *, ignore_model_err,
                                   wt_thresh, tb, tm, interpret,
-                                  chi2_mxu=False, m_pad=0):
+                                  chi2_mxu=False, m_pad=0, g_split=False):
     """Specialized full-mask + dim-prior pipeline (see kernels above)."""
     B, F = d.shape
     M = mT.shape[1]
@@ -802,6 +881,8 @@ def _fused_call_fullmask_dimprior(d, de, mT, meT, G, *, ignore_model_err,
     data_spec = pl.BlockSpec((tb, F), lambda i, j: (i, 0))
     model_spec = pl.BlockSpec((F, tm), lambda i, j: (0, j))
     stat_spec = pl.BlockSpec((tb, 1), lambda i, j: (i, 0))
+    G_spec = pl.BlockSpec((tm, Gp), lambda i, j: (j, 0))
+    g_args, g_specs = _g_operands(G, g_split, G_spec)
     params = pltpu.CompilerParams(
         dimension_semantics=("parallel", "arbitrary"))
 
@@ -838,10 +919,10 @@ def _fused_call_fullmask_dimprior(d, de, mT, meT, G, *, ignore_model_err,
 
     pdf, s = pl.pallas_call(
         _make_chi2stack_kernel(F, ignore_model_err, a1, log_thresh,
-                               mxu=chi2_mxu),
+                               mxu=chi2_mxu, ng=len(g_args)),
         grid=(nb, nm),
         in_specs=[data_spec, data_spec, model_spec, model_spec,
-                  pl.BlockSpec((tm, Gp), lambda i, j: (j, 0)), stat_spec],
+                  *g_specs, stat_spec],
         out_specs=(pl.BlockSpec((tb, Gp), lambda i, j: (i, 0)), stat_spec),
         out_shape=(jax.ShapeDtypeStruct((B, Gp), jnp.float32),
                    jax.ShapeDtypeStruct((B, 1), jnp.float32)),
@@ -851,7 +932,7 @@ def _fused_call_fullmask_dimprior(d, de, mT, meT, G, *, ignore_model_err,
             bytes_accessed=(M * Gp + 2 * M * F) * 8 + B * Gp * 4,
             transcendentals=B * M),
         interpret=interpret,
-    )(d, de, mT, meT, G, shift)
+    )(d, de, mT, meT, *g_args, shift)
 
     if a1 <= _A1_NOLOG_MAX and m_pad:
         # Sentinel-padded models clamp to _CHI2_CLAMP in the no-log
@@ -878,18 +959,18 @@ def _fused_call_fullmask_dimprior(d, de, mT, meT, G, *, ignore_model_err,
     static_argnames=("dim_prior", "ignore_model_err", "wt_thresh", "tb",
                      "tm", "interpret", "full_mask", "free_scale",
                      "scale_ltol", "scale_max_iter", "chi2_mxu",
-                     "cdf_thresh", "cdf_topk", "m_pad"))
+                     "cdf_thresh", "cdf_topk", "m_pad", "g_split"))
 def _fused_call(d, de, dm, mT, meT, mmT, valid, G, *, dim_prior,
                 ignore_model_err, wt_thresh, tb, tm, interpret,
                 full_mask=False, free_scale=False, scale_ltol=1e-3,
                 scale_max_iter=100, chi2_mxu=False, cdf_thresh=None,
-                cdf_topk=8, m_pad=0):
+                cdf_topk=8, m_pad=0, g_split=False):
     cdf_mode = wt_thresh is None and cdf_thresh is not None
     if full_mask and dim_prior and not free_scale and not cdf_mode:
         return _fused_call_fullmask_dimprior(
             d, de, mT, meT, G, ignore_model_err=ignore_model_err,
             wt_thresh=wt_thresh, tb=tb, tm=tm, interpret=interpret,
-            chi2_mxu=chi2_mxu, m_pad=m_pad)
+            chi2_mxu=chi2_mxu, m_pad=m_pad, g_split=g_split)
 
     B, F = d.shape
     M = mT.shape[1]
@@ -905,6 +986,7 @@ def _fused_call(d, de, dm, mT, meT, mmT, valid, G, *, dim_prior,
 
     G_spec = pl.BlockSpec((tm, Gp), lambda i, j: (j, 0))
     pdf_spec = pl.BlockSpec((tb, Gp), lambda i, j: (i, 0))
+    g_args, g_specs = _g_operands(G, g_split, G_spec)
     # The free-scale+model-errors while_loop carries three extra
     # (tb, tm) tiles, overshooting Mosaic's conservative 16 MB scoped
     # stack accounting by ~50 KB at tb=256/tm=512; physical VMEM covers
@@ -958,31 +1040,32 @@ def _fused_call(d, de, dm, mT, meT, mmT, valid, G, *, dim_prior,
 
         stack_kernel = _make_cut_stack_kernel(
             F, dim_prior, ignore_model_err, gl_table, full_mask,
-            free_scale, scale_ltol, scale_max_iter)
+            free_scale, scale_ltol, scale_max_iter, ng=len(g_args))
         pdf = pl.pallas_call(
             stack_kernel,
             grid=(nb, nm),
             in_specs=[data_spec, data_spec, data_spec, model_spec,
-                      model_spec, model_spec, valid_spec, G_spec,
+                      model_spec, model_spec, valid_spec, *g_specs,
                       stat_spec, stat_spec],
             out_specs=pdf_spec,
             out_shape=jax.ShapeDtypeStruct((B, Gp), jnp.float32),
             compiler_params=params,
             cost_estimate=cost,
             interpret=interpret,
-        )(d, de, dm, mT, meT, mmT, valid, G, cut[:, None], levid)
+        )(d, de, dm, mT, meT, mmT, valid, *g_args, cut[:, None], levid)
         return pdf, lmap[:, 0], levid[:, 0], ok
 
     if wt_thresh is None:
         # Single pass: flash-style rescaled PDF accumulator.
         onepass = _make_onepass_kernel(F, dim_prior, ignore_model_err,
                                        gl_table, full_mask, free_scale,
-                                       scale_ltol, scale_max_iter)
+                                       scale_ltol, scale_max_iter,
+                                       ng=len(g_args))
         pdf, lmap, levid = pl.pallas_call(
             onepass,
             grid=(nb, nm),
             in_specs=[data_spec, data_spec, data_spec, model_spec,
-                      model_spec, model_spec, valid_spec, G_spec],
+                      model_spec, model_spec, valid_spec, *g_specs],
             out_specs=(pdf_spec, stat_spec, stat_spec),
             out_shape=(jax.ShapeDtypeStruct((B, Gp), jnp.float32),
                        jax.ShapeDtypeStruct((B, 1), jnp.float32),
@@ -990,7 +1073,7 @@ def _fused_call(d, de, dm, mT, meT, mmT, valid, G, *, dim_prior,
             compiler_params=params,
             cost_estimate=cost,
             interpret=interpret,
-        )(d, de, dm, mT, meT, mmT, valid, G)
+        )(d, de, dm, mT, meT, mmT, valid, *g_args)
         # One-pass accumulator is relative to the running max; convert to
         # the exp(lnl - levid) convention here.
         pdf = pdf * jnp.exp(lmap - levid)
@@ -1015,18 +1098,18 @@ def _fused_call(d, de, dm, mT, meT, mmT, valid, G, *, dim_prior,
     stack_kernel = _make_stack_kernel(F, dim_prior, ignore_model_err,
                                       gl_table, log_thresh, full_mask,
                                       free_scale, scale_ltol,
-                                      scale_max_iter)
+                                      scale_max_iter, ng=len(g_args))
     pdf = pl.pallas_call(
         stack_kernel,
         grid=(nb, nm),
         in_specs=[data_spec, data_spec, data_spec, model_spec, model_spec,
-                  model_spec, valid_spec, G_spec, stat_spec, stat_spec],
+                  model_spec, valid_spec, *g_specs, stat_spec, stat_spec],
         out_specs=pdf_spec,
         out_shape=jax.ShapeDtypeStruct((B, Gp), jnp.float32),
         compiler_params=params,
         cost_estimate=cost,
         interpret=interpret,
-    )(d, de, dm, mT, meT, mmT, valid, G, lmap, levid)
+    )(d, de, dm, mT, meT, mmT, valid, *g_args, lmap, levid)
 
     return pdf, lmap[:, 0], levid[:, 0]
 
@@ -1036,7 +1119,7 @@ def fused_fit_pdf(data, data_err, data_mask, models, models_err,
                   free_scale=False, wt_thresh=1e-3, cdf_thresh=None,
                   tb=256, tm=512, interpret=None, full_mask=None,
                   scale_ltol=1e-4, scale_max_iter=100, chi2_mxu=False,
-                  cdf_topk=8, defer_cdf_check=False):
+                  cdf_topk=8, defer_cdf_check=False, g_split=None):
     """Fused fit->PDF for one object batch.
 
     Parameters mirror `ops.logprob` + a row-normalized kernel matrix `G`
@@ -1075,9 +1158,17 @@ def fused_fit_pdf(data, data_err, data_mask, models, models_err,
     Shapes are padded internally: objects to `tb`, models to `tm` (padded
     models get lnl = -inf and zero kernel rows), grid columns to 128
     lanes.  `interpret=None` auto-selects interpreter mode off-TPU.
+    ``g_split=True`` pre-splits the kernel matrix into bf16 (Gh, Gl)
+    operands for the HIGH stack-precision emulation instead of
+    `_stack_dot`'s in-tile split.  Measured bitwise-identical and
+    timing-neutral on v5e (see `_stack_dot_split`), so the default
+    stays False; the knob exists to reproduce that measurement and so
+    the CPU suite can exercise the two-operand kernels.
     """
     if interpret is None:
         interpret = not pallas_supported()
+    if g_split is None:
+        g_split = _default_g_split(interpret)
     # Host-side full-mask detection (skips all mask/Ndim work in-kernel);
     # only attempted on host arrays — device round-trips are expensive.
     # Callers that know can pass `full_mask` explicitly.
@@ -1137,7 +1228,7 @@ def fused_fit_pdf(data, data_err, data_mask, models, models_err,
         free_scale=free_scale, scale_ltol=float(scale_ltol),
         scale_max_iter=int(scale_max_iter), chi2_mxu=bool(chi2_mxu),
         cdf_thresh=(None if cdf_thresh is None else float(cdf_thresh)),
-        cdf_topk=int(cdf_topk), m_pad=Mp - M)
+        cdf_topk=int(cdf_topk), m_pad=Mp - M, g_split=bool(g_split))
     cdf_ok = None
     if len(out) == 4:
         pdf, lmap, levid, okc = out

@@ -268,21 +268,35 @@ def test_masked_zero_overlap_pairs_do_not_poison_rows():
         np.testing.assert_allclose(levid, lv2, rtol=1e-3, atol=1e-3)
 
     # Free-scale tiles floor `shape` before the reciprocal: zero-overlap
-    # pairs must not poison rows here either (values intentionally NOT
-    # compared to XLA — the bounded fixed point is documented to diverge
-    # from the early-exited while_loop on heavily masked rows).
+    # pairs must not poison rows here either.  Since round 3 the tile
+    # runs the fixed point to per-pair convergence (same criterion as
+    # the XLA while_loop), so even these heavily-masked rows carry a
+    # QUANTIFIED bound vs XLA — measured max deviation on this problem
+    # is ~1e-6 (the two paths converge to the same scale; residual
+    # differences are f32 accumulation order).  -inf patterns (rows /
+    # pairs with no usable evidence under dof = Ndim - 1) must match
+    # exactly, never NaN.
     for fs, dp in ((True, True), (True, False)):
         pdf, lmap, levid = fz.fused_fit_pdf(
             d, de, dm, m, me, mm, jnp.asarray(G), wt_thresh=1e-3,
-            full_mask=False, free_scale=fs, dim_prior=dp, interpret=True)
-        lmap = np.asarray(lmap)
+            full_mask=False, free_scale=fs, dim_prior=dp, interpret=True,
+            scale_ltol=1e-4)
+        res = lk.logprob(jnp.asarray(d), jnp.asarray(de), jnp.asarray(dm),
+                         jnp.asarray(m), jnp.asarray(me), jnp.asarray(mm),
+                         free_scale=fs, dim_prior=dp)
+        lnp = np.asarray(res.lnprob)
+        lnp = np.where(np.isnan(lnp), -np.inf, lnp)  # 0-overlap pairs
+        lm2 = np.max(lnp, 1)
+        lv2 = logsumexp(lnp, axis=1)
+        lmap, levid = np.asarray(lmap), np.asarray(levid)
         assert not np.isnan(lmap).any(), (fs, dp)
         assert np.isfinite(np.asarray(pdf)).all(), (fs, dp)
-        # Rows with >= 2 valid bands have dof >= 1 against most models
-        # and must stay finite; rows below that are LEGITIMATELY -inf
-        # under dof = Ndim - 1 (no usable evidence), never NaN.
-        rich = dm.sum(axis=1) >= 3
-        assert np.isfinite(lmap[rich]).all(), (fs, dp)
+        np.testing.assert_array_equal(np.isfinite(lmap), np.isfinite(lm2))
+        fin = np.isfinite(lm2)
+        np.testing.assert_allclose(lmap[fin], lm2[fin], rtol=1e-5,
+                                   atol=1e-5)
+        np.testing.assert_allclose(levid[fin], lv2[fin], rtol=1e-5,
+                                   atol=1e-5)
 
 
 def test_free_scale_dof1_noise_floor_determinism():
@@ -327,12 +341,54 @@ def test_free_scale_dof1_noise_floor_determinism():
             ignore_model_err=False, dim_prior=True, ltol=ltol)
         lnp = np.asarray(res.lnlike)
         ref[ltol] = lnp.max(1)
-        np.testing.assert_allclose(lmap, ref[ltol], rtol=1e-2, atol=0.1)
+        # Derived floor bound: on these rows chi2 sits AT the floor
+        # 16*eps*A in both paths, so lmap = -0.5*log(16 eps A) - ... and
+        # the only cross-path freedom is A's f32 accumulation order
+        # (~eps relative) -> |dlmap| ~ 0.5 * eps ~ 1e-7.  Measured CPU
+        # deviation: 0.0 exactly; hardware accumulation orders are
+        # covered by tools/hw_parity.py with the same bound class.
+        np.testing.assert_allclose(lmap, ref[ltol], rtol=1e-5, atol=1e-4)
     # ltol must not move the floored value at all.
     np.testing.assert_allclose(ref[1e-6], ref[1e-4], rtol=1e-5, atol=1e-4)
     # The floored lnl is bounded: -0.5*log(16 eps A) with A ~ sum d^2/de^2
     # stays well under the ~34 nats the old 1e-30 floor produced.
     assert lmap.max() < 10.0
+
+
+def test_g_split_high_emulation_matches_plain(problem):
+    """g_split=True routes the pre-split (Gh, Gl) bf16 operands through
+    every pass-B kernel (the HIGH stack-precision path on real Mosaic,
+    hoisted out of the tile in round 4).  PDFs must match the plain-G
+    path within the 3-pass split's representation error (~2^-16: the
+    dropped lo@lo term), and lmap/levid must be BITWISE equal — pass A
+    never touches G."""
+    d, de, dm, m, me, mm, G = problem
+    ones_d, ones_m = np.ones_like(dm), np.ones_like(mm)
+
+    cases = [
+        # full-mask dim-prior -> chi2-domain stack kernel
+        dict(full_mask=True, wt_thresh=1e-3),
+        # general masked two-pass -> stack kernel
+        dict(full_mask=False, wt_thresh=1e-3),
+        # flash-style one-pass
+        dict(full_mask=True, wt_thresh=None),
+        # on-device cdf cut -> cut-stack kernel
+        dict(full_mask=True, wt_thresh=None, cdf_thresh=2e-4),
+    ]
+    for kw in cases:
+        fm = kw["full_mask"]
+        dmk, mmk = (ones_d, ones_m) if fm else (dm, mm)
+        a = fused_fit_pdf(d, de, dmk, m, me, mmk, G, tb=8, tm=128,
+                          interpret=True, g_split=False, **kw)
+        b = fused_fit_pdf(d, de, dmk, m, me, mmk, G, tb=8, tm=128,
+                          interpret=True, g_split=True, **kw)
+        np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]),
+                                      err_msg=str(kw))
+        np.testing.assert_array_equal(np.asarray(a[2]), np.asarray(b[2]),
+                                      err_msg=str(kw))
+        np.testing.assert_allclose(
+            np.asarray(b[0]), np.asarray(a[0]), rtol=1e-4,
+            atol=1e-6 * float(np.max(np.asarray(a[0]))), err_msg=str(kw))
 
 
 def test_chi2_mxu_optin_matches_vpu_path():

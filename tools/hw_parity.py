@@ -11,7 +11,14 @@ cannot see.  Hardware-only failure modes found by this sweep so far:
   by the dof=1 dim-prior log (fixed: residual-form final chi2 +
   16*eps*A floor in both paths, ops/likelihood.py / ops/fused.py);
 * the MXU's default bf16 input rounding putting ~0.1-0.7% of noise on
-  pdf-stack cells (fixed: Precision.HIGHEST on the stack dots).
+  pdf-stack cells (fixed: STACK_PRECISION=HIGH default — a 3-pass
+  in-tile bf16-split emulation, ~2^-17 relative; see
+  ops/fused.py:_stack_dot and docs/MXU_NOTE.md section 5);
+* XLA's excess-precision rules silently deleting an
+  ``astype(bf16).astype(f32)`` round-trip, turning a hoisted hi/lo
+  G split into (G, 0) — bf16-grade stacks, 2.9e-3 of max cell
+  (fixed: `lax.reduce_precision` in ops/fused.py:_split_bf16_xla;
+  the in-tile Mosaic split compiles literally and was never wrong).
 
 Run from the repo root on a TPU-attached host:
 
