@@ -15,16 +15,20 @@ vs_baseline is measured against the BASELINE.json north-star rate of
 Env overrides: BENCH_NOBJ, BENCH_NMODEL, BENCH_NFILT, BENCH_NGRID,
 BENCH_BATCH; BENCH_PATH=xla forces the non-Pallas path.
 
-The other BASELINE.md configs run via BENCH_CONFIG={1,2,3,5} (config 4,
-the primary metric, is the default):
+The other BASELINE.md configs run via BENCH_CONFIG={1,2,3,5,6,7}
+(config 4, the primary metric, is the default):
   1  demo-2 mock: BruteForce 5K x 1K (CPU-runnable)
   2  KMCkNN: 100K train / 10K test, K=25 ensembles, k=20
   3  SOM 50x50 + GNG on 100K models; cell-conditioned PDFs for 10K objs
   5  hierarchical + population MCMC over stacked PDFs
   6  serving: fit_summarize (on-device summaries) vs full-PDF readback
+  7  MXU-duty demonstration: config-4 pipeline on a fine-z serving grid
+     (Ngrid 4001) where the PDF-stack contraction dominates
 Each extra config prints its own one-line JSON (no vs_baseline — the
 reference publishes no numbers; BASELINE.md documents its asymptotic
-costs instead).
+costs instead).  Configs 4/7 also emit `mxu_duty_cycle`: analytic
+MXU-pass time at peak / profiler-measured device busy (a lower bound
+on true MXU duty; see the comment at the computation).
 """
 
 import json
@@ -73,39 +77,14 @@ def _peak_flops(device):
 
 
 def _profile_step(step, slices, nprof=3):
-    """Measure the step's on-device busy time with jax.profiler.
+    """On-device busy seconds per batch via the package tracing utility
+    (frankenz_tpu.utils.tracing.profile_device_busy): `nprof` batches
+    under one jax.profiler trace, summing device-plane `jit_` module
+    events."""
+    from frankenz_tpu.utils.tracing import profile_device_busy
 
-    Runs `nprof` batches under a trace and sums the device-plane events
-    carrying a `jit_` module prefix (each compiled module execution
-    appears once per launch; op-level children are excluded to avoid
-    double counting).  Returns seconds of device busy time per batch,
-    or None when the trace can't be parsed.
-    """
-    import glob
-    import tempfile
-
-    logdir = tempfile.mkdtemp(prefix="bench_prof_")
-    try:
-        jax.profiler.start_trace(logdir)
-        outs = [step(*args) for args in slices[:nprof]]
-        jax.block_until_ready(outs)
-        jax.profiler.stop_trace()
-        files = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
-                          recursive=True)
-        if not files:
-            return None
-        pdta = jax.profiler.ProfileData.from_file(files[0])
-        busy = 0.0
-        for plane in pdta.planes:
-            if "TPU" not in plane.name:
-                continue
-            for line in plane.lines:
-                for ev in line.events:
-                    if ev.name.startswith("jit_"):
-                        busy += (ev.duration_ns or 0) / 1e9
-        return busy / nprof if busy > 0 else None
-    except Exception:
-        return None
+    busy, _ = profile_device_busy(step, slices[:nprof])
+    return busy
 
 
 def config1():
@@ -274,12 +253,16 @@ def config6():
     fit_predict reads back the whole (Nobj, Ngrid) matrix.  Identical
     device compute — the delta is purely the host readback (over the
     remote-TPU relay the PDF transfer dominates at catalog scale).
+
+    Default shape is the north star (1M objects x 100K models, the
+    config-4 grid, through the serving path); BENCH_NOBJ/BENCH_NMODEL
+    scale it down for quick runs.
     """
     from frankenz_tpu.fitting import BruteForce
 
     rng = np.random.default_rng(0)
-    nobj = int(os.environ.get("BENCH_NOBJ", 100_000))
-    nmodel = int(os.environ.get("BENCH_NMODEL", 20_000))
+    nobj = int(os.environ.get("BENCH_NOBJ", 1_000_000))
+    nmodel = int(os.environ.get("BENCH_NMODEL", 100_000))
     m = rng.uniform(1, 10, (nmodel, 5)).astype(np.float32)
     me = (0.05 * m).astype(np.float32)
     d = (m[rng.integers(0, nmodel, nobj)]
@@ -310,12 +293,13 @@ def config6():
           nmodel=nmodel, ngrid=len(grid))
 
 
-def main():
-    nobj = int(os.environ.get("BENCH_NOBJ", 1_000_000))
-    nmodel = int(os.environ.get("BENCH_NMODEL", 100_000))
-    nfilt = int(os.environ.get("BENCH_NFILT", 5))
-    ngrid = int(os.environ.get("BENCH_NGRID", 301))
-    batch = int(os.environ.get("BENCH_BATCH", 65536))
+def main(defaults=(1_000_000, 100_000, 5, 301, 65536),
+         metric="chi2_evals_per_sec"):
+    nobj = int(os.environ.get("BENCH_NOBJ", defaults[0]))
+    nmodel = int(os.environ.get("BENCH_NMODEL", defaults[1]))
+    nfilt = int(os.environ.get("BENCH_NFILT", defaults[2]))
+    ngrid = int(os.environ.get("BENCH_NGRID", defaults[3]))
+    batch = int(os.environ.get("BENCH_BATCH", defaults[4]))
 
     from frankenz_tpu.ops import PDFDict, kernel_matrix_dict
     from frankenz_tpu.ops import kde as _kde
@@ -350,10 +334,18 @@ def main():
     use_pallas = (_fz.pallas_supported()
                   and os.environ.get("BENCH_PATH", "pallas") == "pallas")
 
+    # Wide serving grids (config 7, Ngrid in the thousands) shrink the
+    # tiles: at the default tb=256/tm=512 the (tm, Gp) kernel-matrix
+    # tiles + the (tb, Gp) PDF accumulator overrun Mosaic's 16 MB
+    # scoped-VMEM accounting once Gp > ~1024.
+    gp_pad = -(-ngrid // 128) * 128
+    tb, tm = (256, 512) if gp_pad <= 1024 else (128, 256)
+
     if use_pallas:
         def step(d, de, dm):
             pdf, lmap, levid = _fz.fused_fit_pdf(
-                d, de, dm, m, me, mm, G, wt_thresh=1e-3, full_mask=True)
+                d, de, dm, m, me, mm, G, wt_thresh=1e-3, full_mask=True,
+                tb=tb, tm=tm)
             norm = jnp.sum(pdf, axis=1, keepdims=True)
             pdf = jnp.where(norm > 0, pdf / jnp.where(norm > 0, norm, 1.0),
                             0.0)
@@ -423,22 +415,39 @@ def main():
     # per batch from a jax.profiler trace, so the MFU denominator is the
     # time the chip actually spent in the step's compiled modules rather
     # than wall clock (which includes host dispatch / relay latency).
-    mfu_meas = kernel_ms = None
+    mfu_meas = kernel_ms = mxu_duty = None
     if peak and os.environ.get("BENCH_PROFILE", "1") != "0":
-        slices = [tuple(jax.lax.dynamic_slice_in_dim(a, i * batch, batch)
-                        for a in (d_all, de_all, dm_all))
+        # Profile the exact module the wall loop runs (`step_at`, which
+        # also fuses the dynamic slices + nz accumulate on-device).
+        slices = [(i * batch, jnp.zeros(ngrid, jnp.float32))
                   for i in range(min(3, nbatch))]
-        busy = _profile_step(step, slices)
+        busy = _profile_step(step_at, slices)
         if busy:
             kernel_ms = round(busy * 1e3, 2)
             mfu_meas = float(f"{batch * nmodel * flops_per_pair / (busy * peak):.4g}")
+            # MXU duty cycle (BASELINE.md >= 50% MXU clause): the
+            # stack contraction is the only MXU-shaped work in the
+            # pipeline — at STACK_PRECISION=HIGH it runs 3 bf16 passes
+            # over the (batch, M) @ (M, Gp) product (1 at DEFAULT,
+            # 6 at HIGHEST).  Duty = analytic MXU-pass time at peak /
+            # measured device busy, i.e. a LOWER bound on the true
+            # duty (in-pass inefficiency only raises it).  Config 4 is
+            # VPU-op-bound by design (docs/MXU_NOTE.md); the
+            # stack-dominant demonstration shape is BENCH_CONFIG=7.
+            from frankenz_tpu.ops.kde import STACK_PRECISION as _SP
+            passes = {jax.lax.Precision.DEFAULT: 1,
+                      jax.lax.Precision.HIGH: 3,
+                      jax.lax.Precision.HIGHEST: 6}[_SP]
+            mxu_flops = 2.0 * batch * nmodel * gp * passes
+            mxu_duty = float(f"{mxu_flops / peak / busy:.4g}")
     result = {
-        "metric": "chi2_evals_per_sec",
+        "metric": metric,
         "value": float(f"{rate:.4g}"),
         "unit": "pair-evals/s",
         "vs_baseline": float(f"{rate / north_star:.4g}"),
         "mfu": float(f"{mfu:.4g}") if mfu is not None else None,
         "mfu_measured": mfu_meas,
+        "mxu_duty_cycle": mxu_duty,
         "device_busy_ms_per_batch": kernel_ms,
         "detail": {
             "nobj": nbatch * batch, "nmodel": nmodel, "nfilt": nfilt,
@@ -485,6 +494,18 @@ def _require_devices(timeout_s=600):
     os._exit(1)
 
 
+def config7():
+    """MXU-duty demonstration (BASELINE.md >= 50% MXU clause): the
+    stack-dominant shape from docs/MXU_NOTE.md section 3 — a realistic
+    fine-z serving grid (Ngrid 4001 ~ dz 0.001 over 0..4) makes the
+    (batch, M) @ (M, Ngrid) PDF-stack contraction dominate the per-pair
+    VPU epilogue, so the MXU carries the flops.  Same pipeline as
+    config 4, wider grid, fewer objects (the per-batch work is ~13x
+    config 4's)."""
+    main(defaults=(262_144, 100_000, 5, 4001, 65_536),
+         metric="config7_mxu_stack_evals_per_sec")
+
+
 if __name__ == "__main__":
     _require_devices()
     cfg = os.environ.get("BENCH_CONFIG", "4")
@@ -492,4 +513,4 @@ if __name__ == "__main__":
         main()
     else:
         {"1": config1, "2": config2, "3": config3,
-         "5": config5, "6": config6}[cfg]()
+         "5": config5, "6": config6, "7": config7}[cfg]()
