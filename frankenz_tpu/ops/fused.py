@@ -31,6 +31,7 @@ config-4 benchmark.  Free-scale fits use the XLA path.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -61,6 +62,15 @@ _CHI2_NOISE = 16.0 * float(np.finfo(np.float32).eps)
 def pallas_supported():
     """True when the default backend can run the Mosaic TPU kernels."""
     return jax.default_backend() == "tpu"
+
+
+# HIGH-emulation formulation knob (measured-and-rejected alternative):
+# 1 = the 3 bf16 passes ride ONE dot with a concatenated 3x contraction
+# (w streamed through the MXU once), 0 = three separate accumulated
+# dots.  v5e, config 4: cat 273.9 ms device busy/batch vs 266.9 for the
+# 3-dot form — the in-tile concatenate copies cost more than the saved
+# MXU invocations.  Default stays 0; the knob reproduces the A/B.
+_STACK_CAT = os.environ.get("FRANKENZ_STACK_CAT", "0") != "0"
 
 
 def _round_up(x, m):
@@ -139,6 +149,10 @@ def _stack_dot_split(w, Gh, Gl):
     """
     wh = w.astype(jnp.bfloat16)
     wl = (w - wh.astype(jnp.float32)).astype(jnp.bfloat16)
+    if _STACK_CAT:
+        return jnp.dot(jnp.concatenate([wh, wh, wl], axis=1),
+                       jnp.concatenate([Gh, Gl, Gh], axis=0),
+                       preferred_element_type=jnp.float32)
     acc = jnp.dot(wh, Gh, preferred_element_type=jnp.float32)
     acc += jnp.dot(wh, Gl, preferred_element_type=jnp.float32)
     acc += jnp.dot(wl, Gh, preferred_element_type=jnp.float32)
@@ -171,6 +185,86 @@ def _default_g_split(interpret):
     measurement and for the CPU suite's two-operand kernel coverage."""
     del interpret
     return False
+
+
+def _stack_accum_blocks(w, g_refs, pdf_ref, flags_ref, j, nblk):
+    """Stack accumulation per 128-lane grid block, skipping blocks whose
+    kernel-matrix columns are all zero for this model tile.
+
+    Column blocks of a matmul are independent, so this is BITWISE equal
+    to the dense `pdf += w @ G` (skipped blocks contribute exactly 0).
+    The caller sorts models by kernel-support center (see
+    `_band_sort`), making each model tile's KDE kernels cover a narrow
+    contiguous grid band — typically 1-2 of the nblk 128-column blocks
+    at Ngrid=301, and far fewer on wide serving grids — so both the
+    MXU passes and the in-tile HIGH split run only where the kernel
+    matrix has support.  `flags_ref` is the full (nm, nblk) SMEM array
+    of per-(model-tile, block) any-nonzero flags (whole-array block:
+    Mosaic's block-shape divisibility rule forbids a (1, nblk) row
+    block), indexed by the model-tile grid position `j`."""
+    split = len(g_refs) == 2
+    in_tile_high = (not split
+                    and STACK_PRECISION == jax.lax.Precision.HIGH
+                    and pallas_supported())
+    if split or in_tile_high:
+        wh = w.astype(jnp.bfloat16)
+        wl = (w - wh.astype(jnp.float32)).astype(jnp.bfloat16)
+        if _STACK_CAT:
+            wcat = jnp.concatenate([wh, wh, wl], axis=1)
+    for b in range(nblk):
+        sl = slice(b * 128, (b + 1) * 128)
+
+        @pl.when(flags_ref[j, b] != 0)
+        def _(b=b, sl=sl):
+            if split:
+                gh, gl = g_refs[0][:, sl], g_refs[1][:, sl]
+            elif in_tile_high:
+                gh, gl = _split_bf16(g_refs[0][:, sl])
+            else:
+                pdf_ref[:, sl] += jnp.dot(
+                    w, g_refs[0][:, sl],
+                    preferred_element_type=jnp.float32,
+                    precision=STACK_PRECISION)
+                return
+            if _STACK_CAT:
+                # One MXU call per block: the 3 HIGH passes ride one
+                # dot with a 3x contraction (identical flops; w is
+                # streamed through the MXU once instead of 3 times).
+                gcat = jnp.concatenate([gh, gl, gh], axis=0)
+                pdf_ref[:, sl] += jnp.dot(
+                    wcat, gcat, preferred_element_type=jnp.float32)
+                return
+            acc = jnp.dot(wh, gh, preferred_element_type=jnp.float32)
+            acc += jnp.dot(wh, gl, preferred_element_type=jnp.float32)
+            acc += jnp.dot(wl, gh, preferred_element_type=jnp.float32)
+            pdf_ref[:, sl] += acc
+
+
+def _band_sort(G, nm, tm, nblk, model_arrays=()):
+    """Sort models by KDE kernel-support center and compute per-
+    (model-tile, 128-column-block) any-nonzero flags.
+
+    The KDE kernel matrix G has compact row support (each model's
+    kernel covers a ~8-sigma grid window), so models sorted by window
+    center give model tiles whose union support is a narrow band; the
+    stack kernels then skip zero blocks (`_stack_accum_blocks`).  The
+    permutation is semantically invisible — the fused path returns
+    only per-object reductions (pdf/lmap/levid), all permutation-
+    invariant up to f32 reassociation.  All-zero rows (sentinel pads,
+    off-grid models) sort last.  ``model_arrays`` are (*, Mp) arrays
+    permuted along their last axis together with G's rows.  Returns
+    (G, flags, permuted_model_arrays)."""
+    Gp = G.shape[1]
+    nz = G != 0.0
+    cols = jnp.arange(Gp, dtype=jnp.int32)
+    lo = jnp.min(jnp.where(nz, cols, Gp), axis=1)
+    hi = jnp.max(jnp.where(nz, cols, -1), axis=1)
+    key = jnp.where(hi >= 0, lo + hi, 2 * Gp + 1)
+    perm = jnp.argsort(key, stable=True)
+    G = jnp.take(G, perm, axis=0)
+    flags = (G != 0.0).reshape(nm, tm, nblk, 128).any(axis=(1, 3))
+    out = tuple(jnp.take(a, perm, axis=-1) for a in model_arrays)
+    return G, flags.astype(jnp.int32), out
 
 
 def _fast_recip(x):
@@ -510,8 +604,10 @@ def _make_reduce_kernel(nfilt, dim_prior, ignore_model_err, gl_table,
 
 def _make_stack_kernel(nfilt, dim_prior, ignore_model_err, gl_table,
                        log_wt_thresh, full_mask, free_scale=False,
-                       scale_ltol=1e-3, scale_max_iter=100, ng=1):
+                       scale_ltol=1e-3, scale_max_iter=100, ng=1, nblk=0):
     def kernel(d, de, dm, mT, meT, mmT, valid, *rest):
+        if nblk:
+            flags, rest = rest[0], rest[1:]
         g_refs, (lmap, levid, pdf_ref) = rest[:ng], rest[ng:]
         j = pl.program_id(1)
         lnl = _lnl_tile(d, de, dm, mT, meT, mmT, valid, nfilt=nfilt,
@@ -534,14 +630,17 @@ def _make_stack_kernel(nfilt, dim_prior, ignore_model_err, gl_table,
         # stacked PDF cells (measured on v5e; dominant-weight products
         # round directly into their cells).  At the HIGH default the
         # caller pre-splits G into (Gh, Gl) bf16 operands (ng == 2).
-        pdf_ref[:, :] += _stack_dot_g(wt, g_refs)
+        if nblk:
+            _stack_accum_blocks(wt, g_refs, pdf_ref, flags, j, nblk)
+        else:
+            pdf_ref[:, :] += _stack_dot_g(wt, g_refs)
 
     return kernel
 
 
 def _make_onepass_kernel(nfilt, dim_prior, ignore_model_err, gl_table,
                          full_mask, free_scale=False, scale_ltol=1e-3,
-                         scale_max_iter=100, ng=1):
+                         scale_max_iter=100, ng=1, nblk=0):
     """Single-pass flash-style kernel (no weight threshold): carries a
     running max, rescaled sum-exp, AND a rescaled (TB, Gp) PDF
     accumulator; pdf_out = sum_j exp(lnl_j - rm_final) @ G_j, which the
@@ -549,6 +648,8 @@ def _make_onepass_kernel(nfilt, dim_prior, ignore_model_err, gl_table,
     weights)."""
 
     def kernel(d, de, dm, mT, meT, mmT, valid, *rest):
+        if nblk:
+            flags, rest = rest[0], rest[1:]
         g_refs, (pdf_ref, lmap_ref, lse_ref) = rest[:ng], rest[ng:]
         j = pl.program_id(1)
         nj = pl.num_programs(1)
@@ -572,7 +673,13 @@ def _make_onepass_kernel(nfilt, dim_prior, ignore_model_err, gl_table,
         w = jnp.exp(lnl - new_m)
         lse_ref[:, :] = lse_ref[:, :] * alpha + jnp.sum(w, axis=1,
                                                         keepdims=True)
-        pdf_ref[:, :] = pdf_ref[:, :] * alpha + _stack_dot_g(w, g_refs)
+        if nblk:
+            # Banded: the alpha rescale must touch every column (the
+            # accumulator is global-state), only the dot is skippable.
+            pdf_ref[:, :] = pdf_ref[:, :] * alpha
+            _stack_accum_blocks(w, g_refs, pdf_ref, flags, j, nblk)
+        else:
+            pdf_ref[:, :] = pdf_ref[:, :] * alpha + _stack_dot_g(w, g_refs)
         lmap_ref[:, :] = new_m
 
         @pl.when(j == nj - 1)
@@ -642,12 +749,14 @@ def _make_topk_kernel(nfilt, dim_prior, ignore_model_err, gl_table,
 
 def _make_cut_stack_kernel(nfilt, dim_prior, ignore_model_err, gl_table,
                            full_mask, free_scale, scale_ltol,
-                           scale_max_iter, ng=1):
+                           scale_max_iter, ng=1, nblk=0):
     """Pass B against a per-object lnl cut: keep lnl <= cut (the exact
     complement of the reference's dropped descending prefix; see
     `_make_topk_kernel` / `_cdf_cut`)."""
 
     def kernel(d, de, dm, mT, meT, mmT, valid, *rest):
+        if nblk:
+            flags, rest = rest[0], rest[1:]
         g_refs, (cut, levid, pdf_ref) = rest[:ng], rest[ng:]
         j = pl.program_id(1)
         lnl = _lnl_tile(d, de, dm, mT, meT, mmT, valid, nfilt=nfilt,
@@ -663,7 +772,10 @@ def _make_cut_stack_kernel(nfilt, dim_prior, ignore_model_err, gl_table,
         def _():
             pdf_ref[:, :] = jnp.zeros_like(pdf_ref)
 
-        pdf_ref[:, :] += _stack_dot_g(wt, g_refs)
+        if nblk:
+            _stack_accum_blocks(wt, g_refs, pdf_ref, flags, j, nblk)
+        else:
+            pdf_ref[:, :] += _stack_dot_g(wt, g_refs)
 
     return kernel
 
@@ -816,16 +928,21 @@ _A1_NOLOG_MAX = 8.5
 
 
 def _make_chi2stack_kernel(nfilt, ignore_model_err, a1, log_wt_thresh,
-                           mxu=False, ng=1):
+                           mxu=False, ng=1, nblk=0):
     """Pass B (full-mask, dim-prior): w = chi2^a1 * exp(-chi2/2 - shift),
     shift = max(lmap, lnl(clamp)) + gammaln-norm — one exp + one sqrt
     per pair, no log (a1 <= 8.5; the log-form otherwise — see
     _A1_NOLOG_MAX).  Accumulates pdf += w @ G and s += sum(w);
-    levid = log(s) + lmap."""
+    levid = log(s) + lmap.  ``nblk > 0`` enables the banded stack: the
+    first extra operand is the (nm, nblk) SMEM block-flags array and
+    the dot runs per 128-column block, skipping zero blocks
+    (`_stack_accum_blocks`)."""
 
     wthr = None if log_wt_thresh is None else float(np.exp(log_wt_thresh))
 
     def kernel(d, de, mT, meT, *rest):
+        if nblk:
+            flags, rest = rest[0], rest[1:]
         g_refs, (shift, pdf_ref, s_ref) = rest[:ng], rest[ng:]
         j = pl.program_id(1)
         chi2 = _chi2_tile_fullmask(d, de, mT, meT, nfilt=nfilt,
@@ -857,7 +974,10 @@ def _make_chi2stack_kernel(nfilt, ignore_model_err, a1, log_wt_thresh,
             # w = exp(lnl - lmap), so the reference cut
             # lnl > ln(wt_thresh) + lmap is exactly w > wt_thresh.
             w = jnp.where(w > wthr, w, 0.0)
-        pdf_ref[:, :] += _stack_dot_g(w, g_refs)
+        if nblk:
+            _stack_accum_blocks(w, g_refs, pdf_ref, flags, j, nblk)
+        else:
+            pdf_ref[:, :] += _stack_dot_g(w, g_refs)
 
     return kernel
 
@@ -865,10 +985,12 @@ def _make_chi2stack_kernel(nfilt, ignore_model_err, a1, log_wt_thresh,
 @functools.partial(
     jax.jit,
     static_argnames=("ignore_model_err", "wt_thresh", "tb", "tm",
-                     "interpret", "chi2_mxu", "m_pad", "g_split"))
+                     "interpret", "chi2_mxu", "m_pad", "g_split",
+                     "band_skip"))
 def _fused_call_fullmask_dimprior(d, de, mT, meT, G, *, ignore_model_err,
                                   wt_thresh, tb, tm, interpret,
-                                  chi2_mxu=False, m_pad=0, g_split=False):
+                                  chi2_mxu=False, m_pad=0, g_split=False,
+                                  band_skip=True):
     """Specialized full-mask + dim-prior pipeline (see kernels above)."""
     B, F = d.shape
     M = mT.shape[1]
@@ -878,11 +1000,22 @@ def _fused_call_fullmask_dimprior(d, de, mT, meT, G, *, ignore_model_err,
     c0 = 2.0 * a1
     norm = float(_sp_gammaln(0.5 * F) + _LOG_2 * 0.5 * F)
 
+    nblk = Gp // 128 if (band_skip and Gp % 128 == 0 and Gp > 128) else 0
+    if nblk:
+        G, flags, (mT, meT) = _band_sort(G, nm, tm, nblk, (mT, meT))
+
     data_spec = pl.BlockSpec((tb, F), lambda i, j: (i, 0))
     model_spec = pl.BlockSpec((F, tm), lambda i, j: (0, j))
     stat_spec = pl.BlockSpec((tb, 1), lambda i, j: (i, 0))
     G_spec = pl.BlockSpec((tm, Gp), lambda i, j: (j, 0))
     g_args, g_specs = _g_operands(G, g_split, G_spec)
+    flag_args, flag_specs = (), []
+    if nblk:
+        flag_args = (flags,)
+        # Whole-array SMEM block (Mosaic's divisibility rule forbids a
+        # (1, nblk) row block); the kernel indexes rows by program_id.
+        flag_specs = [pl.BlockSpec((nm, nblk), lambda i, j: (0, 0),
+                                   memory_space=pltpu.SMEM)]
     params = pltpu.CompilerParams(
         dimension_semantics=("parallel", "arbitrary"))
 
@@ -919,10 +1052,10 @@ def _fused_call_fullmask_dimprior(d, de, mT, meT, G, *, ignore_model_err,
 
     pdf, s = pl.pallas_call(
         _make_chi2stack_kernel(F, ignore_model_err, a1, log_thresh,
-                               mxu=chi2_mxu, ng=len(g_args)),
+                               mxu=chi2_mxu, ng=len(g_args), nblk=nblk),
         grid=(nb, nm),
         in_specs=[data_spec, data_spec, model_spec, model_spec,
-                  *g_specs, stat_spec],
+                  *flag_specs, *g_specs, stat_spec],
         out_specs=(pl.BlockSpec((tb, Gp), lambda i, j: (i, 0)), stat_spec),
         out_shape=(jax.ShapeDtypeStruct((B, Gp), jnp.float32),
                    jax.ShapeDtypeStruct((B, 1), jnp.float32)),
@@ -932,7 +1065,7 @@ def _fused_call_fullmask_dimprior(d, de, mT, meT, G, *, ignore_model_err,
             bytes_accessed=(M * Gp + 2 * M * F) * 8 + B * Gp * 4,
             transcendentals=B * M),
         interpret=interpret,
-    )(d, de, mT, meT, *g_args, shift)
+    )(d, de, mT, meT, *flag_args, *g_args, shift)
 
     if a1 <= _A1_NOLOG_MAX and m_pad:
         # Sentinel-padded models clamp to _CHI2_CLAMP in the no-log
@@ -959,18 +1092,20 @@ def _fused_call_fullmask_dimprior(d, de, mT, meT, G, *, ignore_model_err,
     static_argnames=("dim_prior", "ignore_model_err", "wt_thresh", "tb",
                      "tm", "interpret", "full_mask", "free_scale",
                      "scale_ltol", "scale_max_iter", "chi2_mxu",
-                     "cdf_thresh", "cdf_topk", "m_pad", "g_split"))
+                     "cdf_thresh", "cdf_topk", "m_pad", "g_split",
+                     "band_skip"))
 def _fused_call(d, de, dm, mT, meT, mmT, valid, G, *, dim_prior,
                 ignore_model_err, wt_thresh, tb, tm, interpret,
                 full_mask=False, free_scale=False, scale_ltol=1e-3,
                 scale_max_iter=100, chi2_mxu=False, cdf_thresh=None,
-                cdf_topk=8, m_pad=0, g_split=False):
+                cdf_topk=8, m_pad=0, g_split=False, band_skip=True):
     cdf_mode = wt_thresh is None and cdf_thresh is not None
     if full_mask and dim_prior and not free_scale and not cdf_mode:
         return _fused_call_fullmask_dimprior(
             d, de, mT, meT, G, ignore_model_err=ignore_model_err,
             wt_thresh=wt_thresh, tb=tb, tm=tm, interpret=interpret,
-            chi2_mxu=chi2_mxu, m_pad=m_pad, g_split=g_split)
+            chi2_mxu=chi2_mxu, m_pad=m_pad, g_split=g_split,
+            band_skip=band_skip)
 
     B, F = d.shape
     M = mT.shape[1]
@@ -984,9 +1119,19 @@ def _fused_call(d, de, dm, mT, meT, mmT, valid, G, *, dim_prior,
     valid_spec = pl.BlockSpec((1, tm), lambda i, j: (0, j))
     stat_spec = pl.BlockSpec((tb, 1), lambda i, j: (i, 0))
 
+    nblk = Gp // 128 if (band_skip and Gp % 128 == 0 and Gp > 128) else 0
+    if nblk:
+        G, flags, (mT, meT, mmT, valid) = _band_sort(
+            G, nm, tm, nblk, (mT, meT, mmT, valid))
+
     G_spec = pl.BlockSpec((tm, Gp), lambda i, j: (j, 0))
     pdf_spec = pl.BlockSpec((tb, Gp), lambda i, j: (i, 0))
     g_args, g_specs = _g_operands(G, g_split, G_spec)
+    flag_args, flag_specs = (), []
+    if nblk:
+        flag_args = (flags,)
+        flag_specs = [pl.BlockSpec((nm, nblk), lambda i, j: (0, 0),
+                                   memory_space=pltpu.SMEM)]
     # The free-scale+model-errors while_loop carries three extra
     # (tb, tm) tiles, overshooting Mosaic's conservative 16 MB scoped
     # stack accounting by ~50 KB at tb=256/tm=512; physical VMEM covers
@@ -1040,19 +1185,21 @@ def _fused_call(d, de, dm, mT, meT, mmT, valid, G, *, dim_prior,
 
         stack_kernel = _make_cut_stack_kernel(
             F, dim_prior, ignore_model_err, gl_table, full_mask,
-            free_scale, scale_ltol, scale_max_iter, ng=len(g_args))
+            free_scale, scale_ltol, scale_max_iter, ng=len(g_args),
+            nblk=nblk)
         pdf = pl.pallas_call(
             stack_kernel,
             grid=(nb, nm),
             in_specs=[data_spec, data_spec, data_spec, model_spec,
-                      model_spec, model_spec, valid_spec, *g_specs,
-                      stat_spec, stat_spec],
+                      model_spec, model_spec, valid_spec, *flag_specs,
+                      *g_specs, stat_spec, stat_spec],
             out_specs=pdf_spec,
             out_shape=jax.ShapeDtypeStruct((B, Gp), jnp.float32),
             compiler_params=params,
             cost_estimate=cost,
             interpret=interpret,
-        )(d, de, dm, mT, meT, mmT, valid, *g_args, cut[:, None], levid)
+        )(d, de, dm, mT, meT, mmT, valid, *flag_args, *g_args,
+          cut[:, None], levid)
         return pdf, lmap[:, 0], levid[:, 0], ok
 
     if wt_thresh is None:
@@ -1060,12 +1207,13 @@ def _fused_call(d, de, dm, mT, meT, mmT, valid, G, *, dim_prior,
         onepass = _make_onepass_kernel(F, dim_prior, ignore_model_err,
                                        gl_table, full_mask, free_scale,
                                        scale_ltol, scale_max_iter,
-                                       ng=len(g_args))
+                                       ng=len(g_args), nblk=nblk)
         pdf, lmap, levid = pl.pallas_call(
             onepass,
             grid=(nb, nm),
             in_specs=[data_spec, data_spec, data_spec, model_spec,
-                      model_spec, model_spec, valid_spec, *g_specs],
+                      model_spec, model_spec, valid_spec, *flag_specs,
+                      *g_specs],
             out_specs=(pdf_spec, stat_spec, stat_spec),
             out_shape=(jax.ShapeDtypeStruct((B, Gp), jnp.float32),
                        jax.ShapeDtypeStruct((B, 1), jnp.float32),
@@ -1073,7 +1221,7 @@ def _fused_call(d, de, dm, mT, meT, mmT, valid, G, *, dim_prior,
             compiler_params=params,
             cost_estimate=cost,
             interpret=interpret,
-        )(d, de, dm, mT, meT, mmT, valid, *g_args)
+        )(d, de, dm, mT, meT, mmT, valid, *flag_args, *g_args)
         # One-pass accumulator is relative to the running max; convert to
         # the exp(lnl - levid) convention here.
         pdf = pdf * jnp.exp(lmap - levid)
@@ -1098,18 +1246,20 @@ def _fused_call(d, de, dm, mT, meT, mmT, valid, G, *, dim_prior,
     stack_kernel = _make_stack_kernel(F, dim_prior, ignore_model_err,
                                       gl_table, log_thresh, full_mask,
                                       free_scale, scale_ltol,
-                                      scale_max_iter, ng=len(g_args))
+                                      scale_max_iter, ng=len(g_args),
+                                      nblk=nblk)
     pdf = pl.pallas_call(
         stack_kernel,
         grid=(nb, nm),
         in_specs=[data_spec, data_spec, data_spec, model_spec, model_spec,
-                  model_spec, valid_spec, *g_specs, stat_spec, stat_spec],
+                  model_spec, valid_spec, *flag_specs, *g_specs,
+                  stat_spec, stat_spec],
         out_specs=pdf_spec,
         out_shape=jax.ShapeDtypeStruct((B, Gp), jnp.float32),
         compiler_params=params,
         cost_estimate=cost,
         interpret=interpret,
-    )(d, de, dm, mT, meT, mmT, valid, *g_args, lmap, levid)
+    )(d, de, dm, mT, meT, mmT, valid, *flag_args, *g_args, lmap, levid)
 
     return pdf, lmap[:, 0], levid[:, 0]
 
@@ -1119,7 +1269,8 @@ def fused_fit_pdf(data, data_err, data_mask, models, models_err,
                   free_scale=False, wt_thresh=1e-3, cdf_thresh=None,
                   tb=256, tm=512, interpret=None, full_mask=None,
                   scale_ltol=1e-4, scale_max_iter=100, chi2_mxu=False,
-                  cdf_topk=8, defer_cdf_check=False, g_split=None):
+                  cdf_topk=8, defer_cdf_check=False, g_split=None,
+                  band_skip=True):
     """Fused fit->PDF for one object batch.
 
     Parameters mirror `ops.logprob` + a row-normalized kernel matrix `G`
@@ -1164,6 +1315,11 @@ def fused_fit_pdf(data, data_err, data_mask, models, models_err,
     timing-neutral on v5e (see `_stack_dot_split`), so the default
     stays False; the knob exists to reproduce that measurement and so
     the CPU suite can exercise the two-operand kernels.
+    ``band_skip`` (default True; every pass-B stack kernel) sorts
+    models by KDE kernel-support center and skips all-zero 128-column
+    grid blocks in the stack dot — bitwise equal to the dense stack up
+    to f32 reassociation of the model-tile order, at a fraction of the
+    MXU passes (see `_stack_accum_blocks`).
     """
     if interpret is None:
         interpret = not pallas_supported()
@@ -1228,7 +1384,8 @@ def fused_fit_pdf(data, data_err, data_mask, models, models_err,
         free_scale=free_scale, scale_ltol=float(scale_ltol),
         scale_max_iter=int(scale_max_iter), chi2_mxu=bool(chi2_mxu),
         cdf_thresh=(None if cdf_thresh is None else float(cdf_thresh)),
-        cdf_topk=int(cdf_topk), m_pad=Mp - M, g_split=bool(g_split))
+        cdf_topk=int(cdf_topk), m_pad=Mp - M, g_split=bool(g_split),
+        band_skip=bool(band_skip))
     cdf_ok = None
     if len(out) == 4:
         pdf, lmap, levid, okc = out
