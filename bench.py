@@ -335,11 +335,13 @@ def main(defaults=(1_000_000, 100_000, 5, 301, 65536),
                   and os.environ.get("BENCH_PATH", "pallas") == "pallas")
 
     # Wide serving grids (config 7, Ngrid in the thousands) shrink the
-    # tiles: at the default tb=256/tm=512 the (tm, Gp) kernel-matrix
-    # tiles + the (tb, Gp) PDF accumulator overrun Mosaic's 16 MB
-    # scoped-VMEM accounting once Gp > ~1024.
+    # tiles: the (tm, Gp) kernel-matrix tiles + the (tb, Gp) PDF
+    # accumulator overrun Mosaic's 16 MB scoped-VMEM accounting once
+    # Gp > ~1024.  Narrow grids take the measured-fastest 512/512
+    # (the library default, ops/fused.py).
     gp_pad = -(-ngrid // 128) * 128
-    tb, tm = (256, 512) if gp_pad <= 1024 else (128, 256)
+    tb, tm = ((512, 512) if gp_pad <= 512
+              else (256, 512) if gp_pad <= 1024 else (128, 256))
 
     if use_pallas:
         def step(d, de, dm):
@@ -386,13 +388,34 @@ def main(defaults=(1_000_000, 100_000, 5, 301, 65536),
     from frankenz_tpu.utils.metrics import metrics
 
     nbatch = nobj // batch
+
+    # BENCH_SCAN=1: run the whole catalog as ONE dispatch (fori_loop
+    # over step_at inside a jit) — isolates the per-dispatch host/relay
+    # gap (wall minus device-busy, ~1% at 15 batches) from the kernel
+    # throughput.  Default off: the per-batch loop mirrors how the
+    # streaming fitters actually dispatch.
+    use_scan = os.environ.get("BENCH_SCAN", "0") == "1"
+    if use_scan:
+        @jax.jit
+        def run_all(nz0):
+            def body(i, carry):
+                return step_at(i * batch, carry[0])
+            init = (nz0, jnp.zeros(batch, jnp.float32),
+                    jnp.zeros(batch, jnp.float32))
+            return jax.lax.fori_loop(0, nbatch, body, init)
+        jax.block_until_ready(run_all(jnp.zeros(ngrid, jnp.float32)))
+
     nz = jnp.zeros(ngrid, jnp.float32)
     t0 = time.time()
     with metrics.timer("bench.config4", items=nbatch * batch * nmodel,
                        item_counter="chi2_pair_evals"):
-        for i in range(nbatch):
-            nz, lmap, levid = step_at(i * batch, nz)
-        jax.block_until_ready(nz)
+        if use_scan:
+            nz, lmap, levid = run_all(nz)
+            jax.block_until_ready(nz)
+        else:
+            for i in range(nbatch):
+                nz, lmap, levid = step_at(i * batch, nz)
+            jax.block_until_ready(nz)
     metrics.count("pdf_stacks", nbatch * batch)
     elapsed = time.time() - t0
 
@@ -415,13 +438,19 @@ def main(defaults=(1_000_000, 100_000, 5, 301, 65536),
     # per batch from a jax.profiler trace, so the MFU denominator is the
     # time the chip actually spent in the step's compiled modules rather
     # than wall clock (which includes host dispatch / relay latency).
-    mfu_meas = kernel_ms = mxu_duty = None
+    mfu_meas = kernel_ms = mxu_duty = mxu_duty_meas = None
     if peak and os.environ.get("BENCH_PROFILE", "1") != "0":
         # Profile the exact module the wall loop runs (`step_at`, which
-        # also fuses the dynamic slices + nz accumulate on-device).
-        slices = [(i * batch, jnp.zeros(ngrid, jnp.float32))
-                  for i in range(min(3, nbatch))]
-        busy = _profile_step(step_at, slices)
+        # also fuses the dynamic slices + nz accumulate on-device; with
+        # BENCH_SCAN=1 the whole-catalog fori_loop module instead).
+        if use_scan:
+            busy = _profile_step(run_all,
+                                 [(jnp.zeros(ngrid, jnp.float32),)])
+            busy = busy / nbatch if busy else busy
+        else:
+            slices = [(i * batch, jnp.zeros(ngrid, jnp.float32))
+                      for i in range(min(3, nbatch))]
+            busy = _profile_step(step_at, slices)
         if busy:
             kernel_ms = round(busy * 1e3, 2)
             mfu_meas = float(f"{batch * nmodel * flops_per_pair / (busy * peak):.4g}")
@@ -429,17 +458,51 @@ def main(defaults=(1_000_000, 100_000, 5, 301, 65536),
             # stack contraction is the only MXU-shaped work in the
             # pipeline — at STACK_PRECISION=HIGH it runs 3 bf16 passes
             # over the (batch, M) @ (M, Gp) product (1 at DEFAULT,
-            # 6 at HIGHEST).  Duty = analytic MXU-pass time at peak /
-            # measured device busy, i.e. a LOWER bound on the true
-            # duty (in-pass inefficiency only raises it).  Config 4 is
-            # VPU-op-bound by design (docs/MXU_NOTE.md); the
-            # stack-dominant demonstration shape is BENCH_CONFIG=7.
+            # 6 at HIGHEST).  Duty = ISSUED MXU flops at peak /
+            # measured device busy — a LOWER bound on the true duty
+            # (in-pass inefficiency only raises it).  The banded Pallas
+            # stack skips flagged-zero 128-column blocks, so count only
+            # the blocks it executes (`band_stack_products`); the XLA
+            # path stacks dense.  Config 4 is VPU-op-bound by design
+            # (docs/MXU_NOTE.md); the stack-dominant demonstration
+            # shape is BENCH_CONFIG=7.
             from frankenz_tpu.ops.kde import STACK_PRECISION as _SP
             passes = {jax.lax.Precision.DEFAULT: 1,
                       jax.lax.Precision.HIGH: 3,
                       jax.lax.Precision.HIGHEST: 6}[_SP]
-            mxu_flops = 2.0 * batch * nmodel * gp * passes
+            products = (_fz.band_stack_products(G, tm) if use_pallas
+                        else nmodel * gp)
+            mxu_flops = 2.0 * batch * products * passes
             mxu_duty = float(f"{mxu_flops / peak / busy:.4g}")
+
+            # MEASURED MXU duty (BENCH_MXU_DIFF=1): device busy is
+            # linear in stack passes (docs/MXU_NOTE.md section 5 —
+            # hardware ladder), so the per-pass MXU time is the busy
+            # delta between this run's precision (`passes` passes) and
+            # a 1-pass DEFAULT run of one batch in a subprocess
+            # (STACK_PRECISION is baked at import).  duty =
+            # passes * (busy - busy_1pass) / (passes - 1) / busy.
+            if passes > 1 and os.environ.get("BENCH_MXU_DIFF") == "1":
+                import subprocess
+                import sys as _sys
+                env = dict(
+                    os.environ, FRANKENZ_STACK_PRECISION="default",
+                    BENCH_MXU_DIFF="0", BENCH_SCAN="0", BENCH_CONFIG="4",
+                    BENCH_NOBJ=str(batch), BENCH_NMODEL=str(nmodel),
+                    BENCH_NFILT=str(nfilt), BENCH_NGRID=str(ngrid),
+                    BENCH_BATCH=str(batch))
+                try:
+                    sub = subprocess.run(
+                        [_sys.executable, os.path.abspath(__file__)],
+                        env=env, capture_output=True, text=True,
+                        timeout=2400)
+                    one = json.loads(sub.stdout.strip().splitlines()[-1])
+                    busy1 = (one.get("device_busy_ms_per_batch") or 0) / 1e3
+                    if 0 < busy1 < busy:
+                        mxu_s = passes * (busy - busy1) / (passes - 1)
+                        mxu_duty_meas = float(f"{mxu_s / busy:.4g}")
+                except Exception:  # pragma: no cover - measurement aid
+                    pass
     result = {
         "metric": metric,
         "value": float(f"{rate:.4g}"),
@@ -448,6 +511,7 @@ def main(defaults=(1_000_000, 100_000, 5, 301, 65536),
         "mfu": float(f"{mfu:.4g}") if mfu is not None else None,
         "mfu_measured": mfu_meas,
         "mxu_duty_cycle": mxu_duty,
+        "mxu_duty_measured": mxu_duty_meas,
         "device_busy_ms_per_batch": kernel_ms,
         "detail": {
             "nobj": nbatch * batch, "nmodel": nmodel, "nfilt": nfilt,

@@ -267,6 +267,27 @@ def _band_sort(G, nm, tm, nblk, model_arrays=()):
     return G, flags.astype(jnp.int32), out
 
 
+def band_stack_products(G, tm=512):
+    """Effective (model, grid-point) products per object each banded
+    pass-B stack executes for kernel matrix `G` — i.e. `Mp * Gp` scaled
+    by the flagged-block fraction of `_band_sort` at model-tile size
+    `tm` (the dense count when banding is inapplicable).  Benchmarks
+    use this to report MXU duty from flops the kernel actually issues
+    rather than the dense analytic count (bench.py `mxu_duty_cycle`).
+    """
+    G = jnp.asarray(G, jnp.float32)
+    M, Ngrid = G.shape
+    Gp = _round_up(Ngrid, 128)
+    tm = min(tm, _round_up(M, 128))
+    Mp = _round_up(M, tm)
+    nblk = Gp // 128 if (Gp % 128 == 0 and Gp > 128) else 0
+    if not nblk:
+        return Mp * Gp
+    G = jnp.pad(G, ((0, Mp - M), (0, Gp - Ngrid)))
+    _, flags, _ = _band_sort(G, Mp // tm, tm, nblk)
+    return int(jnp.sum(flags)) * tm * 128
+
+
 def _fast_recip(x):
     """f32-exact reciprocal: hardware estimate + 2 Newton-Raphson steps.
 
@@ -1267,7 +1288,7 @@ def _fused_call(d, de, dm, mT, meT, mmT, valid, G, *, dim_prior,
 def fused_fit_pdf(data, data_err, data_mask, models, models_err,
                   models_mask, G, *, dim_prior=True, ignore_model_err=False,
                   free_scale=False, wt_thresh=1e-3, cdf_thresh=None,
-                  tb=256, tm=512, interpret=None, full_mask=None,
+                  tb=None, tm=None, interpret=None, full_mask=None,
                   scale_ltol=1e-4, scale_max_iter=100, chi2_mxu=False,
                   cdf_topk=8, defer_cdf_check=False, g_split=None,
                   band_skip=True):
@@ -1344,6 +1365,19 @@ def fused_fit_pdf(data, data_err, data_mask, models, models_err,
 
     B, F = d.shape
     M, Ngrid = G.shape[0], G.shape[1]
+    if tm is None:
+        tm = 512
+    if tb is None:
+        # Measured on v5e (two-pass exact kernels at the driver shape,
+        # Gp=384): tb=512/tm=512 runs a batch ~5% faster than 256/512
+        # (device busy 254.8 vs 268.3 ms); 1024/512 and 512/1024 fail
+        # Mosaic's scoped-VMEM accounting at compile time.  Two paths
+        # stay at 256: free-scale with model errors (its while_loop
+        # carries three extra (tb, tm) tiles — already needs the raised
+        # vmem cap at 256/512) and wide grids (Gp > 512, where the
+        # (tb, Gp) PDF accumulator + (tm, Gp) kernel tiles dominate).
+        tb = (256 if (free_scale and not ignore_model_err)
+              or _round_up(Ngrid, 128) > 512 else 512)
     tb = min(tb, _round_up(B, 8))
     tm = min(tm, _round_up(M, 128))
     Bp = _round_up(B, tb)
