@@ -343,8 +343,14 @@ def main(defaults=(1_000_000, 100_000, 5, 301, 65536),
     tb, tm = ((512, 512) if gp_pad <= 512
               else (256, 512) if gp_pad <= 1024 else (128, 256))
 
+    # NOTE: the big arrays (the catalog slabs and above all G — 1.6 GB
+    # at config 7's Ngrid=4001) must be jit ARGUMENTS, not closures: a
+    # closed-over concrete array is baked into the lowered HLO as a
+    # constant, and the remote-compile relay rejects the payload
+    # (HTTP 413) once it passes ~1 GB (and re-uploads it on every
+    # compile otherwise).
     if use_pallas:
-        def step(d, de, dm):
+        def step(d, de, dm, G):
             pdf, lmap, levid = _fz.fused_fit_pdf(
                 d, de, dm, m, me, mm, G, wt_thresh=1e-3, full_mask=True,
                 tb=tb, tm=tm)
@@ -354,7 +360,7 @@ def main(defaults=(1_000_000, 100_000, 5, 301, 65536),
             return jnp.sum(pdf, axis=0), lmap, levid
     else:
         @jax.jit
-        def step(d, de, dm):
+        def step(d, de, dm, G):
             res = _like.logprob(d, de, dm, m, me, mm)
             lnprob = res.lnprob
             lmap = jnp.max(lnprob, axis=1)
@@ -372,15 +378,18 @@ def main(defaults=(1_000_000, 100_000, 5, 301, 65536),
     # real latency, and the gaps cost ~11% wall rate vs device-busy
     # (2.07e10 wall vs 2.33e10 busy at STACK_PRECISION=HIGH on v5e).
     @jax.jit
-    def step_at(s, nz):
-        d = jax.lax.dynamic_slice_in_dim(d_all, s, batch)
-        de = jax.lax.dynamic_slice_in_dim(de_all, s, batch)
-        dm = jax.lax.dynamic_slice_in_dim(dm_all, s, batch)
-        nz_b, lmap, levid = step(d, de, dm)
+    def _step_at(s, nz, da, dea, dma, G):
+        d = jax.lax.dynamic_slice_in_dim(da, s, batch)
+        de = jax.lax.dynamic_slice_in_dim(dea, s, batch)
+        dm = jax.lax.dynamic_slice_in_dim(dma, s, batch)
+        nz_b, lmap, levid = step(d, de, dm, G)
         return nz + nz_b, lmap, levid
 
+    def step_at(s, nz):
+        return _step_at(s, nz, d_all, de_all, dm_all, G)
+
     # Warmup / compile on the first batch.
-    out = step(d_all[:batch], de_all[:batch], dm_all[:batch])
+    out = step(d_all[:batch], de_all[:batch], dm_all[:batch], G)
     jax.block_until_ready(out)
     out = step_at(0, jnp.zeros(ngrid, jnp.float32))
     jax.block_until_ready(out)
@@ -397,12 +406,15 @@ def main(defaults=(1_000_000, 100_000, 5, 301, 65536),
     use_scan = os.environ.get("BENCH_SCAN", "0") == "1"
     if use_scan:
         @jax.jit
-        def run_all(nz0):
+        def _run_all(nz0, da, dea, dma, Ga):
             def body(i, carry):
-                return step_at(i * batch, carry[0])
+                return _step_at(i * batch, carry[0], da, dea, dma, Ga)
             init = (nz0, jnp.zeros(batch, jnp.float32),
                     jnp.zeros(batch, jnp.float32))
             return jax.lax.fori_loop(0, nbatch, body, init)
+
+        def run_all(nz0):
+            return _run_all(nz0, d_all, de_all, dm_all, G)
         jax.block_until_ready(run_all(jnp.zeros(ngrid, jnp.float32)))
 
     nz = jnp.zeros(ngrid, jnp.float32)
