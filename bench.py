@@ -349,11 +349,12 @@ def main(defaults=(1_000_000, 100_000, 5, 301, 65536),
     # constant, and the remote-compile relay rejects the payload
     # (HTTP 413) once it passes ~1 GB (and re-uploads it on every
     # compile otherwise).
+    band_skip = os.environ.get("BENCH_BAND", "1") == "1"
     if use_pallas:
         def step(d, de, dm, G):
             pdf, lmap, levid = _fz.fused_fit_pdf(
                 d, de, dm, m, me, mm, G, wt_thresh=1e-3, full_mask=True,
-                tb=tb, tm=tm)
+                tb=tb, tm=tm, band_skip=band_skip)
             norm = jnp.sum(pdf, axis=1, keepdims=True)
             pdf = jnp.where(norm > 0, pdf / jnp.where(norm > 0, norm, 1.0),
                             0.0)
@@ -482,8 +483,8 @@ def main(defaults=(1_000_000, 100_000, 5, 301, 65536),
             passes = {jax.lax.Precision.DEFAULT: 1,
                       jax.lax.Precision.HIGH: 3,
                       jax.lax.Precision.HIGHEST: 6}[_SP]
-            products = (_fz.band_stack_products(G, tm) if use_pallas
-                        else nmodel * gp)
+            products = (_fz.band_stack_products(G, tm)
+                        if use_pallas and band_skip else nmodel * gp)
             mxu_flops = 2.0 * batch * products * passes
             mxu_duty = float(f"{mxu_flops / peak / busy:.4g}")
 
