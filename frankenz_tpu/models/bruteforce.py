@@ -123,6 +123,29 @@ def default_batch_size(nmodel, budget_elems=1 << 26):
     return int(min(1 << 14, 1 << (b.bit_length() - 1)))
 
 
+def default_fused_batch_size(ndata, ngrid, budget_elems=1 << 25):
+    """Object-batch size for the fused streaming path.
+
+    The fused kernel never materializes the (B, M) grid (it lives
+    tile-by-tile in VMEM), so unlike `default_batch_size` the batch is
+    NOT bounded by Nmodel — only by the HBM PDF accumulator (B, Gp)
+    (`budget_elems` f32 elements, 128 MB default) and capped at 65536
+    (the bench-validated driver batch).  Large batches matter over the
+    remote-TPU relay: each dispatched module has ~10 ms of host/relay
+    latency, so 1M objects in 512-row batches spend more time
+    dispatching than computing (measured: fit_summarize 73 s at batch
+    512 vs ~16 x 0.25 s device time at batch 65536).  Small catalogs
+    round up to the next power of two (>=256) so padding stays bounded
+    and repeat calls at the same catalog scale reuse one compile.
+    """
+    gp = -(-int(ngrid) // 128) * 128
+    b = max(512, min(1 << 16, int(budget_elems) // gp))
+    b = 1 << (b.bit_length() - 1)
+    if ndata < b:
+        b = min(b, max(256, 1 << max(int(ndata) - 1, 1).bit_length()))
+    return int(b)
+
+
 @functools.lru_cache(maxsize=None)
 def _sharded_fp_step(mesh, obj_axis, use_pallas, lprob_spec, wt_thresh,
                      cdf_thresh, dim_prior, ignore_model_err, free_scale,
@@ -437,6 +460,7 @@ class BruteForce:
         ndata = data.shape[0]
         dx, sig_thresh, wt_thresh, cdf_thresh = _kde.resolve_kde_opts(
             kde_args, kde_kwargs, wt_thresh, cdf_thresh)
+        batch_size_explicit = batch_size is not None
         if batch_size is None:
             batch_size = default_batch_size(self.NMODEL)
         G, grid = self._kernel_G(model_labels, model_label_errs, label_dict,
@@ -474,6 +498,10 @@ class BruteForce:
                     bool(use_fused) and not cdf_mode,
                     return_gof, verbose, _post_setup)
         if use_fused:
+            if not batch_size_explicit:
+                # The fused path is dispatch-latency-bound, not
+                # (B, M)-HBM-bound — use the wide streaming default.
+                batch_size = default_fused_batch_size(ndata, len(grid))
             with self._fp_metrics(ndata):
                 return self._fit_predict_fused(
                     data, data_err, data_mask, G, lprob_kwargs or {},
@@ -702,22 +730,35 @@ class BruteForce:
         pdfs = np.concatenate([p[0] for p in parts])[:ndata]
         lmap = np.concatenate([p[1] for p in parts])[:ndata]
         levid = np.concatenate([p[2] for p in parts])[:ndata]
+        # Exact cdf selection via the XLA sort for flagged batches, in
+        # (B, M)-budgeted sub-chunks: the fused streaming batch
+        # (default_fused_batch_size) is far larger than the XLA path's
+        # materialized-lnprob grid allows.  sub divides batch_size
+        # (both powers of two), so fixed-size slices stay inside the
+        # padded upload.
+        sub = min(batch_size, default_batch_size(self.NMODEL))
         for i0, part in zip(starts, parts):
             if bool(part[3]):
                 continue
-            # Exact cdf selection via the XLA sort for this batch only.
-            d, de, dm = slices(i0)
             spec = _like.static_spec(None, (), lprob_kwargs)
-            res = _bf_lprob_jit(d, de, dm, self.models, self.models_err,
-                                self.models_mask, lprob_spec=spec)
-            lmap_b, levid_b, wt = _gof_weights(res[2])
-            pdf_b = _kde.norm_rows(_kde.kde_stack(wt, G, None, cdf_thresh))
-            if post is not None:
-                pdf_b = post(pdf_b, i0)
-            n = min(batch_size, ndata - i0)
-            pdfs[i0:i0 + n] = np.asarray(pdf_b[:n])
-            lmap[i0:i0 + n] = np.asarray(lmap_b[:n])
-            levid[i0:i0 + n] = np.asarray(levid_b[:n])
+            for j0 in range(i0, i0 + batch_size, sub):
+                n = min(sub, ndata - j0)
+                if n <= 0:
+                    break
+                d = jax.lax.dynamic_slice_in_dim(d_all, j0, sub)
+                de = jax.lax.dynamic_slice_in_dim(de_all, j0, sub)
+                dm = jax.lax.dynamic_slice_in_dim(dm_all, j0, sub)
+                res = _bf_lprob_jit(d, de, dm, self.models,
+                                    self.models_err, self.models_mask,
+                                    lprob_spec=spec)
+                lmap_b, levid_b, wt = _gof_weights(res[2])
+                pdf_b = _kde.norm_rows(
+                    _kde.kde_stack(wt, G, None, cdf_thresh))
+                if post is not None:
+                    pdf_b = post(pdf_b, j0)
+                pdfs[j0:j0 + n] = np.asarray(pdf_b[:n])
+                lmap[j0:j0 + n] = np.asarray(lmap_b[:n])
+                levid[j0:j0 + n] = np.asarray(levid_b[:n])
         if return_gof:
             return pdfs, (lmap, levid)
         return pdfs
