@@ -447,6 +447,14 @@ class BruteForce:
         fused Pallas kernel (`ops.fused.fused_fit_pdf`) — the (B, M) grid
         then never leaves VMEM; set ``use_fused=False`` to force the XLA
         path (or True to force the kernel, e.g. interpret mode in tests).
+        One measured exception worth knowing (docs/MXU_NOTE.md section 7):
+        on WIDE serving grids (Ngrid in the thousands) where the batch's
+        (B, M) weight matrix fits in HBM, ``use_fused=False`` with a
+        moderate ``batch_size`` (~8K at 100K models) runs the stack as
+        dense MXU matmuls and beats the fused kernel by ~15% (6.0e9 vs
+        5.2e9 pair/s at Ngrid=4001 on v5e); the fused kernel remains the
+        right default for narrow grids and for catalogs where (B, M)
+        cannot materialize.
 
         `_post_setup` (internal, see `fit_summarize` and
         `ops.summarize.stream_summary_setup`): resolves to a jitted

@@ -50,6 +50,14 @@ __all__ = ["NearestNeighbors"]
 
 _BIG = np.int32(1 << 30)
 
+# Exact top-k columns per lax.top_k call: the XLA TPU lowering compiles
+# at 1M model columns and crashes the remote compiler at 3M, and the
+# (B, M) distance block grows unboundedly with the model set.  Larger
+# model axes run per-chunk top_k + an exact merge (the global top-k is
+# a subset of the union of per-chunk top-k's; concatenating chunks in
+# index order preserves lax.top_k's lowest-index tie-breaking).
+_TOPK_CHUNK = 1 << 20
+
 
 @functools.partial(jax.jit, static_argnames=("lprob_spec",))
 def _gathered_lprob_jit(d, de, dm, idx, valid, models, models_err,
@@ -126,19 +134,37 @@ def _fmap_from_spec(fmap_spec):
                    static_argnames=("K", "k", "lp_norm", "dbound", "approx"))
 def _search_jit(q, feats, feats_sq, *, K, k, lp_norm, dbound, approx):
     # q: (B, Nf) jittered query features.
+    qsq = jnp.sum(q * q, axis=1, keepdims=True)
+
+    def dist(Y, Ysq):
+        if lp_norm == 2:
+            return Ysq[None, :] - 2.0 * (q @ Y.T) + qsq
+        return jnp.sum(jnp.abs(q[:, None, :] - Y[None, :, :]) ** lp_norm,
+                       axis=-1)
+
     def per_ensemble(carry, ens):
         Y, Ysq = ens
-        if lp_norm == 2:
-            d = Ysq[None, :] - 2.0 * (q @ Y.T) \
-                + jnp.sum(q * q, axis=1, keepdims=True)
-        else:
-            d = jnp.sum(jnp.abs(q[:, None, :] - Y[None, :, :])
-                        ** lp_norm, axis=-1)
+        M = Y.shape[0]
         if approx:
-            neg, idx = jax.lax.approx_max_k(-d, k,
+            neg, idx = jax.lax.approx_max_k(-dist(Y, Ysq), k,
                                             recall_target=0.95)
+        elif M > _TOPK_CHUNK and _TOPK_CHUNK >= k:
+            # Chunked exact search: neither the (B, M) distance block
+            # nor any single top_k ever sees more than _TOPK_CHUNK
+            # columns; the merge top_k over the (B, nchunk*k)
+            # candidates is exact (see _TOPK_CHUNK).
+            negs, idxs = [], []
+            for lo in range(0, M, _TOPK_CHUNK):
+                hi = min(M, lo + _TOPK_CHUNK)
+                neg_c, idx_c = jax.lax.top_k(
+                    -dist(Y[lo:hi], Ysq[lo:hi]), k)
+                negs.append(neg_c)
+                idxs.append(idx_c + lo)
+            neg, sel = jax.lax.top_k(jnp.concatenate(negs, axis=1), k)
+            idx = jnp.take_along_axis(jnp.concatenate(idxs, axis=1),
+                                      sel, axis=1)
         else:
-            neg, idx = jax.lax.top_k(-d, k)
+            neg, idx = jax.lax.top_k(-dist(Y, Ysq), k)
         ok = -neg <= (dbound ** lp_norm if np.isfinite(dbound)
                       else jnp.inf)
         return carry, (idx, ok)

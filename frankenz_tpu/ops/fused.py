@@ -947,6 +947,19 @@ def _make_chi2max_kernel(nfilt, ignore_model_err, c0, mxu=False):
 # bounded by lnl - lmap <= 0 for any chi2 (no clamp needed).
 _A1_NOLOG_MAX = 8.5
 
+# Mosaic rejects whole-array SMEM blocks once the banded flag table's
+# first dimension grows past ~2K rows: the kernels compile at nm = 1954
+# model tiles (1M models at tm=512) and crash the TPU compiler
+# (remote tpu_compile_helper exit 1) at nm = 3907 (2M) — total SMEM
+# bytes are NOT the limit (config 7 runs a 392 x 32 table, 50 KB).
+# Past this, the fullmask specialization streams the model axis in
+# chunks of _NM_SMEM_MAX tiles per pallas_call: pass A's chi2 brackets
+# combine exactly across chunks (max/min are associative), pass B takes
+# the globally-combined shift so chunk PDFs and weight sums just add
+# (f32 reassociation at chunk boundaries only).  The general path falls
+# back to the dense stack instead (nblk = 0).
+_NM_SMEM_MAX = 2048
+
 
 def _make_chi2stack_kernel(nfilt, ignore_model_err, a1, log_wt_thresh,
                            mxu=False, ng=1, nblk=0):
@@ -1022,6 +1035,7 @@ def _fused_call_fullmask_dimprior(d, de, mT, meT, G, *, ignore_model_err,
     norm = float(_sp_gammaln(0.5 * F) + _LOG_2 * 0.5 * F)
 
     nblk = Gp // 128 if (band_skip and Gp % 128 == 0 and Gp > 128) else 0
+    flags = None
     if nblk:
         G, flags, (mT, meT) = _band_sort(G, nm, tm, nblk, (mT, meT))
 
@@ -1030,26 +1044,36 @@ def _fused_call_fullmask_dimprior(d, de, mT, meT, G, *, ignore_model_err,
     stat_spec = pl.BlockSpec((tb, 1), lambda i, j: (i, 0))
     G_spec = pl.BlockSpec((tm, Gp), lambda i, j: (j, 0))
     g_args, g_specs = _g_operands(G, g_split, G_spec)
-    flag_args, flag_specs = (), []
-    if nblk:
-        flag_args = (flags,)
-        # Whole-array SMEM block (Mosaic's divisibility rule forbids a
-        # (1, nblk) row block); the kernel indexes rows by program_id.
-        flag_specs = [pl.BlockSpec((nm, nblk), lambda i, j: (0, 0),
-                                   memory_space=pltpu.SMEM)]
     params = pltpu.CompilerParams(
         dimension_semantics=("parallel", "arbitrary"))
 
-    below, above = pl.pallas_call(
-        _make_chi2max_kernel(F, ignore_model_err, c0, mxu=chi2_mxu),
-        grid=(nb, nm),
-        in_specs=[data_spec, data_spec, model_spec, model_spec],
-        out_specs=(stat_spec, stat_spec),
-        out_shape=(jax.ShapeDtypeStruct((B, 1), jnp.float32),
-                   jax.ShapeDtypeStruct((B, 1), jnp.float32)),
-        compiler_params=params,
-        interpret=interpret,
-    )(d, de, mT, meT)
+    # Model-axis chunks: one pallas_call per <= _NM_SMEM_MAX model tiles
+    # (single chunk — today's exact code path — below the SMEM flag-table
+    # ceiling).  The band sort above is GLOBAL, so each chunk covers a
+    # contiguous kernel band and skips even more blocks than the
+    # unchunked call would.
+    nmc = min(nm, _NM_SMEM_MAX) if nblk else nm
+    chunks = [(lo, min(nm, lo + nmc)) for lo in range(0, nm, nmc)]
+
+    chi2max_kernel = _make_chi2max_kernel(F, ignore_model_err, c0,
+                                          mxu=chi2_mxu)
+    below = above = None
+    for lo, hi in chunks:
+        msl = slice(lo * tm, hi * tm)
+        below_c, above_c = pl.pallas_call(
+            chi2max_kernel,
+            grid=(nb, hi - lo),
+            in_specs=[data_spec, data_spec, model_spec, model_spec],
+            out_specs=(stat_spec, stat_spec),
+            out_shape=(jax.ShapeDtypeStruct((B, 1), jnp.float32),
+                       jax.ShapeDtypeStruct((B, 1), jnp.float32)),
+            compiler_params=params,
+            interpret=interpret,
+        )(d, de, mT[:, msl], meT[:, msl])
+        below = (below_c if below is None
+                 else jnp.maximum(below, below_c))
+        above = (above_c if above is None
+                 else jnp.minimum(above, above_c))
 
     def lnl_of(c):
         safe = jnp.maximum(c, 1e-30)
@@ -1071,22 +1095,41 @@ def _fused_call_fullmask_dimprior(d, de, mT, meT, G, *, ignore_model_err,
         shift = jnp.maximum(lmap, lnl_clamp) + norm
     log_thresh = None if wt_thresh is None else float(np.log(wt_thresh))
 
-    pdf, s = pl.pallas_call(
-        _make_chi2stack_kernel(F, ignore_model_err, a1, log_thresh,
-                               mxu=chi2_mxu, ng=len(g_args), nblk=nblk),
-        grid=(nb, nm),
-        in_specs=[data_spec, data_spec, model_spec, model_spec,
-                  *flag_specs, *g_specs, stat_spec],
-        out_specs=(pl.BlockSpec((tb, Gp), lambda i, j: (i, 0)), stat_spec),
-        out_shape=(jax.ShapeDtypeStruct((B, Gp), jnp.float32),
-                   jax.ShapeDtypeStruct((B, 1), jnp.float32)),
-        compiler_params=params,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * B * M * (Gp + 4 * F),
-            bytes_accessed=(M * Gp + 2 * M * F) * 8 + B * Gp * 4,
-            transcendentals=B * M),
-        interpret=interpret,
-    )(d, de, mT, meT, *flag_args, *g_args, shift)
+    stack_kernel = _make_chi2stack_kernel(F, ignore_model_err, a1,
+                                          log_thresh, mxu=chi2_mxu,
+                                          ng=len(g_args), nblk=nblk)
+    pdf = s = None
+    for lo, hi in chunks:
+        msl = slice(lo * tm, hi * tm)
+        flag_args, flag_specs = (), []
+        if nblk:
+            flag_args = (flags[lo:hi],)
+            # Whole-array SMEM block (Mosaic's divisibility rule forbids
+            # a (1, nblk) row block); the kernel indexes rows by
+            # program_id.
+            flag_specs = [pl.BlockSpec((hi - lo, nblk),
+                                       lambda i, j: (0, 0),
+                                       memory_space=pltpu.SMEM)]
+        Mc = (hi - lo) * tm
+        pdf_c, s_c = pl.pallas_call(
+            stack_kernel,
+            grid=(nb, hi - lo),
+            in_specs=[data_spec, data_spec, model_spec, model_spec,
+                      *flag_specs, *g_specs, stat_spec],
+            out_specs=(pl.BlockSpec((tb, Gp), lambda i, j: (i, 0)),
+                       stat_spec),
+            out_shape=(jax.ShapeDtypeStruct((B, Gp), jnp.float32),
+                       jax.ShapeDtypeStruct((B, 1), jnp.float32)),
+            compiler_params=params,
+            cost_estimate=pl.CostEstimate(
+                flops=2 * B * Mc * (Gp + 4 * F),
+                bytes_accessed=(Mc * Gp + 2 * Mc * F) * 8 + B * Gp * 4,
+                transcendentals=B * Mc),
+            interpret=interpret,
+        )(d, de, mT[:, msl], meT[:, msl],
+          *flag_args, *(g[msl] for g in g_args), shift)
+        pdf = pdf_c if pdf is None else pdf + pdf_c
+        s = s_c if s is None else s + s_c
 
     if a1 <= _A1_NOLOG_MAX and m_pad:
         # Sentinel-padded models clamp to _CHI2_CLAMP in the no-log
@@ -1141,6 +1184,12 @@ def _fused_call(d, de, dm, mT, meT, mmT, valid, G, *, dim_prior,
     stat_spec = pl.BlockSpec((tb, 1), lambda i, j: (i, 0))
 
     nblk = Gp // 128 if (band_skip and Gp % 128 == 0 and Gp > 128) else 0
+    if nblk and nm > _NM_SMEM_MAX:
+        # The (nm, nblk) SMEM flag table would exceed Mosaic's
+        # first-dimension ceiling (see _NM_SMEM_MAX); the general path
+        # keeps one pallas_call and drops to the dense stack.  (The
+        # fullmask specialization chunks the model axis instead.)
+        nblk = 0
     if nblk:
         G, flags, (mT, meT, mmT, valid) = _band_sort(
             G, nm, tm, nblk, (mT, meT, mmT, valid))

@@ -582,3 +582,80 @@ def test_fullmask_all_clamped_outliers_keep_gof_parity():
     # (the no-log kernel cannot resolve lnl differences past the clamp)
     # — documented deviation; it must at least be finite + normalizable.
     assert np.isfinite(np.asarray(pdf)).all()
+
+
+@pytest.mark.parametrize("wt_thresh", [1e-3, None])
+def test_fullmask_banded_model_chunking(monkeypatch, wt_thresh):
+    """Models split into >1 chunk through the fullmask banded path (the
+    _NM_SMEM_MAX ceiling, hit for real past ~1M models at tm=512): pass
+    A's chi2 brackets combine exactly across chunks (max/min), pass B's
+    per-chunk PDFs/weight sums add — results must match both the XLA
+    oracle and the dense (band_skip=False) stack."""
+    from frankenz_tpu.ops import fused as fz
+    monkeypatch.setattr(fz, "_NM_SMEM_MAX", 3)
+    rng = np.random.default_rng(41)
+    B, M, F, Ngrid = 16, 1100, 5, 140  # nm=9 tiles at tm=128 -> 3 chunks
+    m = rng.uniform(1, 10, (M, F)).astype(np.float32)
+    me = (0.05 * m).astype(np.float32)
+    mm = np.ones((M, F), np.float32)
+    d = (m[rng.integers(0, M, B)]
+         + rng.normal(0, 0.3, (B, F))).astype(np.float32)
+    de = np.full((B, F), 0.3, np.float32)
+    dm = np.ones((B, F), np.float32)
+    G = np.asarray(K.kernel_matrix(
+        rng.uniform(0, 3, M), np.full(M, 0.1), np.linspace(0, 3, Ngrid)),
+        np.float32)
+    pdf, lmap, levid = fused_fit_pdf(d, de, dm, m, me, mm, G, tb=8,
+                                     tm=128, wt_thresh=wt_thresh,
+                                     interpret=True)
+    want_pdf, want_lmap, want_levid = xla_reference(
+        d, de, dm, m, me, mm, G, wt_thresh=wt_thresh)
+    np.testing.assert_allclose(np.asarray(lmap), want_lmap, rtol=2e-5,
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(levid), want_levid, rtol=2e-5,
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(pdf), want_pdf, rtol=2e-3,
+                               atol=2e-5)
+    # vs the dense stack: only f32 reassociation (band sort + chunk
+    # boundary) separates them.
+    pdf_d, lmap_d, levid_d = fused_fit_pdf(d, de, dm, m, me, mm, G, tb=8,
+                                           tm=128, wt_thresh=wt_thresh,
+                                           band_skip=False,
+                                           interpret=True)
+    np.testing.assert_array_equal(np.asarray(lmap), np.asarray(lmap_d))
+    np.testing.assert_allclose(np.asarray(levid), np.asarray(levid_d),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(pdf), np.asarray(pdf_d),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_general_path_band_fallback_past_smem_ceiling(monkeypatch):
+    """The general (masked) path cannot chunk; past the SMEM flag-table
+    ceiling it must drop to the dense stack and still match the XLA
+    oracle."""
+    from frankenz_tpu.ops import fused as fz
+    monkeypatch.setattr(fz, "_NM_SMEM_MAX", 3)
+    rng = np.random.default_rng(43)
+    B, M, F, Ngrid = 16, 1100, 5, 140
+    m = rng.uniform(1, 10, (M, F)).astype(np.float32)
+    me = (0.05 * m).astype(np.float32)
+    mm = (rng.uniform(size=(M, F)) > 0.1).astype(np.float32)
+    mm[:, :2] = 1.0
+    d = (m[rng.integers(0, M, B)]
+         + rng.normal(0, 0.3, (B, F))).astype(np.float32)
+    de = np.full((B, F), 0.3, np.float32)
+    dm = (rng.uniform(size=(B, F)) > 0.1).astype(np.float32)
+    dm[:, :2] = 1.0
+    G = np.asarray(K.kernel_matrix(
+        rng.uniform(0, 3, M), np.full(M, 0.1), np.linspace(0, 3, Ngrid)),
+        np.float32)
+    pdf, lmap, levid = fused_fit_pdf(d, de, dm, m, me, mm, G, tb=8,
+                                     tm=128, interpret=True)
+    want_pdf, want_lmap, want_levid = xla_reference(d, de, dm, m, me, mm,
+                                                    G)
+    np.testing.assert_allclose(np.asarray(lmap), want_lmap, rtol=2e-5,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(levid), want_levid, rtol=2e-5,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pdf), want_pdf, rtol=1e-3,
+                               atol=1e-5)

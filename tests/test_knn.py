@@ -184,3 +184,62 @@ def test_distance_bound_does_not_shadow_inbound_neighbor():
     assert int(nidx[0]) == 1
     assert np.asarray(idx)[0].tolist() == [0, -99]
     assert np.asarray(valid)[0].tolist() == [True, False]
+
+
+def test_search_chunked_topk_matches_oracle(monkeypatch):
+    """Past _TOPK_CHUNK model columns the exact search runs per-chunk
+    top_k + an exact merge; integer-valued features make both distance
+    formulations exact in f32, so the chunked result (including
+    lowest-index tie-breaking across chunk boundaries) must equal the
+    numpy oracle exactly."""
+    from frankenz_tpu.models import knn as knn_mod
+    monkeypatch.setattr(knn_mod, "_TOPK_CHUNK", 100)
+    rng = np.random.default_rng(7)
+    B, M, Nf, K, k = 8, 317, 4, 3, 6  # 317 cols -> 4 uneven chunks
+    feats = rng.integers(0, 8, (K, M, Nf)).astype(np.float32)
+    q = rng.integers(0, 8, (B, Nf)).astype(np.float32)
+    fsq = (feats.astype(np.float64) ** 2).sum(-1).astype(np.float32)
+    idx, valid, nidx = knn_mod._search_jit(
+        jnp.asarray(q), jnp.asarray(feats), jnp.asarray(fsq),
+        K=K, k=k, lp_norm=2, dbound=np.inf, approx=False)
+    idx, valid = np.asarray(idx), np.asarray(valid)
+    for b in range(B):
+        # First-seen-order unique over the K ensembles' exact top-k
+        # lists (ties -> lowest index, = stable ascending argsort).
+        seen, want = set(), []
+        for kk in range(K):
+            d = ((q[b] - feats[kk]) ** 2).sum(axis=1)
+            for i in np.argsort(d, kind="stable")[:k]:
+                if int(i) not in seen:
+                    seen.add(int(i))
+                    want.append(int(i))
+        got = idx[b][valid[b]].tolist()
+        assert got == want
+    assert (idx[~valid] == -99).all()
+
+
+def test_search_chunked_respects_distance_bound(monkeypatch):
+    """dbound filtering happens on the merged per-ensemble result; the
+    chunked path must mark out-of-bound slots invalid identically."""
+    from frankenz_tpu.models import knn as knn_mod
+    monkeypatch.setattr(knn_mod, "_TOPK_CHUNK", 50)
+    rng = np.random.default_rng(9)
+    B, M, Nf, K, k = 4, 123, 3, 2, 5
+    feats = rng.integers(0, 6, (K, M, Nf)).astype(np.float32)
+    q = rng.integers(0, 6, (B, Nf)).astype(np.float32)
+    fsq = (feats ** 2).sum(-1)
+    dbound = 3.0
+    idx, valid, nidx = knn_mod._search_jit(
+        jnp.asarray(q), jnp.asarray(feats), jnp.asarray(fsq),
+        K=K, k=k, lp_norm=2, dbound=dbound, approx=False)
+    idx, valid = np.asarray(idx), np.asarray(valid)
+    for b in range(4):
+        seen, want = set(), []
+        for kk in range(K):
+            d = ((q[b] - feats[kk]) ** 2).sum(axis=1)
+            for i in np.argsort(d, kind="stable")[:k]:
+                if d[i] <= dbound ** 2 and int(i) not in seen:
+                    seen.add(int(i))
+                    want.append(int(i))
+        got = idx[b][valid[b]].tolist()
+        assert got == want
