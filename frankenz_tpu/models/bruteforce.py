@@ -146,6 +146,83 @@ def default_fused_batch_size(ndata, ngrid, budget_elems=1 << 25):
     return int(b)
 
 
+# Wide-grid crossover (measured, docs/MXU_NOTE.md section 7): once the
+# padded grid reaches this many columns, the XLA dense stack — 3 bf16 MXU
+# passes over a materialized (B, M) weight matrix — beats the fused
+# Pallas kernel (whose in-tile chi2 serializes against the stack dot),
+# 6.0e9 vs 5.2e9 pair/s at Gp=4096 on v5e.  Below it the fused kernel
+# wins outright (2.57e10 vs 2.2e10 at Gp=384).  Set from the hardware
+# sweep in the same note; free-scale configs never switch (the Pallas
+# in-tile iteration is 1.9x the XLA while_loop there).
+_WIDE_GRID_XLA_GP = 2048
+
+
+_STREAM_PENDING_BYTES = 2 << 30
+
+
+def _drain_pending(parts, host_parts, part_bytes):
+    """Bound the device residency of streamed result batches.
+
+    The streaming fit_predict paths keep every batch's (B, width) PDF
+    block on device until one bulk readback (per-batch syncs would
+    serialize compute with tunnel round-trips).  At 1M objects on a
+    wide serving grid the pending blocks alone reach ~16 GB and OOM
+    HBM — so once the pending set would exceed `_STREAM_PENDING_BYTES`
+    (2 GiB), drain it to host in one chunk.  Async dispatch keeps the
+    pipeline full between drains; results are unchanged.
+    """
+    if parts and (len(parts) + 1) * part_bytes > _STREAM_PENDING_BYTES:
+        host_parts.extend(jax.device_get(parts))
+        parts = []
+    return parts, host_parts
+
+
+def default_xla_batch_size(nmodel, budget_elems=1 << 30):
+    """Object-batch size for the wide-grid streaming XLA path.
+
+    Unlike `default_batch_size` (sized for seven saved-fit grids), this
+    path materializes ONE transient (B, M) weight matrix feeding the MXU
+    stack; the measured-optimal batch at 100K models is 8192 (~3.3 GB
+    f32 with its elementwise producers, docs/MXU_NOTE.md section 7).
+    Larger model sets scale the batch down to keep (B, M) near
+    `budget_elems`.
+    """
+    b = max(256, int(budget_elems) // max(int(nmodel), 1))
+    return int(min(1 << 13, 1 << (b.bit_length() - 1)))
+
+
+def _wide_grid_xla(ngrid, lprob_kwargs):
+    """True when auto-dispatch should run the XLA dense stack (wide
+    serving grid, fixed scale) instead of the fused Pallas kernel."""
+    kw = lprob_kwargs or {}
+    if kw.get("free_scale"):
+        return False
+    return -(-int(ngrid) // 128) * 128 >= _WIDE_GRID_XLA_GP
+
+
+@functools.partial(jax.jit, static_argnames=("lprob_spec", "wt_thresh",
+                                             "cdf_thresh"))
+def _bf_stream_xla_jit(d, de, dm, m, me, mm, G, *, lprob_spec, wt_thresh,
+                       cdf_thresh):
+    """One wide-grid serving batch on the XLA dense stack.
+
+    log-posteriors -> GOF -> thresholded weights -> (B, M) @ (M, Gp)
+    MXU stack, all inside one jitted module (static spec keys the
+    global jit cache, tests/test_recompile.py) — only (B, Ngrid) PDFs
+    and per-object GOF scalars ever leave the device.
+    """
+    lprob_func, lprob_args, kw_items = lprob_spec
+    if lprob_func is None:
+        lprob_func = _like.logprob
+    res = lprob_func(d, de, dm, m, me, mm, *lprob_args, **dict(kw_items))
+    lnprob = res[2]
+    lmap = jnp.max(lnprob, axis=1)
+    levid = jax.scipy.special.logsumexp(lnprob, axis=1)
+    wt = jnp.exp(lnprob - levid[:, None])
+    pdf = _kde.kde_stack(wt, G, wt_thresh, cdf_thresh)
+    return _kde.norm_rows(pdf), lmap, levid
+
+
 @functools.lru_cache(maxsize=None)
 def _sharded_fp_step(mesh, obj_axis, use_pallas, lprob_spec, wt_thresh,
                      cdf_thresh, dim_prior, ignore_model_err, free_scale,
@@ -447,14 +524,16 @@ class BruteForce:
         fused Pallas kernel (`ops.fused.fused_fit_pdf`) — the (B, M) grid
         then never leaves VMEM; set ``use_fused=False`` to force the XLA
         path (or True to force the kernel, e.g. interpret mode in tests).
-        One measured exception worth knowing (docs/MXU_NOTE.md section 7):
-        on WIDE serving grids (Ngrid in the thousands) where the batch's
-        (B, M) weight matrix fits in HBM, ``use_fused=False`` with a
-        moderate ``batch_size`` (~8K at 100K models) runs the stack as
-        dense MXU matmuls and beats the fused kernel by ~15% (6.0e9 vs
-        5.2e9 pair/s at Ngrid=4001 on v5e); the fused kernel remains the
-        right default for narrow grids and for catalogs where (B, M)
-        cannot materialize.
+        One measured exception, handled automatically (docs/MXU_NOTE.md
+        section 7): on WIDE serving grids (padded Ngrid >=
+        `_WIDE_GRID_XLA_GP`) where a batch's (B, M) weight matrix fits
+        in HBM, auto-dispatch streams batches through the XLA dense
+        stack instead (`_fit_predict_xla_stream`, batch ~8K at 100K
+        models) — 3 bf16 MXU passes over the materialized weights beat
+        the fused kernel by ~15% there (6.0e9 vs 5.2e9 pair/s at
+        Ngrid=4001 on v5e).  The fused kernel remains the default for
+        narrow grids, free-scale fits, and whenever ``use_fused=True``
+        forces it.
 
         `_post_setup` (internal, see `fit_summarize` and
         `ops.summarize.stream_summary_setup`): resolves to a jitted
@@ -478,8 +557,15 @@ class BruteForce:
                                         save_fits, wt_thresh, cdf_thresh)
         cdf_mode = wt_thresh is None and cdf_thresh is not None
         explicit_fused = use_fused is True
+        xla_stream = False
         if use_fused is None:
             use_fused = eligible and _fused.pallas_supported()
+            if (use_fused and mesh is None
+                    and _wide_grid_xla(len(grid), lprob_kwargs)):
+                # Measured crossover (docs/MXU_NOTE.md section 7): wide
+                # serving grids run the streaming XLA dense stack.
+                use_fused = False
+                xla_stream = True
         elif use_fused and not eligible:
             raise ValueError("use_fused=True requires the default lprob "
                              "pipeline (no custom lprob_func/args, no "
@@ -512,6 +598,14 @@ class BruteForce:
                 batch_size = default_fused_batch_size(ndata, len(grid))
             with self._fp_metrics(ndata):
                 return self._fit_predict_fused(
+                    data, data_err, data_mask, G, lprob_kwargs or {},
+                    wt_thresh, cdf_thresh, batch_size, return_gof,
+                    verbose, _post_setup)
+        if xla_stream:
+            if not batch_size_explicit:
+                batch_size = default_xla_batch_size(self.NMODEL)
+            with self._fp_metrics(ndata):
+                return self._fit_predict_xla_stream(
                     data, data_err, data_mask, G, lprob_kwargs or {},
                     wt_thresh, cdf_thresh, batch_size, return_gof,
                     verbose, _post_setup)
@@ -706,7 +800,7 @@ class BruteForce:
                     jax.lax.dynamic_slice_in_dim(de_all, i0, batch_size),
                     jax.lax.dynamic_slice_in_dim(dm_all, i0, batch_size))
 
-        parts = []
+        parts, host_parts = [], []
         starts = []
         for i0, n in progress_iter(_batch_slices(ndata, batch_size),
                                    total=ndata, label="Fitting object",
@@ -731,10 +825,12 @@ class BruteForce:
             pdf_b = _kde.norm_rows(pdf_b)
             if post is not None:
                 pdf_b = post(pdf_b, i0)
+            parts, host_parts = _drain_pending(
+                parts, host_parts, pdf_b.shape[1] * batch_size * 4)
             parts.append((pdf_b, lmap_b, levid_b, ok_b))
             starts.append(i0)
 
-        parts = jax.device_get(parts)
+        parts = host_parts + jax.device_get(parts)
         pdfs = np.concatenate([p[0] for p in parts])[:ndata]
         lmap = np.concatenate([p[1] for p in parts])[:ndata]
         levid = np.concatenate([p[2] for p in parts])[:ndata]
@@ -767,6 +863,54 @@ class BruteForce:
                 pdfs[j0:j0 + n] = np.asarray(pdf_b[:n])
                 lmap[j0:j0 + n] = np.asarray(lmap_b[:n])
                 levid[j0:j0 + n] = np.asarray(levid_b[:n])
+        if return_gof:
+            return pdfs, (lmap, levid)
+        return pdfs
+
+    def _fit_predict_xla_stream(self, data, data_err, data_mask, G,
+                                lprob_kwargs, wt_thresh, cdf_thresh,
+                                batch_size, return_gof, verbose,
+                                post_setup=None):
+        """Stream object batches through the XLA dense stack
+        (`_bf_stream_xla_jit`): the auto-selected path for wide serving
+        grids (see `_WIDE_GRID_XLA_GP`).  Same upload-once /
+        slice-on-device / bulk-readback pipeline as the fused path —
+        only the per-batch step differs, and the XLA sort handles both
+        wt_thresh and cdf_thresh selection exactly (no fallback pass).
+        """
+        ndata = data.shape[0]
+        post = (None if post_setup is None
+                else post_setup(ndata, batch_size)[0])
+        spec = _like.static_spec(None, (), lprob_kwargs)
+        G = jnp.asarray(G, jnp.float32)
+        pad = (-ndata) % batch_size
+        d_all = jnp.asarray(np.pad(data, ((0, pad), (0, 0))), jnp.float32)
+        de_all = jnp.asarray(np.pad(data_err, ((0, pad), (0, 0)),
+                                    constant_values=1.0), jnp.float32)
+        dm_all = jnp.asarray(np.pad(data_mask, ((0, pad), (0, 0))),
+                             jnp.float32)
+
+        parts, host_parts = [], []
+        for i0, n in progress_iter(_batch_slices(ndata, batch_size),
+                                   total=ndata, label="Fitting object",
+                                   sizes=True, verbose=verbose):
+            d = jax.lax.dynamic_slice_in_dim(d_all, i0, batch_size)
+            de = jax.lax.dynamic_slice_in_dim(de_all, i0, batch_size)
+            dm = jax.lax.dynamic_slice_in_dim(dm_all, i0, batch_size)
+            pdf_b, lmap_b, levid_b = _bf_stream_xla_jit(
+                d, de, dm, self.models, self.models_err, self.models_mask,
+                G, lprob_spec=spec, wt_thresh=wt_thresh,
+                cdf_thresh=cdf_thresh)
+            if post is not None:
+                pdf_b = post(pdf_b, i0)
+            parts, host_parts = _drain_pending(
+                parts, host_parts, pdf_b.shape[1] * batch_size * 4)
+            parts.append((pdf_b, lmap_b, levid_b))
+
+        parts = host_parts + jax.device_get(parts)
+        pdfs = np.concatenate([p[0] for p in parts])[:ndata]
+        lmap = np.concatenate([p[1] for p in parts])[:ndata]
+        levid = np.concatenate([p[2] for p in parts])[:ndata]
         if return_gof:
             return pdfs, (lmap, levid)
         return pdfs

@@ -171,3 +171,121 @@ def test_fit_dtype_float64_storage():
     bf32.fit(d, np.full_like(d, 0.2), np.ones_like(d), verbose=False)
     assert bf32.fit_lnprob.dtype == np.float32
     np.testing.assert_allclose(bf.fit_lnprob, bf32.fit_lnprob, rtol=1e-6)
+
+
+def test_wide_grid_auto_dispatch_streams_xla(problem, monkeypatch):
+    """Wide serving grids auto-route fit_predict to the streaming XLA
+    dense stack (docs/MXU_NOTE.md section 7); results must match the
+    oracle and the materializing use_fused=False path, and the batch
+    default must come from default_xla_batch_size."""
+    from frankenz_tpu.models import bruteforce as bf_mod
+
+    grid = np.linspace(0, 3, 301)  # Gp = 384 >= patched ceiling
+    monkeypatch.setattr(bf_mod, "_WIDE_GRID_XLA_GP", 256)
+    monkeypatch.setattr(bf_mod._fused, "pallas_supported", lambda: True)
+    routed = {}
+    orig = bf_mod.BruteForce._fit_predict_xla_stream
+
+    def spy(self, *a, **k):
+        routed["stream"] = True
+        routed["batch"] = a[7]
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(bf_mod.BruteForce, "_fit_predict_xla_stream", spy)
+    bf = BruteForce(problem["models"], problem["models_err"],
+                    problem["models_mask"])
+    pdfs, (lmap, levid) = bf.fit_predict(
+        problem["data"], problem["data_err"], problem["data_mask"],
+        problem["zgrid"], problem["zerr"], label_grid=grid,
+        return_gof=True, verbose=False)
+    assert routed.get("stream")
+    assert routed["batch"] == bf_mod.default_xla_batch_size(bf.NMODEL)
+    want_pdfs, want_lmap, want_levid, _ = oracle_pdfs(problem, grid)
+    np.testing.assert_allclose(lmap, want_lmap, rtol=1e-4)
+    np.testing.assert_allclose(levid, want_levid, rtol=1e-4)
+    np.testing.assert_allclose(pdfs, want_pdfs, rtol=5e-3, atol=1e-6)
+    # and against the materializing XLA path: same composition, only
+    # jit fusion boundaries differ.
+    pdfs_m, (lmap_m, levid_m) = bf.fit_predict(
+        problem["data"], problem["data_err"], problem["data_mask"],
+        problem["zgrid"], problem["zerr"], label_grid=grid,
+        return_gof=True, use_fused=False, verbose=False)
+    np.testing.assert_allclose(lmap, lmap_m, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(levid, levid_m, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(pdfs, pdfs_m, rtol=1e-5, atol=1e-7)
+
+
+def test_wide_grid_dispatch_skips_free_scale_and_narrow(problem,
+                                                        monkeypatch):
+    """free_scale configs and narrow grids must keep the fused kernel
+    even when the grid passes the width ceiling."""
+    from frankenz_tpu.models import bruteforce as bf_mod
+
+    assert not bf_mod._wide_grid_xla(4001, {"free_scale": True})
+    assert bf_mod._wide_grid_xla(4001, {})      # Gp=4096 >= 2048
+    assert not bf_mod._wide_grid_xla(301, {})   # Gp=384 < 2048
+    monkeypatch.setattr(bf_mod, "_WIDE_GRID_XLA_GP", 256)
+    assert bf_mod._wide_grid_xla(301, {})       # Gp=384 >= 256
+    assert not bf_mod._wide_grid_xla(120, {})   # Gp=128 < 256
+    assert not bf_mod._wide_grid_xla(2047, {"free_scale": True})
+
+
+def test_wide_grid_stream_cdf_thresh_matches_xla(problem, monkeypatch):
+    """cdf_thresh selection runs exactly inside the streaming step (the
+    XLA sort) — no fused fallback involved."""
+    from frankenz_tpu.models import bruteforce as bf_mod
+
+    grid = np.linspace(0, 3, 301)
+    monkeypatch.setattr(bf_mod, "_WIDE_GRID_XLA_GP", 256)
+    monkeypatch.setattr(bf_mod._fused, "pallas_supported", lambda: True)
+    bf = BruteForce(problem["models"], problem["models_err"],
+                    problem["models_mask"])
+    kw = dict(label_grid=grid, return_gof=True, verbose=False,
+              wt_thresh=None, cdf_thresh=2e-4)
+    pdfs, (lmap, levid) = bf.fit_predict(
+        problem["data"], problem["data_err"], problem["data_mask"],
+        problem["zgrid"], problem["zerr"], **kw)
+    pdfs_m, (lmap_m, levid_m) = bf.fit_predict(
+        problem["data"], problem["data_err"], problem["data_mask"],
+        problem["zgrid"], problem["zerr"], use_fused=False, **kw)
+    np.testing.assert_allclose(lmap, lmap_m, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(pdfs, pdfs_m, rtol=1e-5, atol=1e-7)
+
+
+def test_stream_drain_budget_preserves_results(problem, monkeypatch):
+    """Both streaming paths drain pending device blocks past
+    _STREAM_PENDING_BYTES (HBM residency bound at 1M x wide-grid
+    scale); a tiny budget forcing a drain every batch must not change
+    any result."""
+    from frankenz_tpu.models import bruteforce as bf_mod
+
+    grid = np.linspace(0, 3, 301)
+    bf = BruteForce(problem["models"], problem["models_err"],
+                    problem["models_mask"])
+    kw = dict(label_grid=grid, return_gof=True, verbose=False,
+              batch_size=16)
+    base_f = bf.fit_predict(problem["data"], problem["data_err"],
+                            problem["data_mask"], problem["zgrid"],
+                            problem["zerr"], use_fused=True, **kw)
+    monkeypatch.setattr(bf_mod, "_STREAM_PENDING_BYTES", 1)
+    drained_f = bf.fit_predict(problem["data"], problem["data_err"],
+                               problem["data_mask"], problem["zgrid"],
+                               problem["zerr"], use_fused=True, **kw)
+    for a, b in zip(drained_f[0:1] + drained_f[1], base_f[0:1] + base_f[1]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # XLA stream path under the same forced budget
+    monkeypatch.setattr(bf_mod, "_WIDE_GRID_XLA_GP", 256)
+    monkeypatch.setattr(bf_mod._fused, "pallas_supported", lambda: True)
+    base_x = bf._fit_predict_xla_stream(
+        problem["data"], problem["data_err"], problem["data_mask"],
+        np.asarray(bf._kernel_G(problem["zgrid"], problem["zerr"], None,
+                                grid)[0]),
+        {}, 1e-3, None, 16, True, False)
+    monkeypatch.setattr(bf_mod, "_STREAM_PENDING_BYTES", 1 << 40)
+    full_x = bf._fit_predict_xla_stream(
+        problem["data"], problem["data_err"], problem["data_mask"],
+        np.asarray(bf._kernel_G(problem["zgrid"], problem["zerr"], None,
+                                grid)[0]),
+        {}, 1e-3, None, 16, True, False)
+    for a, b in zip(base_x[0:1] + base_x[1], full_x[0:1] + full_x[1]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -181,5 +181,60 @@ for name, F, full_mask, regime, kw, (rt_g, at_g, rt_p, at_p) in CASES:
     print(f"{name}: PDF FAIL even vs {key} envelope "
           f"({(~inside).mean():.3%} outside)\n{msg[:300]}", flush=True)
 
+# ---- chunked large-model paths (forced-small ceilings on real HW) ----
+# (a) banded fullmask model-axis chunking (_NM_SMEM_MAX, ops/fused.py):
+# vs the unchunked kernel only f32 reassociation at chunk boundaries may
+# differ; lmap must be bitwise (max/min combine exactly).
+from frankenz_tpu.ops import fused as fz
+from frankenz_tpu.models import knn as knn_mod
+
+d, de, dm, m, me, mm, G = make(5, True, "normal")
+base = jax.device_get(fused_fit_pdf(d, de, dm, m, me, mm, G,
+                                    full_mask=True, tb=256, tm=512))
+fz._NM_SMEM_MAX = 2  # nm = 2048/512 = 4 tiles -> 2 chunks
+fz._fused_call_fullmask_dimprior.clear_cache()
+t0 = time.time()
+chunked = jax.device_get(fused_fit_pdf(d, de, dm, m, me, mm, G,
+                                       full_mask=True, tb=256, tm=512))
+t1 = time.time()
+fz._NM_SMEM_MAX = 2048
+fz._fused_call_fullmask_dimprior.clear_cache()
+try:
+    np.testing.assert_array_equal(chunked[1], base[1])
+    np.testing.assert_allclose(chunked[2], base[2], rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(chunked[0], base[0], rtol=1e-5, atol=1e-7)
+    print(f"fullmask-banded-chunked: OK (lmap bitwise vs unchunked; "
+          f"{t1-t0:.1f}s)", flush=True)
+except AssertionError as e:
+    fails += 1
+    print(f"fullmask-banded-chunked: FAIL\n{str(e)[:300]}", flush=True)
+
+# (b) chunked exact kNN top-k merge (_TOPK_CHUNK, models/knn.py):
+# neighbor indices and validity must be bitwise vs the unchunked search
+# (the merge preserves lowest-index tie-breaking).
+q = rng.uniform(1, 10, (B, 5)).astype(np.float32)
+feats = rng.uniform(1, 10, (4, M, 5)).astype(np.float32)
+fsq = (feats ** 2).sum(-1)
+base_idx = jax.device_get(knn_mod._search_jit(
+    jnp.asarray(q), jnp.asarray(feats), jnp.asarray(fsq),
+    K=4, k=10, lp_norm=2, dbound=np.inf, approx=False))
+knn_mod._TOPK_CHUNK = 512  # 2048 cols -> 4 chunks
+knn_mod._search_jit.clear_cache()
+t0 = time.time()
+ch_idx = jax.device_get(knn_mod._search_jit(
+    jnp.asarray(q), jnp.asarray(feats), jnp.asarray(fsq),
+    K=4, k=10, lp_norm=2, dbound=np.inf, approx=False))
+t1 = time.time()
+knn_mod._TOPK_CHUNK = 1 << 20
+knn_mod._search_jit.clear_cache()
+try:
+    for a, b in zip(ch_idx, base_idx):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    print(f"knn-chunked-topk: OK (bitwise vs unchunked; {t1-t0:.1f}s)",
+          flush=True)
+except AssertionError as e:
+    fails += 1
+    print(f"knn-chunked-topk: FAIL\n{str(e)[:300]}", flush=True)
+
 print("HW PARITY", "FAILED" if fails else "OK")
 raise SystemExit(1 if fails else 0)
