@@ -45,10 +45,16 @@ def main(out="demos/output", nobs=1000, niter=400, plot=True):
     sampler_ref.run_mcmc(niter, thin=5, seed=5, ref_sample=ref,
                          verbose=False)
     samples_ref, _ = sampler_ref.results
-    mean_ref = samples_ref[burn:].mean(axis=0)
-    print(f"with reference sample: L1 to empirical "
-          f"{np.abs(mean_ref - emp).sum():.3f} vs "
-          f"{np.abs(mean - emp).sum():.3f} without")
+    # Burn-in sized to THIS run: the no-reference run above is 2 chains
+    # (2x the samples), so reusing its `burn` here would empty the
+    # slice at small niter (vacuous comparison + mean-of-empty warning).
+    burn_ref = len(samples_ref) // 2
+    mean_ref = samples_ref[burn_ref:].mean(axis=0)
+    l1_ref = float(np.abs(mean_ref - emp).sum())
+    l1_noref = float(np.abs(mean - emp).sum())
+    print(f"with reference sample: L1 to empirical {l1_ref:.3f} vs "
+          f"{l1_noref:.3f} without")
+    assert np.isfinite(l1_ref) and np.isfinite(l1_noref)
 
     if plot:
         import matplotlib

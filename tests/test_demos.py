@@ -76,7 +76,14 @@ def test_demo5(tmp_path):
 def test_demo6(tmp_path):
     import demo6_hierarchical_inference
 
-    s = demo6_hierarchical_inference.main(out=str(tmp_path), nobs=200,
-                                          niter=20, plot=False)
+    import warnings
+
+    with warnings.catch_warnings():
+        # The reference-comparison arm must actually compare: an
+        # oversized burn-in used to empty the slice (mean-of-empty
+        # RuntimeWarning) and make the demo's self-check vacuous.
+        warnings.simplefilter("error", RuntimeWarning)
+        s = demo6_hierarchical_inference.main(out=str(tmp_path), nobs=200,
+                                              niter=20, plot=False)
     samples, _ = s.results
     assert len(samples) == 40  # 2 chains interleaved

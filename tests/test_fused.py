@@ -200,14 +200,24 @@ def test_bruteforce_fused_dispatch(problem):
     b = bf.fit_predict(d, de, dm, zlab, zerr, label_grid=grid,
                        verbose=False, use_fused=False)
     np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-5)
-    # Free-scale with model errors: opt-in via use_fused=True (bounded
-    # in-tile iteration), auto-dispatch keeps the exact XLA while_loop.
-    kw = {"free_scale": True}
+    # Free-scale with model errors: the in-tile converged iteration vs
+    # the XLA while_loop.  (On TPU `_fused_eligible` auto-selects the
+    # tile for this configuration too; in the CPU suite
+    # pallas_supported() is False, so use_fused=True runs it in
+    # interpret mode.)  Both paths stop at |delta lnl| <= max(ltol,
+    # roundoff floor) — at a loose ltol they are two legitimately
+    # different iterates whose gap is the geometric convergence tail,
+    # NOT ~ltol, so the envelope is only derivable at the floor:
+    # ltol=1e-6 sits below the f32 roundoff floor (ops/likelihood.py
+    # _loglike_s), both paths run to the same per-pair fixed point, and
+    # the residual is f32 accumulation order — the same 1e-3-grade
+    # bound the other fused cases carry.
+    kw = {"free_scale": True, "ltol": 1e-6}
     c = bf.fit_predict(d, de, dm, zlab, zerr, label_grid=grid,
                        verbose=False, use_fused=True, lprob_kwargs=kw)
     ref = bf.fit_predict(d, de, dm, zlab, zerr, label_grid=grid,
                          verbose=False, use_fused=False, lprob_kwargs=kw)
-    np.testing.assert_allclose(c, ref, rtol=2e-2, atol=2e-4)
+    np.testing.assert_allclose(c, ref, rtol=1e-3, atol=1e-5)
     # Ineligible configs refuse rather than silently diverge.
     with pytest.raises(ValueError):
         bf.fit_predict(d, de, dm, zlab, zerr, label_grid=grid,
