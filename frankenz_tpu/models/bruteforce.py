@@ -560,12 +560,16 @@ class BruteForce:
         xla_stream = False
         if use_fused is None:
             use_fused = eligible and _fused.pallas_supported()
-            if (use_fused and mesh is None
-                    and _wide_grid_xla(len(grid), lprob_kwargs)):
-                # Measured crossover (docs/MXU_NOTE.md section 7): wide
-                # serving grids run the streaming XLA dense stack.
+            if use_fused and _wide_grid_xla(len(grid), lprob_kwargs):
+                # Measured crossover (docs/MXU_NOTE.md sections 7-8):
+                # wide serving grids run the XLA dense stack.  Under
+                # mesh= the same decision routes the sharded local step
+                # through the XLA composition (`_sharded_fp_step`'s
+                # non-Pallas branch is that dense stack; it shard_maps
+                # cleanly, and the cdf top-T escape — the one
+                # incompatibility — already raises above).
                 use_fused = False
-                xla_stream = True
+                xla_stream = mesh is None
         elif use_fused and not eligible:
             raise ValueError("use_fused=True requires the default lprob "
                              "pipeline (no custom lprob_func/args, no "

@@ -22,6 +22,8 @@ with Gx the (Nobj, Ngrid_x) dictionary kernel-row matrix and Pn the
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -39,22 +41,46 @@ def _plt():
     return plt
 
 
+@functools.partial(jax.jit, static_argnames=("mode",))
+def _weight_sel_jit(weights, thresh, mode):
+    if mode == "wt":
+        return jnp.where(weights > thresh * jnp.max(weights), weights, 0.0)
+    order = jnp.argsort(weights)
+    cdf = jnp.cumsum(weights[order])
+    cdf = cdf / cdf[-1]
+    keep = jnp.zeros(weights.shape, bool).at[order].set(
+        cdf <= (1.0 - thresh))
+    return jnp.where(keep, weights, 0.0)
+
+
 def _outer_weight_sel(weights, nobj, wt_thresh, cdf_thresh):
     """Per-object stacking weights after outer thresholding
-    (plotting.py:93-107)."""
+    (plotting.py:93-107) — on device (one jitted sort/scan)."""
     if weights is None:
         weights = np.ones(nobj, np.float32)
-    weights = np.asarray(weights, float)
+    weights = jnp.asarray(weights, float)
     if wt_thresh is None and cdf_thresh is None:
         return weights
     if wt_thresh is not None:
-        return np.where(weights > wt_thresh * weights.max(), weights, 0.0)
-    order = np.argsort(weights)
-    cdf = np.cumsum(weights[order])
-    cdf = cdf / cdf[-1]
-    keep = np.zeros(nobj, bool)
-    keep[order] = cdf <= (1.0 - cdf_thresh)
-    return np.where(keep, weights, 0.0)
+        return _weight_sel_jit(weights, float(wt_thresh), "wt")
+    return _weight_sel_jit(weights, float(cdf_thresh), "cdf")
+
+
+@functools.partial(jax.jit, static_argnames=("mode",))
+def _renorm_pdfs_jit(P, thresh, mode):
+    if mode == "none":
+        keep = jnp.ones(P.shape, bool)  # reference: wt_thresh = -inf
+    elif mode == "wt":
+        keep = P > jnp.max(P, axis=1, keepdims=True) * thresh
+    else:
+        order = jnp.argsort(P, axis=1)
+        cs = jnp.cumsum(jnp.take_along_axis(P, order, axis=1), axis=1)
+        keep = jnp.zeros(P.shape, bool).at[
+            jnp.arange(P.shape[0])[:, None], order].set(
+                cs <= (1.0 - thresh))
+    P = jnp.where(keep, P, 0.0)
+    norm = jnp.sum(P, axis=1, keepdims=True)
+    return jnp.where(norm > 0, P / jnp.where(norm > 0, norm, 1.0), 0.0)
 
 
 def _threshold_renorm_pdfs(pdfs, pdf_wt_thresh, pdf_cdf_thresh):
@@ -64,21 +90,21 @@ def _threshold_renorm_pdfs(pdfs, pdf_wt_thresh, pdf_cdf_thresh):
     cumsum (plotting.py:325-328) — unlike ``gauss_kde``'s normalized one
     (pdf.py:512-516) — so the kept mass depends on the row's sum.  That
     matters for ``input_vs_dpdf``, whose resampled rows no longer sum
-    to 1.  Replicated exactly (host-side numpy: same argsort ties)."""
-    P = np.array(pdfs, float)
+    to 1.  Runs on device (jitted: the per-row sort + cumsum + scatter
+    feeding the one-matmul 2-D stack), so catalog-scale diagnostics are
+    not host-bound by an O(Nobj*Ngrid log Ngrid) numpy pass (timing at
+    the 1M-object serving scale: docs/PARITY.md "plotting" note).
+    Tie order among exactly-equal positive cells follows jnp.argsort
+    (stable) rather than np.argsort (introsort); ties only arise from
+    duplicate models and land inside the same kept/dropped boundary
+    class."""
     if pdf_wt_thresh is None and pdf_cdf_thresh is None:
-        keep = np.ones(P.shape, bool)  # reference: wt_thresh = -inf
+        mode, thresh = "none", 0.0
     elif pdf_wt_thresh is not None:
-        keep = P > P.max(axis=1, keepdims=True) * pdf_wt_thresh
+        mode, thresh = "wt", float(pdf_wt_thresh)
     else:
-        order = np.argsort(P, axis=1)
-        cs = np.cumsum(np.take_along_axis(P, order, axis=1), axis=1)
-        keep = np.zeros(P.shape, bool)
-        np.put_along_axis(keep, order, cs <= (1.0 - pdf_cdf_thresh),
-                          axis=1)
-    P[~keep] = 0.0
-    norm = P.sum(axis=1, keepdims=True)
-    return np.divide(P, norm, out=np.zeros_like(P), where=norm > 0)
+        mode, thresh = "cdf", float(pdf_cdf_thresh)
+    return _renorm_pdfs_jit(jnp.asarray(pdfs, float), thresh, mode)
 
 
 def _stack2d(vals, errs, vdict, Pn, weights):

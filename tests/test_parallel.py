@@ -249,6 +249,59 @@ def test_bruteforce_mesh_fit_predict_matches_single_device():
                        verbose=False, mesh=mesh, save_fits=True)
 
 
+def test_bruteforce_mesh_wide_grid_routes_xla(monkeypatch):
+    """Wide serving grids (padded Ngrid >= _WIDE_GRID_XLA_GP) must route
+    the SHARDED auto-dispatch through the XLA dense stack too — the
+    measured-15%-faster path at Gp >= 2048 (docs/MXU_NOTE.md section 8)
+    used to be skipped whenever mesh= was set.  Simulated TPU dispatch
+    (pallas_supported patched True) with the recorded `use_pallas` flag
+    asserted False; the XLA local step then runs fine on the CPU mesh
+    and must match the single-device wide-grid result."""
+    import numpy as np
+    import frankenz_tpu.models.bruteforce as bf_mod
+    from frankenz_tpu.models import BruteForce
+    from frankenz_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(27)
+    M, B, F = 150, 40, 5
+    m = rng.uniform(1, 10, (M, F)).astype(np.float32)
+    me = (0.05 * m).astype(np.float32)
+    mm = np.ones_like(m)
+    d = (m[rng.integers(0, M, B)] + rng.normal(0, 0.3, (B, F))).astype(
+        np.float32)
+    de = np.full((B, F), 0.3, np.float32)
+    dm = np.ones_like(d)
+    zlab = rng.uniform(0, 3, M)
+    zerr = np.full(M, 0.1)
+    grid = np.linspace(0, 3, bf_mod._WIDE_GRID_XLA_GP + 1)  # padded >= cap
+
+    mesh = make_mesh(8)
+    bf = BruteForce(m, me, mm)
+    single = bf.fit_predict(d, de, dm, zlab, zerr, label_grid=grid,
+                            verbose=False, use_fused=False)
+
+    recorded = {}
+    orig_step = bf_mod._sharded_fp_step
+
+    def record_step(mesh_, obj_axis, use_pallas, *a, **k):
+        recorded["use_pallas"] = use_pallas
+        return orig_step(mesh_, obj_axis, False, *a, **k)
+
+    monkeypatch.setattr(bf_mod._fused, "pallas_supported", lambda: True)
+    monkeypatch.setattr(bf_mod, "_sharded_fp_step", record_step)
+    sharded = bf.fit_predict(d, de, dm, zlab, zerr, label_grid=grid,
+                             verbose=False, mesh=mesh, batch_size=32)
+    assert recorded["use_pallas"] is False
+    np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-7)
+    # A NARROW grid under the same simulated TPU dispatch still selects
+    # the kernel for the sharded step (the routing is grid-width-keyed).
+    recorded.clear()
+    bf.fit_predict(d, de, dm, zlab, zerr,
+                   label_grid=np.linspace(0, 3, 101), verbose=False,
+                   mesh=mesh, batch_size=32)
+    assert recorded["use_pallas"] is True
+
+
 def test_knn_mesh_fit_predict_matches_single_device():
     """NearestNeighbors.fit_predict(mesh=...) == single-device results
     (same host RNG stream -> identical jitters -> identical unions)."""
