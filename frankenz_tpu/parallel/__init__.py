@@ -1,5 +1,9 @@
 """Mesh construction and sharded drivers (pure data parallel over objects)."""
 
+from .distributed import (  # noqa: F401
+    initialize_distributed,
+    launch_local_cluster,
+)
 from .io import (  # noqa: F401
     catalog_batches,
     catalog_from_process_shards,
