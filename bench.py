@@ -241,8 +241,16 @@ def config5():
     t0 = time.time()
     hs.run_mcmc(200, thin=5, seed=0, verbose=False)
     t_hier = time.time() - t0
+    # First-class hierarchical rate (VERDICT r04 item 7): one Gibbs
+    # sweep = a full categorical draw over Nobs objects + the Dirichlet
+    # resample, Niter*thin sweeps per run — the demo-6 workload
+    # (reference samplers.py:311-535).
+    hier_steps = 200 * 5
     _emit("config5_samplers", 100 * 400 * 3 / t_pop, "proposals/s",
           population_s=round(t_pop, 2), hierarchical_s=round(t_hier, 2),
+          hierarchical_sweeps_per_s=round(hier_steps / t_hier, 1),
+          hierarchical_obj_draws_per_s=float(
+              f"{hier_steps * nobs / t_hier:.4g}"),
           nobs=nobs)
 
 
@@ -350,11 +358,14 @@ def main(defaults=(1_000_000, 100_000, 5, 301, 65536),
     # (HTTP 413) once it passes ~1 GB (and re-uploads it on every
     # compile otherwise).
     band_skip = os.environ.get("BENCH_BAND", "1") == "1"
+    # BENCH_SCREEN=0 pins the banded two-pass kernels (the pre-round-5
+    # path); default runs the screened pipeline (exact subtile pruning).
+    screen = os.environ.get("BENCH_SCREEN", "1") == "1"
     if use_pallas:
         def step(d, de, dm, G):
             pdf, lmap, levid = _fz.fused_fit_pdf(
                 d, de, dm, m, me, mm, G, wt_thresh=1e-3, full_mask=True,
-                tb=tb, tm=tm, band_skip=band_skip)
+                tb=tb, tm=tm, band_skip=band_skip, screen=screen)
             norm = jnp.sum(pdf, axis=1, keepdims=True)
             pdf = jnp.where(norm > 0, pdf / jnp.where(norm > 0, norm, 1.0),
                             0.0)
@@ -452,6 +463,7 @@ def main(defaults=(1_000_000, 100_000, 5, 301, 65536),
     # time the chip actually spent in the step's compiled modules rather
     # than wall clock (which includes host dispatch / relay latency).
     mfu_meas = kernel_ms = mxu_duty = mxu_duty_meas = None
+    screen_fracs = None
     if peak and os.environ.get("BENCH_PROFILE", "1") != "0":
         # Profile the exact module the wall loop runs (`step_at`, which
         # also fuses the dynamic slices + nz accumulate on-device; with
@@ -483,8 +495,25 @@ def main(defaults=(1_000_000, 100_000, 5, 301, 65536),
             passes = {jax.lax.Precision.DEFAULT: 1,
                       jax.lax.Precision.HIGH: 3,
                       jax.lax.Precision.HIGHEST: 6}[_SP]
-            products = (_fz.band_stack_products(G, tm)
-                        if use_pallas and band_skip else nmodel * gp)
+            if use_pallas and screen:
+                # Screened pipeline: the stack dot runs only for
+                # subtiles whose bound admits an above-threshold weight
+                # for some row — `screen_stats` replicates the kernels'
+                # own skip compares exactly (ops/fused.py).
+                mp = -(-nmodel // tm) * tm
+                _, _, _, st = _fz.fused_fit_pdf(
+                    d_all[:batch], de_all[:batch], dm_all[:batch], m, me,
+                    mm, G, wt_thresh=1e-3, full_mask=True, tb=tb, tm=tm,
+                    screen=True, screen_stats=True)
+                st = jax.device_get(st)
+                screen_fracs = [round(float(x), 4) for x in st]
+                products = float(st[2]) * mp * gp
+            elif use_pallas and band_skip:
+                products = _fz.band_stack_products(G, tm)
+                screen_fracs = None
+            else:
+                products = nmodel * gp
+                screen_fracs = None
             mxu_flops = 2.0 * batch * products * passes
             mxu_duty = float(f"{mxu_flops / peak / busy:.4g}")
 
@@ -530,7 +559,10 @@ def main(defaults=(1_000_000, 100_000, 5, 301, 65536),
             "nobj": nbatch * batch, "nmodel": nmodel, "nfilt": nfilt,
             "ngrid": ngrid, "batch": batch, "elapsed_s": round(elapsed, 3),
             "device": str(jax.devices()[0]),
-            "path": "pallas" if use_pallas else "xla",
+            "path": ("pallas-screened" if use_pallas and screen
+                     else "pallas" if use_pallas else "xla"),
+            # [passA-seed-admit (upper bd on runs), passB-run, passB-dot]
+            "screen_run_fracs": screen_fracs,
             "flops_per_pair": flops_per_pair,
             "peak_bf16_flops": peak,
         },
@@ -571,6 +603,96 @@ def _require_devices(timeout_s=600):
     os._exit(1)
 
 
+def config8():
+    """Free-scale hardware rates (VERDICT r04 item 4): the in-tile
+    per-pair-converged Pallas iteration vs the XLA while_loop on
+    IDENTICAL data at the driver catalog (100K models, 5 filters,
+    config-4 grid).  Free scale with model errors kept is the
+    reference's `_loglike_s` iteration (pdf.py:197-223) — the
+    data-dependent fixed point makes rates workload-dependent, so the
+    data here are noisy scaled model copies (every pair genuinely
+    iterates).  The XLA path runs at its HBM-bounded batch (the
+    while_loop carries ~6 (B, M) grids; 4096 OOMs 16 GB — CLAUDE.md),
+    the fused tile at the driver batch."""
+    from frankenz_tpu.ops import PDFDict, kernel_matrix_dict
+    from frankenz_tpu.ops import fused as _fz
+    from frankenz_tpu.ops import kde as _kde
+    from frankenz_tpu.ops import likelihood as _like
+
+    rng = np.random.default_rng(0)
+    nmodel, nfilt, ngrid = 100_000, 5, 301
+    batch_f = int(os.environ.get("BENCH_BATCH", 16384))
+    batch_x = 2048
+    nobj = batch_f
+    models = rng.uniform(1, 10, (nmodel, nfilt)).astype(np.float32)
+    models_err = (0.05 * models).astype(np.float32)
+    scales = rng.uniform(0.5, 2.0, (nobj, 1))
+    data = (scales * models[rng.integers(0, nmodel, nobj)]
+            + rng.normal(0, 0.3, (nobj, nfilt))).astype(np.float32)
+    data_err = np.full((nobj, nfilt), 0.25, np.float32)
+    grid = np.linspace(0.0, 4.0, ngrid)
+    pd = PDFDict(grid, np.linspace(0.01, 0.5, 100))
+    yi, ei = pd.fit(rng.uniform(0, 3.5, nmodel), np.full(nmodel, 0.1))
+    G = jnp.asarray(np.asarray(kernel_matrix_dict(pd, yi, ei), np.float32))
+    m = jnp.asarray(models)
+    me = jnp.asarray(models_err)
+    mm = jnp.ones_like(m)
+    d_all = jnp.asarray(data)
+    de_all = jnp.asarray(data_err)
+    dm_all = jnp.ones_like(d_all)
+
+    def fused_run():
+        out = _fz.fused_fit_pdf(
+            d_all, de_all, dm_all, m, me, mm, G, free_scale=True,
+            wt_thresh=1e-3, full_mask=True, scale_ltol=1e-4)
+        jax.block_until_ready(out)
+        return out
+
+    @jax.jit
+    def _xla_batch(d, de, dm, G):
+        res = _like.loglike_free(d, de, dm, m, me, mm, dim_prior=True,
+                                 ltol=1e-4)
+        lnp = res.lnlike
+        lmap = jnp.max(lnp, axis=1)
+        levid = jax.scipy.special.logsumexp(lnp, axis=1)
+        wt = jnp.exp(lnp - levid[:, None])
+        pdf = _kde.kde_stack(wt, G, 1e-3, None)
+        return pdf, lmap, levid
+
+    def xla_run():
+        outs = []
+        for i in range(0, nobj, batch_x):
+            outs.append(_xla_batch(
+                jax.lax.dynamic_slice_in_dim(d_all, i, batch_x),
+                jax.lax.dynamic_slice_in_dim(de_all, i, batch_x),
+                jax.lax.dynamic_slice_in_dim(dm_all, i, batch_x), G))
+        jax.block_until_ready(outs)
+        return outs
+
+    fused_run()  # compile
+    t0 = time.time()
+    out_f = fused_run()
+    t_f = time.time() - t0
+    xla_run()  # compile
+    t0 = time.time()
+    out_x = xla_run()
+    t_x = time.time() - t0
+    # Parity on identical data (converged fixed points; lmap at the
+    # fixed-point resolution).
+    lm_f = np.asarray(out_f[1])
+    lm_x = np.concatenate([np.asarray(o[1]) for o in out_x])
+    gof_dev = float(np.max(np.abs(lm_f - lm_x)
+                           / np.maximum(np.abs(lm_x), 1.0)))
+    pairs = nobj * nmodel
+    _emit("config8_free_scale", pairs / t_f, "pair-evals/s",
+          fused_s=round(t_f, 3), xla_s=round(t_x, 3),
+          xla_pair_evals_per_s=float(f"{pairs / t_x:.4g}"),
+          fused_vs_xla_speedup=round(t_x / t_f, 2),
+          lmap_maxrel_vs_xla=float(f"{gof_dev:.2g}"),
+          nobj=nobj, nmodel=nmodel, batch_fused=batch_f,
+          batch_xla=batch_x)
+
+
 def config7():
     """MXU-duty demonstration (BASELINE.md >= 50% MXU clause): the
     stack-dominant shape from docs/MXU_NOTE.md section 3 — a realistic
@@ -589,5 +711,5 @@ if __name__ == "__main__":
     if cfg == "4":
         main()
     else:
-        {"1": config1, "2": config2, "3": config3,
-         "5": config5, "6": config6, "7": config7}[cfg]()
+        {"1": config1, "2": config2, "3": config3, "5": config5,
+         "6": config6, "7": config7, "8": config8}[cfg]()

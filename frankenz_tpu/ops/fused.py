@@ -288,6 +288,14 @@ def band_stack_products(G, tm=512):
     return int(jnp.sum(flags)) * tm * 128
 
 
+# Newton-Raphson refinement steps for `_fast_recip` (experimental knob,
+# hardware A/B only): 2 (default) is f32-roundoff-exact from any
+# estimate quality; 1 relies on the hardware estimate's ~2^-12 accuracy
+# to land at ~2^-24 (f32-eps grade, NOT bit-identical to `/`) and is
+# UNSAFE in interpret mode, whose fallback estimate is only bf16-grade.
+_RECIP_NR = int(os.environ.get("FRANKENZ_RECIP_NR", "2"))
+
+
 def _fast_recip(x):
     """f32-exact reciprocal: hardware estimate + 2 Newton-Raphson steps.
 
@@ -300,8 +308,8 @@ def _fast_recip(x):
     on both Mosaic and interpret paths.
     """
     r = pl.reciprocal(x, approx=True)
-    r = r * (2.0 - x * r)
-    r = r * (2.0 - x * r)
+    for _ in range(max(_RECIP_NR, 1)):
+        r = r * (2.0 - x * r)
     return r
 
 
@@ -1016,6 +1024,481 @@ def _make_chi2stack_kernel(nfilt, ignore_model_err, a1, log_wt_thresh,
     return kernel
 
 
+# ---------------------------------------------------------------------
+# Screened fullmask pipeline (round 5): exact tile pruning.
+#
+# The two-pass fullmask kernels spend their time on per-pair VPU chi^2
+# work that is provably irrelevant for most (object, model-subtile)
+# combinations:
+#   pass A only needs the chi^2 values bracketing c0 = F - 2 (the lnl
+#     peak), i.e. near-best fits — a tiny photometric neighborhood;
+#   pass B's thresholded stack dot only touches pairs with
+#     lnl > ln(wt_thresh) + lmap — a chi^2 ball around the best fit —
+#     and even the unthresholded weight sum gets EXACT zeros (f32
+#     underflow) once chi^2 passes a per-row cut.
+# Sorting models AND objects by a shared photometric-locality key
+# (Morton interleave of the two highest-variance filters) makes those
+# neighborhoods contiguous, so a per-(row, model-subtile) chi^2 LOWER
+# BOUND — the distance to the subtile's photometric bounding box over
+# the largest possible variance — certifies whole subtiles as
+# skippable.  Every skip is exact:
+#   pass A skips a subtile iff no pair in it can improve the running
+#     brackets (bound > min(above_run, seed), seed = an inflated real
+#     anchor-model chi^2 >= the final `above`);
+#   pass B skips the weight/sum work iff every pair's weight underflows
+#     to exactly 0.0 in f32, and skips only the stack dot iff every
+#     pair is provably below the weight threshold (both cuts are
+#     conservative Newton roots of the unimodal lnl(chi2)).
+# Results are BITWISE identical to the same kernels with screening
+# disabled (tests/test_fused.py::test_screened_*), and match the
+# unscreened banded path to f32 reassociation.  There is no SMEM flag
+# table, so the _NM_SMEM_MAX chunking ceiling does not apply — >1M
+# model sets run as one pallas_call per pass.
+# ---------------------------------------------------------------------
+
+
+def _interleave2(a, b):
+    """Morton-interleave two 15-bit int32 lane values -> 30-bit key."""
+    def spread(v):
+        v = jnp.bitwise_and(v, 0x7FFF)
+        v = jnp.bitwise_and(jnp.bitwise_or(v, v << 8), 0x00FF00FF)
+        v = jnp.bitwise_and(jnp.bitwise_or(v, v << 4), 0x0F0F0F0F)
+        v = jnp.bitwise_and(jnp.bitwise_or(v, v << 2), 0x33333333)
+        v = jnp.bitwise_and(jnp.bitwise_or(v, v << 1), 0x55555555)
+        return v
+
+    return jnp.bitwise_or(spread(a), spread(b) << 1)
+
+
+def _chi2_upper_root(a1, K, c0):
+    """Conservative upper root of f(c) = a1*ln(c) - c/2 = K (c > c0).
+
+    f is decreasing and concave right of its peak c0 = 2*a1, so Newton
+    started right of the peak lands right of the root after one step
+    and then decreases monotonically while staying >= the root — the
+    returned value NEVER undercuts, which is what makes screening
+    against it exact.  Vectorized over rows; 40 static iterations
+    (quadratic convergence; far starts take ~5).  A final (1 + 1e-5)
+    inflation absorbs f32 evaluation noise of f itself.
+    """
+    c = jnp.maximum(jnp.full_like(K, c0 + 1.0), 1e-3)
+    for _ in range(40):
+        if a1 != 0.0:
+            f = a1 * jnp.log(c) - 0.5 * c
+            fp = a1 / c - 0.5
+        else:
+            f = -0.5 * c
+            fp = jnp.full_like(c, -0.5)
+        c = c + (K - f) / fp
+        c = jnp.maximum(c, c0 * (1.0 + 1e-6) + 1e-6)
+    return c * (1.0 + 1e-5) + 1e-3
+
+
+def _screen_prep(d, de, mT, meT, G, m_real, sm, n_anchor, c0,
+                 ignore_model_err):
+    """Locality sort + subtile boxes + exact chi^2 lower bounds + seeds.
+
+    Returns (d, de, mT, meT, G, bounds, seed, inv_obj_perm): models
+    (columns of mT/meT, rows of G) and objects (rows of d/de) permuted
+    by a shared Morton key over the two highest-variance filters;
+    `bounds` (B, S = Mp/sm) a per-(object, model-subtile) LOWER bound on
+    any chi^2 in the subtile (interval distance to the subtile's
+    photometric box over the subtile-max variance, deflated 1e-4 for
+    f32 slop); `seed` (B, 1) an inflated real anchor-model chi^2 that
+    upper-bounds the final pass-A `above` bracket (+inf where no anchor
+    chi^2 clears c0).  Sentinel-padded model columns sort last (key
+    2^30) and their subtile boxes stay honest, so pad handling is
+    unchanged.  The permutations are exact: per-object outputs are
+    row-independent, and model max/min/sum reductions are
+    order-invariant up to the f32 reassociation the banded path already
+    documents.
+    """
+    F, Mp = mT.shape
+    mr = mT[:, :m_real]
+    var = jnp.var(mr, axis=1)
+    _, dims = jax.lax.top_k(var, 2)
+    lo = jnp.min(mr, axis=1)
+    hi = jnp.max(mr, axis=1)
+    scale = 1.0 / jnp.maximum(hi - lo, 1e-20)
+
+    def key_of(rows):  # (N, F) -> int32 Morton keys
+        q = jnp.clip((rows - lo[None, :]) * scale[None, :], 0.0, 1.0)
+        q2 = jnp.take(q, dims, axis=1)
+        qi = (q2 * 32767.0).astype(jnp.int32)
+        return _interleave2(qi[:, 0], qi[:, 1])
+
+    mkey = jnp.concatenate(
+        [key_of(mr.T), jnp.full((Mp - m_real,), jnp.int32(1 << 30))])
+    mperm = jnp.argsort(mkey, stable=True)
+    mT = jnp.take(mT, mperm, axis=1)
+    meT = jnp.take(meT, mperm, axis=1)
+    G = jnp.take(G, mperm, axis=0)
+
+    operm = jnp.argsort(key_of(d), stable=True)
+    inv_operm = jnp.argsort(operm)
+    d = jnp.take(d, operm, axis=0)
+    de = jnp.take(de, operm, axis=0)
+
+    # Bounds in LANE orientation (S, B) — objects on the 128-lane minor
+    # dim — so both the XLA prep fusion and the kernels' per-subtile
+    # row reads vectorize (a (…, nsub) minor dim would be T(8,128)-
+    # padded 32x in storage AND run the prep as a near-scalar kLoop —
+    # measured 31.7 ms/batch and 6.6 GB of HBM at the driver shape).
+    S = Mp // sm
+    mres = mT.reshape(F, S, sm)
+    blo = jnp.min(mres, axis=2)          # (F, S)
+    bhi = jnp.max(mres, axis=2)
+    memax = jnp.max(meT.reshape(F, S, sm), axis=2)
+    bound = None
+    for k in range(F):
+        dk = d[None, :, k]               # (1, B)
+        gap = jnp.maximum(jnp.maximum(blo[k][:, None] - dk,
+                                      dk - bhi[k][:, None]), 0.0)
+        v = de[None, :, k] ** 2
+        if not ignore_model_err:
+            v = v + memax[k][:, None] ** 2
+        t = gap * gap / v
+        bound = t if bound is None else bound + t
+    bound = bound * (1.0 - 1e-4)         # (S, B)
+
+    # Anchor seeds: exact chi^2 against real models only — (a) A models
+    # spread evenly through the sorted order (coverage for objects far
+    # from every model), and (b) each object's HOME subtile (the sm
+    # models nearest its own Morton position — photometric neighbors,
+    # so their chi^2 sits near the final `above` and pass-A skips fire
+    # from the first tile).  The (1 + 1e-4) inflation covers any
+    # XLA-vs-kernel last-ulp accumulation difference; the c0*(1+1e-3)
+    # qualification margin guarantees a qualifying anchor's in-kernel
+    # chi^2 also lands >= c0, so the final `above` bracket is <= the
+    # seed.
+    def anchor_min(am, ame):
+        # am/ame: (F, A) shared anchors or (F, B, A) per-object anchors;
+        # broadcast against (B, 1) data columns either way.
+        chi2a = None
+        for k in range(F):
+            dk = d[:, k:k + 1]
+            va = de[:, k:k + 1] ** 2
+            mk = am[k] if am.ndim == 3 else am[None, k, :]
+            if not ignore_model_err:
+                mek = ame[k] if am.ndim == 3 else ame[None, k, :]
+                va = va + mek ** 2
+            r = dk - mk
+            t = r * r / va
+            chi2a = t if chi2a is None else chi2a + t
+        qual = chi2a >= c0 * (1.0 + 1e-3)
+        return jnp.min(jnp.where(qual, chi2a, jnp.inf), axis=1,
+                       keepdims=True)
+
+    A = min(int(n_anchor), int(m_real))
+    aidx = (jnp.arange(A) * (m_real // A)).astype(jnp.int32)
+    seed = anchor_min(jnp.take(mT, aidx, axis=1),
+                      jnp.take(meT, aidx, axis=1))
+    seed = seed * (1.0 + 1e-4)
+    return d, de, mT, meT, G, bound, seed.reshape(1, -1), inv_operm
+
+
+def _chi2_subtile_fullmask(d_ref, de_ref, mT_ref, meT_ref, sl, *, nfilt,
+                           ignore_model_err):
+    """(TB, sm) chi^2 for one model subtile — the exact per-pair op chain
+    of `_chi2_tile_fullmask`'s filter loop (bitwise-equal values)."""
+    chi2 = None
+    for k in range(nfilt):
+        dk = d_ref[:, k:k + 1]
+        dek = de_ref[:, k:k + 1]
+        mk = mT_ref[k:k + 1, sl]
+        if ignore_model_err:
+            var = dek * dek
+        else:
+            mek = meT_ref[k:k + 1, sl]
+            var = dek * dek + mek * mek
+        r = dk - mk
+        term = (r * r) * _fast_recip(var)
+        chi2 = term if chi2 is None else chi2 + term
+    return chi2
+
+
+def _make_seed_kernel(nfilt, ignore_model_err, c0):
+    """Per-object-block seed refinement: exact chi^2 against ONE model
+    tile — the block's best-bounded neighborhood, DMA'd via a scalar-
+    prefetched tile index — reduced to min{chi2 >= c0}.  The chi^2 chain
+    is the pass-A kernel's own (`_chi2_subtile_fullmask`), so the seed
+    is a value pass A itself would produce for that tile (the 1+1e-6
+    inflation covers nothing more than paranoia about vector grouping);
+    any real model's chi^2 >= c0 upper-bounds the final `above` bracket
+    by definition.  Replaces a measured 75 ms/batch of per-object
+    XLA gathers (+16 ms of searchsorted) with ~one extra pass-A tile."""
+
+    def kernel(start_ref, d, de, mT, meT, seed_ref):
+        del start_ref  # consumed by the index maps
+        chi2 = _chi2_subtile_fullmask(
+            d, de, mT, meT, slice(None), nfilt=nfilt,
+            ignore_model_err=ignore_model_err)
+        hi = jnp.where(chi2 >= c0, chi2, jnp.inf)
+        seed_ref[:, :] = jnp.min(hi, axis=1,
+                                 keepdims=True) * (1.0 + 1e-6)
+
+    return kernel
+
+
+def _make_chi2max_screened_kernel(nfilt, ignore_model_err, c0, nsub, sm):
+    """Screened pass A: per model subtile, run the chi^2 + bracket
+    update only when some row's bound admits an improvement
+    (bound <= seed, the inflated real anchor chi^2 that upper-bounds
+    the final `above`); skipped subtiles provably cannot move either
+    bracket, so results are bitwise-equal to running all.  The compare
+    is pure lane-oriented work ((1, tb) rows, no sublane/lane mixing —
+    the GNG mega-kernel lesson)."""
+
+    def kernel(d, de, mT, meT, bounds, seed, below_ref, above_ref):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _():
+            below_ref[:, :] = jnp.full_like(below_ref, -1.0)
+            above_ref[:, :] = jnp.full_like(above_ref, jnp.inf)
+
+        for s in range(nsub):
+            sl = slice(s * sm, (s + 1) * sm)
+
+            def body(sl=sl):
+                chi2 = _chi2_subtile_fullmask(
+                    d, de, mT, meT, sl, nfilt=nfilt,
+                    ignore_model_err=ignore_model_err)
+                lo = jnp.where(chi2 < c0, chi2, -1.0)
+                hi = jnp.where(chi2 >= c0, chi2, jnp.inf)
+                below_ref[:, :] = jnp.maximum(
+                    below_ref[:, :], jnp.max(lo, axis=1, keepdims=True))
+                above_ref[:, :] = jnp.minimum(
+                    above_ref[:, :], jnp.min(hi, axis=1, keepdims=True))
+
+            pl.when(jnp.any(bounds[0, s, :] <= seed[0, :]))(body)
+
+    return kernel
+
+
+def _make_chi2stack_screened_kernel(nfilt, ignore_model_err, a1,
+                                    log_wt_thresh, nsub, sm, ng=1):
+    """Screened pass B: per model subtile, `cut_uf` gates ALL work (every
+    weight underflows to exactly 0.0 past it — skipping adds the same
+    nothing), `cut_dot` gates only the stack dot (every weight provably
+    below wt_thresh — the per-pair threshold would zero them all).  The
+    weight math inside surviving subtiles is the exact
+    `_make_chi2stack_kernel` chain."""
+
+    wthr = None if log_wt_thresh is None else float(np.exp(log_wt_thresh))
+
+    def kernel(d, de, mT, meT, bounds, cut_uf, cut_dot, *rest):
+        g_refs, (shift, pdf_ref, s_ref) = rest[:ng], rest[ng:]
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _():
+            pdf_ref[:, :] = jnp.zeros_like(pdf_ref)
+            s_ref[:, :] = jnp.zeros_like(s_ref)
+
+        for si in range(nsub):
+            sl = slice(si * sm, (si + 1) * sm)
+
+            def run_body(si=si, sl=sl):
+                chi2 = _chi2_subtile_fullmask(
+                    d, de, mT, meT, sl, nfilt=nfilt,
+                    ignore_model_err=ignore_model_err)
+                if a1 > _A1_NOLOG_MAX:
+                    w = jnp.exp(a1 * jnp.log(jnp.maximum(chi2, 1e-30))
+                                - 0.5 * chi2 - shift[:, :])
+                else:
+                    chi2 = jnp.minimum(chi2, _CHI2_CLAMP)
+                    pw = _half_pow(chi2, a1)
+                    e = jnp.exp(-0.5 * chi2 - shift[:, :])
+                    w = e if pw is None else pw * e
+                s_ref[:, :] += jnp.sum(w, axis=1, keepdims=True)
+                if wthr is not None:
+                    w = jnp.where(w > wthr, w, 0.0)
+
+                def dot_body(w=w, sl=sl):
+                    if len(g_refs) == 2:
+                        pdf_ref[:, :] += _stack_dot_split(
+                            w, g_refs[0][sl, :], g_refs[1][sl, :])
+                    else:
+                        pdf_ref[:, :] += _stack_dot(w, g_refs[0][sl, :])
+
+                pl.when(jnp.any(bounds[0, si, :]
+                                <= cut_dot[0, :]))(dot_body)
+
+            pl.when(jnp.any(bounds[0, si, :]
+                            <= cut_uf[0, :]))(run_body)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ignore_model_err", "wt_thresh", "tb", "tm",
+                     "interpret", "m_pad", "g_split", "sm", "n_anchor",
+                     "run_all", "with_stats"))
+def _fused_call_fullmask_dimprior_screened(
+        d, de, mT, meT, G, *, ignore_model_err, wt_thresh, tb, tm,
+        interpret, m_pad=0, g_split=False, sm=128, n_anchor=256,
+        run_all=False, with_stats=False):
+    """Screened fullmask + dim-prior pipeline (see the section comment).
+
+    ``run_all=True`` keeps the sort/subtile structure but disables every
+    skip (bounds forced -inf) — the bitwise-equality reference for the
+    screening tests and the A/B baseline on hardware.  ``with_stats``
+    appends a (3,) vector of run fractions — pass-A subtiles admitted by
+    the seed alone (an upper bound on actual pass-A runs: the in-kernel
+    running bracket only tightens it), pass-B weight-work subtiles, and
+    pass-B stack-dot subtiles — each an exact XLA replication of the
+    kernels' own skip compares, for benchmark MXU-duty accounting.
+    """
+    B, F = d.shape
+    Mp = mT.shape[1]
+    Gp = G.shape[1]
+    nb, nm = B // tb, Mp // tm
+    nsub = tm // sm
+    a1 = 0.5 * F - 1.0
+    c0 = 2.0 * a1
+    norm = float(_sp_gammaln(0.5 * F) + _LOG_2 * 0.5 * F)
+
+    d, de, mT, meT, G, bounds, seed, inv_operm = _screen_prep(
+        d, de, mT, meT, G, Mp - m_pad, sm, n_anchor, c0, ignore_model_err)
+    if run_all:
+        bounds = jnp.full_like(bounds, -jnp.inf)
+    # Kernel layout (nm, nsub, B): a contiguous reshape of the (S, B)
+    # lane-oriented bounds.  The (1, nsub, tb) block is Mosaic-legal
+    # (dim-1 block equals the array dim; tb is 128-divisible or the
+    # full batch), per-subtile rows read as (tb,) lane vectors, and
+    # T(8,128) tiling pads only nsub -> 8 (not the 32x a (…, nsub)
+    # minor dim costs).
+    bounds_k = bounds.reshape(nm, nsub, B)
+
+    data_spec = pl.BlockSpec((tb, F), lambda i, j: (i, 0))
+    model_spec = pl.BlockSpec((F, tm), lambda i, j: (0, j))
+    stat_spec = pl.BlockSpec((tb, 1), lambda i, j: (i, 0))
+    row_spec = pl.BlockSpec((1, tb), lambda i, j: (0, i))
+    bound_spec = pl.BlockSpec((1, nsub, tb), lambda i, j: (j, 0, i))
+    G_spec = pl.BlockSpec((tm, Gp), lambda i, j: (j, 0))
+    g_args, g_specs = _g_operands(G, g_split, G_spec)
+    params = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "arbitrary"))
+
+    # Seed refinement: each object block's best-bounded model tile (from
+    # the bounds themselves — no gathers, no searchsorted).
+    bmin = bounds.reshape(-1, nb, tb).min(axis=2)            # (S, nb)
+    start_tiles = (jnp.argmin(bmin, axis=0) // nsub).astype(jnp.int32)
+    seed_w = pl.pallas_call(
+        _make_seed_kernel(F, ignore_model_err, c0),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec((tb, F), lambda i, s: (i, 0)),
+                pl.BlockSpec((tb, F), lambda i, s: (i, 0)),
+                pl.BlockSpec((F, tm), lambda i, s: (0, s[i])),
+                pl.BlockSpec((F, tm), lambda i, s: (0, s[i])),
+            ],
+            out_specs=pl.BlockSpec((tb, 1), lambda i, s: (i, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, 1), jnp.float32),
+        interpret=interpret,
+    )(start_tiles, d, de, mT, meT)
+    seed = jnp.minimum(seed, seed_w.reshape(1, B))
+
+    below, above = pl.pallas_call(
+        _make_chi2max_screened_kernel(F, ignore_model_err, c0, nsub, sm),
+        grid=(nb, nm),
+        in_specs=[data_spec, data_spec, model_spec, model_spec,
+                  bound_spec, row_spec],
+        out_specs=(stat_spec, stat_spec),
+        out_shape=(jax.ShapeDtypeStruct((B, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((B, 1), jnp.float32)),
+        compiler_params=params,
+        interpret=interpret,
+    )(d, de, mT, meT, bounds_k, seed)
+
+    def lnl_of(c):
+        safe = jnp.maximum(c, 1e-30)
+        return (a1 * jnp.log(safe) if a1 != 0.0 else 0.0) - 0.5 * c - norm
+
+    lmap = jnp.maximum(jnp.where(below >= 0.0, lnl_of(below), -jnp.inf),
+                       jnp.where(jnp.isfinite(above), lnl_of(above),
+                                 -jnp.inf))  # (B, 1)
+    if a1 > _A1_NOLOG_MAX:
+        shift = lmap + norm
+    else:
+        lnl_clamp = float((a1 * np.log(_CHI2_CLAMP) if a1 else 0.0)
+                          - 0.5 * _CHI2_CLAMP - norm)
+        shift = jnp.maximum(lmap, lnl_clamp) + norm
+    log_thresh = None if wt_thresh is None else float(np.log(wt_thresh))
+
+    # Per-row chi^2 cuts for pass B, in the kernel's own weight
+    # convention ln w = f(c) - shift, f(c) = a1 ln c - c/2 (see
+    # _chi2_upper_root: both are conservative upper roots of the
+    # unimodal f, so no skip can drop a nonzero contribution).
+    #  - cut_uf: weights are EXACTLY 0.0 in f32 past it (ln w <= -104.2
+    #    < ln(2^-150) — exp underflows to zero and the power factor is
+    #    already inside f);
+    #  - cut_dot: weights fail the kernel's w > wt_thresh compare past
+    #    it (the per-pair threshold would zero them before the dot).
+    # In the no-log form chi2 clamps at _CHI2_CLAMP and w is CONSTANT
+    # past the clamp, so a root that does not clear the clamp (the
+    # floored-shift all-outlier quirk, where w(clamp) stays live) must
+    # never skip -> cut +inf.  For f decreasing past c0 this check also
+    # certifies the c > clamp region whenever the root DOES clear it.
+    def cut_of(K):
+        cut = _chi2_upper_root(a1, K, c0)
+        if a1 <= _A1_NOLOG_MAX:
+            cut = jnp.where(cut < _CHI2_CLAMP, cut, jnp.inf)
+        return jnp.where(jnp.isfinite(lmap), cut, jnp.inf)
+
+    cut_uf = cut_of(shift - 104.2).reshape(1, B)      # lane-oriented
+    cut_dot = (cut_of(log_thresh + shift).reshape(1, B)
+               if log_thresh is not None else cut_uf)
+
+    stack_kernel = _make_chi2stack_screened_kernel(
+        F, ignore_model_err, a1, log_thresh, nsub, sm, ng=len(g_args))
+    pdf, s = pl.pallas_call(
+        stack_kernel,
+        grid=(nb, nm),
+        in_specs=[data_spec, data_spec, model_spec, model_spec,
+                  bound_spec, row_spec, row_spec, *g_specs, stat_spec],
+        out_specs=(pl.BlockSpec((tb, Gp), lambda i, j: (i, 0)), stat_spec),
+        out_shape=(jax.ShapeDtypeStruct((B, Gp), jnp.float32),
+                   jax.ShapeDtypeStruct((B, 1), jnp.float32)),
+        compiler_params=params,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * Mp * (Gp + 4 * F),
+            bytes_accessed=(Mp * Gp + 2 * Mp * F) * 8 + B * Gp * 4,
+            transcendentals=B * Mp),
+        interpret=interpret,
+    )(d, de, mT, meT, bounds_k, cut_uf, cut_dot, *g_args, shift)
+
+    if a1 <= _A1_NOLOG_MAX and m_pad:
+        pw_c = _half_pow(jnp.asarray(_CHI2_CLAMP, jnp.float32), a1)
+        w_pad = jnp.exp(-0.5 * _CHI2_CLAMP - shift)
+        if pw_c is not None:
+            w_pad = pw_c * w_pad
+        s = jnp.maximum(s - m_pad * w_pad, 0.0)
+    levid = jnp.where(s > 0, jnp.log(jnp.maximum(s, 1e-30)) + lmap,
+                      -jnp.inf)
+    pdf = jnp.where(s > 0, pdf * jnp.exp(lmap - levid), 0.0)
+    # Undo the object locality sort (model-side permutations are
+    # reduction-invariant; rows are fully independent).
+    pdf = jnp.take(pdf, inv_operm, axis=0)
+    lmap_o = jnp.take(lmap[:, 0], inv_operm)
+    levid = jnp.take(levid[:, 0], inv_operm)
+    if not with_stats:
+        return pdf, lmap_o, levid
+
+    def run_frac(cut):
+        hit = (bounds <= cut).reshape(-1, nb, tb).any(axis=2)
+        return jnp.mean(hit.astype(jnp.float32))
+
+    stats = jnp.stack([run_frac(seed), run_frac(cut_uf),
+                       run_frac(cut_dot)])
+    return pdf, lmap_o, levid, stats
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("ignore_model_err", "wt_thresh", "tb", "tm",
@@ -1157,14 +1640,24 @@ def _fused_call_fullmask_dimprior(d, de, mT, meT, G, *, ignore_model_err,
                      "tm", "interpret", "full_mask", "free_scale",
                      "scale_ltol", "scale_max_iter", "chi2_mxu",
                      "cdf_thresh", "cdf_topk", "m_pad", "g_split",
-                     "band_skip"))
+                     "band_skip", "screen", "screen_sub",
+                     "screen_run_all", "screen_stats"))
 def _fused_call(d, de, dm, mT, meT, mmT, valid, G, *, dim_prior,
                 ignore_model_err, wt_thresh, tb, tm, interpret,
                 full_mask=False, free_scale=False, scale_ltol=1e-3,
                 scale_max_iter=100, chi2_mxu=False, cdf_thresh=None,
-                cdf_topk=8, m_pad=0, g_split=False, band_skip=True):
+                cdf_topk=8, m_pad=0, g_split=False, band_skip=True,
+                screen=True, screen_sub=512, screen_run_all=False,
+                screen_stats=False):
     cdf_mode = wt_thresh is None and cdf_thresh is not None
     if full_mask and dim_prior and not free_scale and not cdf_mode:
+        if screen and not chi2_mxu:
+            sm = screen_sub if tm % screen_sub == 0 else tm
+            return _fused_call_fullmask_dimprior_screened(
+                d, de, mT, meT, G, ignore_model_err=ignore_model_err,
+                wt_thresh=wt_thresh, tb=tb, tm=tm, interpret=interpret,
+                m_pad=m_pad, g_split=g_split, sm=sm,
+                run_all=screen_run_all, with_stats=screen_stats)
         return _fused_call_fullmask_dimprior(
             d, de, mT, meT, G, ignore_model_err=ignore_model_err,
             wt_thresh=wt_thresh, tb=tb, tm=tm, interpret=interpret,
@@ -1340,7 +1833,8 @@ def fused_fit_pdf(data, data_err, data_mask, models, models_err,
                   tb=None, tm=None, interpret=None, full_mask=None,
                   scale_ltol=1e-4, scale_max_iter=100, chi2_mxu=False,
                   cdf_topk=8, defer_cdf_check=False, g_split=None,
-                  band_skip=True):
+                  band_skip=True, screen=None, screen_sub=512,
+                  screen_run_all=False, screen_stats=False):
     """Fused fit->PDF for one object batch.
 
     Parameters mirror `ops.logprob` + a row-normalized kernel matrix `G`
@@ -1390,11 +1884,28 @@ def fused_fit_pdf(data, data_err, data_mask, models, models_err,
     grid blocks in the stack dot — bitwise equal to the dense stack up
     to f32 reassociation of the model-tile order, at a fraction of the
     MXU passes (see `_stack_accum_blocks`).
+    ``screen`` (default None -> True) routes the full-mask dim-prior
+    fixed-scale configuration through the SCREENED pipeline (the
+    section comment above `_fused_call_fullmask_dimprior_screened`):
+    locality-sorted objects/models + per-(row, model-subtile) chi^2
+    lower bounds let both passes skip subtiles whose contribution is
+    provably nil — bitwise-equal results to the same kernels with
+    ``screen_run_all=True`` (every skip disabled), and within f32
+    reassociation of the unscreened/banded path.  ``screen=False``
+    restores the banded two-pass path; ``screen_sub`` sets the
+    screening granularity (model columns per skip decision; falls back
+    to ``tm`` when it does not divide it).  The 512 default is a
+    hardware sweep result at the driver shape: each finer level of
+    per-subtile predication costs ~20 ms/batch of Mosaic control
+    overhead, which outweighs the extra skips (512: 201 ms, 256:
+    204 ms, 128: 292 ms at tb=tm=512, B=64Ki, M=100K).
     """
     if interpret is None:
         interpret = not pallas_supported()
     if g_split is None:
         g_split = _default_g_split(interpret)
+    if screen is None:
+        screen = True
     # Host-side full-mask detection (skips all mask/Ndim work in-kernel);
     # only attempted on host arrays — device round-trips are expensive.
     # Callers that know can pass `full_mask` explicitly.
@@ -1468,7 +1979,15 @@ def fused_fit_pdf(data, data_err, data_mask, models, models_err,
         scale_max_iter=int(scale_max_iter), chi2_mxu=bool(chi2_mxu),
         cdf_thresh=(None if cdf_thresh is None else float(cdf_thresh)),
         cdf_topk=int(cdf_topk), m_pad=Mp - M, g_split=bool(g_split),
-        band_skip=bool(band_skip))
+        band_skip=bool(band_skip), screen=bool(screen),
+        screen_sub=int(screen_sub), screen_run_all=bool(screen_run_all),
+        screen_stats=bool(screen_stats))
+    stats = None
+    if screen_stats:
+        if len(out) != 4:
+            raise ValueError("screen_stats=True requires the screened "
+                             "fullmask dim-prior fixed-scale route")
+        out, stats = out[:3], out[3]
     cdf_ok = None
     if len(out) == 4:
         pdf, lmap, levid, okc = out
@@ -1497,4 +2016,6 @@ def fused_fit_pdf(data, data_err, data_mask, models, models_err,
         if cdf_ok is None:
             cdf_ok = jnp.asarray(True)
         return pdf, lmap, levid, cdf_ok
+    if stats is not None:
+        return pdf, lmap, levid, stats
     return pdf, lmap, levid

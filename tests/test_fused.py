@@ -87,11 +87,13 @@ def test_fused_no_threshold(problem):
                                atol=1e-5)
 
 
+@pytest.mark.parametrize("screen", [True, False])
 @pytest.mark.parametrize("wt_thresh", [1e-3, None])
 @pytest.mark.parametrize("nfilt", [2, 5, 8])
-def test_fused_fullmask_fast_path(nfilt, wt_thresh):
-    """All-ones masks engage the no-log chi2-domain kernels; results must
-    still match the XLA path (including the padding sentinels)."""
+def test_fused_fullmask_fast_path(nfilt, wt_thresh, screen):
+    """All-ones masks engage the no-log chi2-domain kernels (screened by
+    default, banded with screen=False); results must still match the
+    XLA path (including the padding sentinels)."""
     rng = np.random.default_rng(23)
     B, M, Ngrid = 24, 300, 101
     m = rng.uniform(1, 10, (M, nfilt)).astype(np.float32)
@@ -106,7 +108,7 @@ def test_fused_fullmask_fast_path(nfilt, wt_thresh):
         np.float32)
     pdf, lmap, levid = fused_fit_pdf(d, de, dm, m, me, mm, G, tb=8,
                                      tm=128, wt_thresh=wt_thresh,
-                                     interpret=True)
+                                     screen=screen, interpret=True)
     want_pdf, want_lmap, want_levid = xla_reference(
         d, de, dm, m, me, mm, G, wt_thresh=wt_thresh)
     np.testing.assert_allclose(np.asarray(lmap), want_lmap, rtol=2e-5,
@@ -376,8 +378,10 @@ def test_g_split_high_emulation_matches_plain(problem):
     ones_d, ones_m = np.ones_like(dm), np.ones_like(mm)
 
     cases = [
-        # full-mask dim-prior -> chi2-domain stack kernel
+        # full-mask dim-prior -> screened chi2-domain stack kernel
         dict(full_mask=True, wt_thresh=1e-3),
+        # ... and the banded (unscreened) chi2-domain stack kernel
+        dict(full_mask=True, wt_thresh=1e-3, screen=False),
         # general masked two-pass -> stack kernel
         dict(full_mask=False, wt_thresh=1e-3),
         # flash-style one-pass
@@ -595,6 +599,104 @@ def test_fullmask_all_clamped_outliers_keep_gof_parity():
 
 
 @pytest.mark.parametrize("wt_thresh", [1e-3, None])
+def test_screened_skips_are_bitwise_exact(problem, wt_thresh):
+    """The screened fullmask pipeline's skips must be EXACT: identical
+    kernels with every skip disabled (screen_run_all=True: bounds forced
+    -inf so all subtiles run) must produce bitwise-equal pdf/lmap/levid.
+    This is the core screening guarantee — a skipped pass-A subtile
+    provably cannot move the chi2 brackets, a skipped pass-B subtile's
+    weights all underflow to exactly 0.0, and a skipped stack dot's
+    weights all fail the kernel's own threshold compare."""
+    d, de, dm, m, me, mm, G = problem
+    dm, mm = np.ones_like(dm), np.ones_like(mm)
+    kw = dict(tb=8, tm=128, interpret=True, wt_thresh=wt_thresh,
+              full_mask=True)
+    scr = fused_fit_pdf(d, de, dm, m, me, mm, G, screen=True, **kw)
+    ra = fused_fit_pdf(d, de, dm, m, me, mm, G, screen=True,
+                       screen_run_all=True, **kw)
+    for a, b, name in zip(scr, ra, ("pdf", "lmap", "levid")):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=name)
+    # ... and the screened results match the banded/unscreened path to
+    # f32 reassociation (the model/object permutations are the only
+    # difference) and the XLA oracle at the standard bounds.
+    old = fused_fit_pdf(d, de, dm, m, me, mm, G, screen=False, **kw)
+    np.testing.assert_array_equal(np.asarray(scr[1]), np.asarray(old[1]))
+    np.testing.assert_allclose(np.asarray(scr[2]), np.asarray(old[2]),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(scr[0]), np.asarray(old[0]),
+                               rtol=1e-5, atol=1e-7)
+    want_pdf, want_lmap, want_levid = xla_reference(
+        d, de, dm, m, me, mm, G, wt_thresh=wt_thresh)
+    np.testing.assert_allclose(np.asarray(scr[1]), want_lmap, rtol=2e-5,
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(scr[2]), want_levid, rtol=2e-5,
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(scr[0]), want_pdf, rtol=2e-3,
+                               atol=2e-5)
+
+
+def test_screened_stats_and_edge_rows():
+    """screen_stats returns the three run fractions (exact replications
+    of the kernels' skip compares); all-clamped outlier rows (floored
+    shift — the uniform-PDF quirk) must keep their skips exact and their
+    GOF parity, including the sentinel-pad s-correction."""
+    rng = np.random.default_rng(1)
+    B, M, F, Ng = 8, 3, 3, 33
+    m = rng.uniform(1, 2, (M, F)).astype(np.float32)
+    d = np.full((B, F), 1e6, np.float32)
+    de = np.full((B, F), 1.0, np.float32)
+    G = np.abs(rng.normal(size=(M, Ng))).astype(np.float32)
+    G /= G.sum(1, keepdims=True)
+    kw = dict(tb=8, tm=128, interpret=True, full_mask=True,
+              ignore_model_err=True)
+    out = fused_fit_pdf(d, de, np.ones_like(d), m, np.zeros_like(m),
+                        np.ones_like(m), G, screen=True,
+                        screen_stats=True, **kw)
+    assert len(out) == 4
+    stats = np.asarray(out[3])
+    assert stats.shape == (3,)
+    # All-clamped rows live past the no-log clamp: the underflow and
+    # dot cuts must be +inf there (w(clamp) stays live), so every
+    # pass-B subtile runs.
+    np.testing.assert_array_equal(stats[1:], 1.0)
+    ra = fused_fit_pdf(d, de, np.ones_like(d), m, np.zeros_like(m),
+                       np.ones_like(m), G, screen=True,
+                       screen_run_all=True, **kw)
+    for a, b in zip(out[:3], ra):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    from frankenz_tpu.ops import likelihood as L
+    res = L.logprob(d, de, np.ones_like(d), m, np.zeros_like(m),
+                    np.ones_like(m), ignore_model_err=True)
+    lm = np.float32(np.asarray(res.lnprob.max(1)))
+    lv = np.float32(np.asarray(
+        jax.scipy.special.logsumexp(res.lnprob, axis=1)))
+    np.testing.assert_array_equal(np.float32(np.asarray(out[1])), lm)
+    np.testing.assert_array_equal(np.float32(np.asarray(out[2])), lv)
+
+
+def test_screened_wide_filters_logform_bitwise():
+    """F=20 (a1 > 8.5) routes the screened pass B through the log-form
+    weight; skips must stay bitwise-exact there too."""
+    rng = np.random.default_rng(0)
+    B, M, F, Ng = 8, 300, 20, 33
+    m = rng.uniform(1, 10, (M, F)).astype(np.float32)
+    me = (0.05 * m).astype(np.float32)
+    d = (m[rng.integers(0, M, B)]
+         + rng.normal(0, .3, (B, F))).astype(np.float32)
+    de = np.full((B, F), .3, np.float32)
+    G = np.abs(rng.normal(size=(M, Ng))).astype(np.float32)
+    G /= G.sum(1, keepdims=True)
+    kw = dict(tb=8, tm=128, interpret=True, full_mask=True)
+    scr = fused_fit_pdf(d, de, np.ones_like(d), m, me, np.ones_like(m),
+                        G, screen=True, **kw)
+    ra = fused_fit_pdf(d, de, np.ones_like(d), m, me, np.ones_like(m),
+                       G, screen=True, screen_run_all=True, **kw)
+    for a, b in zip(scr, ra):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("wt_thresh", [1e-3, None])
 def test_fullmask_banded_model_chunking(monkeypatch, wt_thresh):
     """Models split into >1 chunk through the fullmask banded path (the
     _NM_SMEM_MAX ceiling, hit for real past ~1M models at tm=512): pass
@@ -617,7 +719,7 @@ def test_fullmask_banded_model_chunking(monkeypatch, wt_thresh):
         np.float32)
     pdf, lmap, levid = fused_fit_pdf(d, de, dm, m, me, mm, G, tb=8,
                                      tm=128, wt_thresh=wt_thresh,
-                                     interpret=True)
+                                     screen=False, interpret=True)
     want_pdf, want_lmap, want_levid = xla_reference(
         d, de, dm, m, me, mm, G, wt_thresh=wt_thresh)
     np.testing.assert_allclose(np.asarray(lmap), want_lmap, rtol=2e-5,
@@ -630,7 +732,7 @@ def test_fullmask_banded_model_chunking(monkeypatch, wt_thresh):
     # boundary) separates them.
     pdf_d, lmap_d, levid_d = fused_fit_pdf(d, de, dm, m, me, mm, G, tb=8,
                                            tm=128, wt_thresh=wt_thresh,
-                                           band_skip=False,
+                                           band_skip=False, screen=False,
                                            interpret=True)
     np.testing.assert_array_equal(np.asarray(lmap), np.asarray(lmap_d))
     np.testing.assert_allclose(np.asarray(levid), np.asarray(levid_d),

@@ -98,8 +98,12 @@ def xla_ref(d, de, dm, m, me, mm, G, *, dim_prior, ignore_model_err,
 CASES = [
     # (name, F, full_mask, regime, kwargs,
     #  tol (gof_rt, gof_at, pdf_rt, pdf_at))
+    # Fullmask fixed-scale dim-prior routes the SCREENED pipeline by
+    # default (round 5); screen=False pins the banded two-pass kernels.
     ("fullmask-nolog", 5, True, "normal",
      dict(), (2e-4, 2e-4, 2e-3, 3e-5)),
+    ("fullmask-nolog-banded", 5, True, "normal",
+     dict(screen=False), (2e-4, 2e-4, 2e-3, 3e-5)),
     ("fullmask-nolog-outlier", 5, True, "outlier",
      dict(), (2e-4, 2e-4, 2e-3, 3e-5)),
     ("fullmask-logform-F20", 20, True, "normal",
@@ -122,10 +126,11 @@ for name, F, full_mask, regime, kw, (rt_g, at_g, rt_p, at_p) in CASES:
     kwargs = dict(wt_thresh=1e-3, cdf_thresh=None, dim_prior=True,
                   ignore_model_err=False, free_scale=False)
     kwargs.update(kw)
+    screen = kwargs.pop("screen", None)  # fused-only knob
     t0 = time.time()
     pdf, lmap, levid = fused_fit_pdf(
         d, de, dm, m, me, mm, G, full_mask=full_mask,
-        scale_ltol=1e-4, **kwargs)
+        scale_ltol=1e-4, screen=screen, **kwargs)
     pdf, lmap, levid = jax.device_get((pdf, lmap, levid))
     t1 = time.time()
     want_pdf, want_lmap, want_levid = xla_ref(
@@ -181,21 +186,53 @@ for name, F, full_mask, regime, kw, (rt_g, at_g, rt_p, at_p) in CASES:
     print(f"{name}: PDF FAIL even vs {key} envelope "
           f"({(~inside).mean():.3%} outside)\n{msg[:300]}", flush=True)
 
+# ---- screened-pipeline skip exactness ON HARDWARE ----
+# The CPU suite proves screened == screen_run_all bitwise in interpret
+# mode; Mosaic predication/underflow semantics must reproduce it on the
+# chip (pl.when + exact-zero f32 underflow + pl.reciprocal chains).
+from frankenz_tpu.ops import fused as fz
+from frankenz_tpu.models import knn as knn_mod
+
+for sname, F_s, regime_s, skw in [
+        ("screened-bitwise", 5, "normal", {}),
+        ("screened-bitwise-outlier", 5, "outlier", {}),
+        ("screened-bitwise-nothresh", 5, "normal",
+         dict(wt_thresh=None)),
+        ("screened-bitwise-F20", 20, "normal", {})]:
+    d, de, dm, m, me, mm, G = make(F_s, True, regime_s)
+    kws = dict(full_mask=True, tb=256, tm=512)
+    kws.update(skw)
+    t0 = time.time()
+    scr = jax.device_get(fused_fit_pdf(d, de, dm, m, me, mm, G,
+                                       screen=True, **kws))
+    ra = jax.device_get(fused_fit_pdf(d, de, dm, m, me, mm, G,
+                                      screen=True, screen_run_all=True,
+                                      **kws))
+    t1 = time.time()
+    try:
+        for a, b, part in zip(scr, ra, ("pdf", "lmap", "levid")):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=f"{sname} {part}")
+        print(f"{sname}: OK (bitwise vs run-all; {t1-t0:.1f}s)",
+              flush=True)
+    except AssertionError as e:
+        fails += 1
+        print(f"{sname}: FAIL\n{str(e)[:300]}", flush=True)
+
 # ---- chunked large-model paths (forced-small ceilings on real HW) ----
 # (a) banded fullmask model-axis chunking (_NM_SMEM_MAX, ops/fused.py):
 # vs the unchunked kernel only f32 reassociation at chunk boundaries may
 # differ; lmap must be bitwise (max/min combine exactly).
-from frankenz_tpu.ops import fused as fz
-from frankenz_tpu.models import knn as knn_mod
-
 d, de, dm, m, me, mm, G = make(5, True, "normal")
 base = jax.device_get(fused_fit_pdf(d, de, dm, m, me, mm, G,
-                                    full_mask=True, tb=256, tm=512))
+                                    full_mask=True, tb=256, tm=512,
+                                    screen=False))
 fz._NM_SMEM_MAX = 2  # nm = 2048/512 = 4 tiles -> 2 chunks
 fz._fused_call_fullmask_dimprior.clear_cache()
 t0 = time.time()
 chunked = jax.device_get(fused_fit_pdf(d, de, dm, m, me, mm, G,
-                                       full_mask=True, tb=256, tm=512))
+                                       full_mask=True, tb=256, tm=512,
+                                       screen=False))
 t1 = time.time()
 fz._NM_SMEM_MAX = 2048
 fz._fused_call_fullmask_dimprior.clear_cache()
