@@ -270,16 +270,27 @@ class BruteForce:
     ----------
     models, models_err, models_mask : array_like of shape (Nmodel, Nfilt)
         Model photometry, errors, and 0/1 observation mask (kept on device).
+    full_mask : bool, optional
+        Declare the model mask all-ones to engage the fullmask
+        fast-path kernels (screened/banded chi2-domain stacks).  When
+        omitted it is auto-detected from HOST inputs only — a
+        `jax.Array` mask is NOT read back (device readbacks over the
+        remote relay are slow), so pass `full_mask=True` explicitly if
+        you construct with device arrays and know the mask is trivial.
     """
 
-    def __init__(self, models, models_err, models_mask):
+    def __init__(self, models, models_err, models_mask, full_mask=None):
         self.models = jnp.asarray(models)
         self.models_err = jnp.asarray(models_err)
         self.models_mask = jnp.asarray(models_mask)
         # Full-mask detection for the Pallas fast path, done once on the
-        # host inputs (device readbacks over a remote relay are slow).
-        self._full_mask = bool(np.all(np.asarray(models_mask) == 1)) \
-            if not isinstance(models_mask, jax.Array) else False
+        # host inputs (device readbacks over a remote relay are slow) —
+        # overridable for device-array ctor inputs (see docstring).
+        if full_mask is not None:
+            self._full_mask = bool(full_mask)
+        else:
+            self._full_mask = bool(np.all(np.asarray(models_mask) == 1)) \
+                if not isinstance(models_mask, jax.Array) else False
         self.NMODEL, self.NDIM = self.models.shape
         self.NDATA = None
         self.fit_lnprior = None

@@ -289,3 +289,32 @@ def test_stream_drain_budget_preserves_results(problem, monkeypatch):
         {}, 1e-3, None, 16, True, False)
     for a, b in zip(base_x[0:1] + base_x[1], full_x[0:1] + full_x[1]):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_full_mask_kwarg_for_device_arrays(problem):
+    """Device-array masks skip host auto-detection (no relay readback);
+    the explicit ctor kwarg restores the fullmask fast path and its
+    results match the host-detected construction exactly."""
+    import jax.numpy as jnp
+
+    host = BruteForce(problem["models"], problem["models_err"],
+                      problem["models_mask"])
+    assert host._full_mask is True
+    dev = BruteForce(jnp.asarray(problem["models"]),
+                     jnp.asarray(problem["models_err"]),
+                     jnp.asarray(problem["models_mask"]))
+    assert dev._full_mask is False  # documented: no device readback
+    dev_kw = BruteForce(jnp.asarray(problem["models"]),
+                        jnp.asarray(problem["models_err"]),
+                        jnp.asarray(problem["models_mask"]),
+                        full_mask=True)
+    assert dev_kw._full_mask is True
+    kw = dict(label_grid=np.linspace(0, 3, 101), verbose=False,
+              use_fused=True)
+    a = host.fit_predict(problem["data"], problem["data_err"],
+                         problem["data_mask"], problem["zgrid"],
+                         problem["zerr"], **kw)
+    b = dev_kw.fit_predict(problem["data"], problem["data_err"],
+                           problem["data_mask"], problem["zgrid"],
+                           problem["zerr"], **kw)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
