@@ -57,6 +57,19 @@ _BIG = np.int32(1 << 30)
 # a subset of the union of per-chunk top-k's; concatenating chunks in
 # index order preserves lax.top_k's lowest-index tie-breaking).
 _TOPK_CHUNK = 1 << 20
+# ... and each chunk's materialized (B, cols) f32 distance block must
+# also fit HBM alongside the model features: cap it in BYTES and derive
+# the chunk width from the batch (a 4096-row batch over a 1M-column
+# chunk is 16 GB — measured OOM on the 16 GB v5e at M=1.2M).
+_TOPK_DIST_BYTES = 2 << 30
+
+
+def _topk_chunk_cols(nrows, k):
+    """Exact-search chunk width: <= _TOPK_CHUNK columns per top_k AND
+    <= _TOPK_DIST_BYTES per materialized distance block, never below k
+    (the merge needs full per-chunk top-k's), lane-aligned."""
+    by_bytes = _TOPK_DIST_BYTES // (4 * max(int(nrows), 1)) // 128 * 128
+    return min(_TOPK_CHUNK, max(int(k), by_bytes))
 
 
 @functools.partial(jax.jit, static_argnames=("lprob_spec",))
@@ -145,17 +158,19 @@ def _search_jit(q, feats, feats_sq, *, K, k, lp_norm, dbound, approx):
     def per_ensemble(carry, ens):
         Y, Ysq = ens
         M = Y.shape[0]
+        chunk = _topk_chunk_cols(q.shape[0], k)
         if approx:
             neg, idx = jax.lax.approx_max_k(-dist(Y, Ysq), k,
                                             recall_target=0.95)
-        elif M > _TOPK_CHUNK and _TOPK_CHUNK >= k:
+        elif M > chunk and chunk >= k:
             # Chunked exact search: neither the (B, M) distance block
-            # nor any single top_k ever sees more than _TOPK_CHUNK
-            # columns; the merge top_k over the (B, nchunk*k)
-            # candidates is exact (see _TOPK_CHUNK).
+            # nor any single top_k ever sees more than `chunk` columns
+            # (column AND byte ceilings, _topk_chunk_cols); the merge
+            # top_k over the (B, nchunk*k) candidates is exact (see
+            # _TOPK_CHUNK).
             negs, idxs = [], []
-            for lo in range(0, M, _TOPK_CHUNK):
-                hi = min(M, lo + _TOPK_CHUNK)
+            for lo in range(0, M, chunk):
+                hi = min(M, lo + chunk)
                 neg_c, idx_c = jax.lax.top_k(
                     -dist(Y[lo:hi], Ysq[lo:hi]), k)
                 negs.append(neg_c)

@@ -14,6 +14,17 @@ plus a segment-sum; the Dirichlet and multinomial draws and the
 closed-form log-pmf/pdf evaluations (gammaln-based, replacing
 scipy.stats) all run inside a single `lax.scan` over (Niter x thin)
 sweeps, with optional vmapped parallel chains.
+
+Scan-vs-mega-kernel decision (measured on v5e, round 5): per-sweep
+wall time SCALES with Nobs — 185 us at 2K objects, 589 us at 20K,
+4.3 ms at 200K, 22.9 ms at 1M, with obj-draws/s saturating at ~4.4e7
+from 20K up — so at catalog scale the Gumbel-max categorical is
+compute/HBM-bound, not scan-dispatch-bound, and the scan is the right
+design (a Pallas mega-kernel would only recover the ~100-200 us/sweep
+dispatch floor that dominates below ~5K objects, where absolute run
+times are already trivial).  Contrast the population sampler, whose
+per-proposal state is O(Nbins) only: there the dispatch floor WAS the
+cost and the mega-kernel pays (samplers/population.py).
 """
 
 from __future__ import annotations

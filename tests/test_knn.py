@@ -243,3 +243,40 @@ def test_search_chunked_respects_distance_bound(monkeypatch):
                     want.append(int(i))
         got = idx[b][valid[b]].tolist()
         assert got == want
+
+
+def test_topk_chunk_cols_byte_ceiling(monkeypatch):
+    """The exact-search chunk width honors BOTH ceilings: columns
+    (_TOPK_CHUNK, remote-compiler limit) and bytes (_TOPK_DIST_BYTES /
+    batch rows — a 4096-row batch over a 1M-column chunk is a 16 GB
+    distance block, the measured v5e OOM at M=1.2M), never below k."""
+    from frankenz_tpu.models import knn as knn_mod
+
+    # 4096 rows x 2 GiB budget -> 131072 columns, lane-aligned.
+    assert knn_mod._topk_chunk_cols(4096, 20) == (2 << 30) // (4 * 4096)
+    # Small batches are column-limited, not byte-limited.
+    assert knn_mod._topk_chunk_cols(8, 20) == knn_mod._TOPK_CHUNK
+    # Gigantic batches still get at least k columns.
+    assert knn_mod._topk_chunk_cols(1 << 30, 20) == 20
+    # The byte ceiling engages the chunked path end-to-end: same oracle
+    # as the column-ceiling test, forced via _TOPK_DIST_BYTES.
+    monkeypatch.setattr(knn_mod, "_TOPK_DIST_BYTES", 8 * 4 * 130)
+    assert knn_mod._topk_chunk_cols(8, 6) == 128  # 317 cols -> 3 chunks
+    rng = np.random.default_rng(3)
+    B, M, Nf, K, k = 8, 317, 4, 2, 6
+    feats = rng.integers(0, 8, (K, M, Nf)).astype(np.float32)
+    q = rng.integers(0, 8, (B, Nf)).astype(np.float32)
+    fsq = (feats.astype(np.float64) ** 2).sum(-1).astype(np.float32)
+    idx, valid, nidx = knn_mod._search_jit(
+        jnp.asarray(q), jnp.asarray(feats), jnp.asarray(fsq),
+        K=K, k=k, lp_norm=2, dbound=np.inf, approx=False)
+    idx, valid = np.asarray(idx), np.asarray(valid)
+    for b in range(B):
+        seen, want = set(), []
+        for kk in range(K):
+            d = ((q[b] - feats[kk]) ** 2).sum(axis=1)
+            for i in np.argsort(d, kind="stable")[:k]:
+                if int(i) not in seen:
+                    seen.add(int(i))
+                    want.append(int(i))
+        assert idx[b][valid[b]].tolist() == want
