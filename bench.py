@@ -360,12 +360,17 @@ def main(defaults=(1_000_000, 100_000, 5, 301, 65536),
     band_skip = os.environ.get("BENCH_BAND", "1") == "1"
     # BENCH_SCREEN=0 pins the banded two-pass kernels (the pre-round-5
     # path); default runs the screened pipeline (exact subtile pruning).
+    # BENCH_ABSORB=0 / BENCH_HOMEFIRST=0 disable the pass-B absorption
+    # cut / the per-block home-first tile visit order for A/B runs.
     screen = os.environ.get("BENCH_SCREEN", "1") == "1"
+    absorb = os.environ.get("BENCH_ABSORB", "1") == "1"
+    home_first = os.environ.get("BENCH_HOMEFIRST", "1") == "1"
     if use_pallas:
         def step(d, de, dm, G):
             pdf, lmap, levid = _fz.fused_fit_pdf(
                 d, de, dm, m, me, mm, G, wt_thresh=1e-3, full_mask=True,
-                tb=tb, tm=tm, band_skip=band_skip, screen=screen)
+                tb=tb, tm=tm, band_skip=band_skip, screen=screen,
+                screen_absorb=absorb, screen_home_first=home_first)
             norm = jnp.sum(pdf, axis=1, keepdims=True)
             pdf = jnp.where(norm > 0, pdf / jnp.where(norm > 0, norm, 1.0),
                             0.0)
@@ -504,7 +509,8 @@ def main(defaults=(1_000_000, 100_000, 5, 301, 65536),
                 _, _, _, st = _fz.fused_fit_pdf(
                     d_all[:batch], de_all[:batch], dm_all[:batch], m, me,
                     mm, G, wt_thresh=1e-3, full_mask=True, tb=tb, tm=tm,
-                    screen=True, screen_stats=True)
+                    screen=True, screen_stats=True, screen_absorb=absorb,
+                    screen_home_first=home_first)
                 st = jax.device_get(st)
                 screen_fracs = [round(float(x), 4) for x in st]
                 products = float(st[2]) * mp * gp

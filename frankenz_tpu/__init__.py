@@ -30,6 +30,30 @@ import tempfile as _tempfile
 import jax as _jax
 
 
+def _host_tag():
+    """Short fingerprint of the host CPU's feature set.
+
+    /proc/cpuinfo's `flags` line captures exactly what XLA:CPU AOT
+    compilation specializes on; hashing it (plus the machine arch)
+    keys the persistent cache per CPU type so entries never migrate
+    across heterogeneous hosts.
+    """
+    import hashlib
+    import platform
+
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    flags = line.strip()
+                    break
+    except OSError:
+        pass
+    raw = (platform.machine() + " " + flags).encode()
+    return hashlib.sha1(raw).hexdigest()[:10]
+
+
 def _default_compilation_cache():
     """Enable JAX's persistent compilation cache when the user hasn't.
 
@@ -46,12 +70,28 @@ def _default_compilation_cache():
     try:
         if _jax.config.jax_compilation_cache_dir is not None:
             return
+        # CPU-only processes get NO persistent cache: this jaxlib's
+        # XLA:CPU AOT serialization is machine-specialized outside the
+        # cache key (cross-machine reload SIGSEGVs in cpu_aot_loader)
+        # and aborts outright serializing the largest CPU executables.
+        # The cache's whole value here is skipping the REMOTE (TPU
+        # relay) compiles, which serialize fine.
+        plats = (_jax.config.jax_platforms
+                 or _os.environ.get("JAX_PLATFORMS") or "")
+        if plats.strip().lower() == "cpu":
+            return
         # Per-user path (uid suffix) created 0o700: on shared hosts a
         # world-writable fixed tempdir path would collide across users
         # and let any local user pre-seed the compiled-program cache.
+        # The host CPU fingerprint is part of the path: XLA:CPU AOT
+        # executables bake in the compile host's vector features, and
+        # this jaxlib's cache key does NOT — reloading an entry written
+        # on a different machine SIGSEGVs in cpu_aot_loader (observed:
+        # a round-over-round driver VM change made every suite run
+        # crash inside compilation_cache.get_executable_and_time).
         uid = _os.getuid() if hasattr(_os, "getuid") else "u"
         path = _os.path.join(_tempfile.gettempdir(),
-                             f"frankenz_tpu_jax_cache_{uid}")
+                             f"frankenz_tpu_jax_cache_{uid}_{_host_tag()}")
         _os.makedirs(path, mode=0o700, exist_ok=True)
         if hasattr(_os, "getuid") and _os.stat(path).st_uid != _os.getuid():
             return  # pre-existing dir owned by someone else: don't trust it

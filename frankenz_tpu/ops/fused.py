@@ -968,6 +968,14 @@ _A1_NOLOG_MAX = 8.5
 # back to the dense stack instead (nblk = 0).
 _NM_SMEM_MAX = 2048
 
+# SMEM budget (bytes) for the screened pass-B home-first visit table —
+# a scalar-prefetch operand that lives whole in SMEM (1 MB on v5e; the
+# (128, 1954) table of a 65Ki x 1M run is exactly 1.00 MB and the
+# compile dies "Ran out of memory in memory space smem").  Half the
+# budget leaves room for Mosaic's own scoped scalars; past it the
+# screened pipeline keeps the natural tile order (absorption stays on).
+_VISIT_SMEM_MAX = 512 * 1024
+
 
 def _make_chi2stack_kernel(nfilt, ignore_model_err, a1, log_wt_thresh,
                            mxu=False, ng=1, nblk=0):
@@ -1277,17 +1285,43 @@ def _make_chi2max_screened_kernel(nfilt, ignore_model_err, c0, nsub, sm):
 
 
 def _make_chi2stack_screened_kernel(nfilt, ignore_model_err, a1,
-                                    log_wt_thresh, nsub, sm, ng=1):
+                                    log_wt_thresh, nsub, sm, ng=1,
+                                    absorb=False, prefetch=False):
     """Screened pass B: per model subtile, `cut_uf` gates ALL work (every
     weight underflows to exactly 0.0 past it — skipping adds the same
     nothing), `cut_dot` gates only the stack dot (every weight provably
     below wt_thresh — the per-pair threshold would zero them all).  The
     weight math inside surviving subtiles is the exact
-    `_make_chi2stack_kernel` chain."""
+    `_make_chi2stack_kernel` chain.
+
+    ``absorb=True`` adds the ABSORPTION cut (two more row inputs,
+    `ph` and `cut_abs`): for subtile positions p STRICTLY past `ph`
+    (the last subtile whose bound admits the row's peak chi^2), the
+    running row sum provably already contains the peak weight — f32
+    folds of nonnegatives are monotone nondecreasing and the in-tile
+    tree sum is >= any single term, so s >= w_peak ~ 1 — and a subtile
+    whose weight-sum upper bound is below half an ulp of s folds into
+    `s_ref` as a bitwise NO-OP.  Skipping it is therefore exact, at a
+    cut ~4x tighter in delta-lnl than f32 exp underflow (see
+    `_fused_call_fullmask_dimprior_screened` for the margins).  The
+    dot cut floors the gate so a subtile needed only for the stack dot
+    is never absorption-skipped (with wt_thresh=None, cut_dot ==
+    cut_uf and absorption is exactly neutralized, as required: pdf
+    cells have no s >= 1 floor to absorb against)."""
 
     wthr = None if log_wt_thresh is None else float(np.exp(log_wt_thresh))
 
-    def kernel(d, de, mT, meT, bounds, cut_uf, cut_dot, *rest):
+    def kernel(*args):
+        if prefetch:
+            # Leading scalar-prefetch ref (the per-block tile visit
+            # table) is consumed by the index maps; `j` below is the
+            # VISIT position, which is exactly the coordinate `ph` is
+            # expressed in.
+            args = args[1:]
+        d, de, mT, meT, bounds, cut_uf, cut_dot, *rest = args
+        if absorb:
+            ph, cut_abs = rest[:2]
+            rest = rest[2:]
         g_refs, (shift, pdf_ref, s_ref) = rest[:ng], rest[ng:]
         j = pl.program_id(1)
 
@@ -1325,8 +1359,14 @@ def _make_chi2stack_screened_kernel(nfilt, ignore_model_err, a1,
                 pl.when(jnp.any(bounds[0, si, :]
                                 <= cut_dot[0, :]))(dot_body)
 
-            pl.when(jnp.any(bounds[0, si, :]
-                            <= cut_uf[0, :]))(run_body)
+            if absorb:
+                pf = (j * nsub + si).astype(jnp.float32)
+                run_cut = jnp.maximum(
+                    jnp.where(pf > ph[0, :], cut_abs[0, :], cut_uf[0, :]),
+                    cut_dot[0, :])
+            else:
+                run_cut = cut_uf[0, :]
+            pl.when(jnp.any(bounds[0, si, :] <= run_cut))(run_body)
 
     return kernel
 
@@ -1335,11 +1375,11 @@ def _make_chi2stack_screened_kernel(nfilt, ignore_model_err, a1,
     jax.jit,
     static_argnames=("ignore_model_err", "wt_thresh", "tb", "tm",
                      "interpret", "m_pad", "g_split", "sm", "n_anchor",
-                     "run_all", "with_stats"))
+                     "run_all", "with_stats", "absorb", "home_first"))
 def _fused_call_fullmask_dimprior_screened(
         d, de, mT, meT, G, *, ignore_model_err, wt_thresh, tb, tm,
         interpret, m_pad=0, g_split=False, sm=128, n_anchor=256,
-        run_all=False, with_stats=False):
+        run_all=False, with_stats=False, absorb=True, home_first=True):
     """Screened fullmask + dim-prior pipeline (see the section comment).
 
     ``run_all=True`` keeps the sort/subtile structure but disables every
@@ -1362,15 +1402,20 @@ def _fused_call_fullmask_dimprior_screened(
 
     d, de, mT, meT, G, bounds, seed, inv_operm = _screen_prep(
         d, de, mT, meT, G, Mp - m_pad, sm, n_anchor, c0, ignore_model_err)
-    if run_all:
-        bounds = jnp.full_like(bounds, -jnp.inf)
     # Kernel layout (nm, nsub, B): a contiguous reshape of the (S, B)
     # lane-oriented bounds.  The (1, nsub, tb) block is Mosaic-legal
     # (dim-1 block equals the array dim; tb is 128-divisible or the
     # full batch), per-subtile rows read as (tb,) lane vectors, and
     # T(8,128) tiling pads only nsub -> 8 (not the 32x a (…, nsub)
-    # minor dim costs).
-    bounds_k = bounds.reshape(nm, nsub, B)
+    # minor dim costs).  ``run_all`` forces -inf into the KERNEL
+    # operand only (every gate passes, every subtile runs): all
+    # STRUCTURAL quantities derived from the bounds — the home-first
+    # tile visit order, the seed start tiles, ph, the stats — must be
+    # computed from the REAL bounds so screened and run-all calls
+    # share the exact same accumulation structure (the bitwise
+    # contract compares them).
+    bounds_k = (jnp.full_like(bounds, -jnp.inf) if run_all
+                else bounds).reshape(nm, nsub, B)
 
     data_spec = pl.BlockSpec((tb, F), lambda i, j: (i, 0))
     model_spec = pl.BlockSpec((F, tm), lambda i, j: (0, j))
@@ -1455,23 +1500,115 @@ def _fused_call_fullmask_dimprior_screened(
     cut_dot = (cut_of(log_thresh + shift).reshape(1, B)
                if log_thresh is not None else cut_uf)
 
+    # Absorption cut (see the kernel docstring): a subtile whose
+    # weight-sum upper bound sm * exp(f(bound) - shift) sits below half
+    # an ulp of the running row sum folds into s as a bitwise no-op —
+    # but only once that running sum provably contains the row's peak
+    # weight (w = 1 at the argmax; f32 folds of nonnegatives are
+    # monotone).  `ph` = the LAST subtile position whose bound admits
+    # the argmax chi^2 (bound <= conservative upper root at K = shift
+    # - 0.5 >= chi2*); past it, s >= w_peak >= exp(-eval noise) > 0.5.
+    # delta_abs = ln(sm) (tile-sum factor) + 25 ln 2 (half an ulp of
+    # s >= 0.5, one spare power of two over ulp(1)/2 for tie-to-even)
+    # + 1.0 of kernel-vs-XLA f-eval margin.  Rows with an empty heavy
+    # set (can't happen — bound(p*) <= chi2* — but cheap to guard) and
+    # the no-log clamp/floored-shift rows disable via ph = S / +inf.
+    absorb_args, absorb_specs = (), ()
+    S = bounds.shape[0]
+    posS = jnp.arange(S, dtype=jnp.int32)[:, None]
+    visit = None
+    # The (nb, nm) visit table is a scalar-prefetch operand and lives
+    # whole in SMEM (1 MB total on v5e): at 1M models (nm = 1954,
+    # nb = 128) it is exactly 1.00 MB and the Mosaic compile dies with
+    # "Ran out of memory in memory space smem".  Past half the budget,
+    # fall back to the natural tile order — the absorption cut stays
+    # active (its pre-home half), and screening improves with model
+    # count anyway at these sizes.
+    if home_first and nb * nm * 4 > _VISIT_SMEM_MAX:
+        home_first = False
+    if home_first:
+        # Per-object-block tile VISIT order, ascending per-block tile
+        # bound: each block's best-bounded (peak-holding) tiles are
+        # visited first, so `ph` — the last visit position whose bound
+        # admits a row's argmax chi^2 — lands near 0 for most rows and
+        # the absorption cut applies at nearly every later position
+        # (the natural-order ph splits the Morton ball in half).  Any
+        # per-block visit permutation is exact: run_all shares the
+        # structure bit-for-bit, and the per-row weight sums
+        # reassociate exactly like the Morton model sort already does.
+        tmin = bmin.reshape(nm, nsub, nb).min(axis=1)        # (nm, nb)
+        visit = jnp.argsort(tmin.T, axis=1).astype(jnp.int32)  # (nb, nm)
+        invv = jnp.argsort(visit, axis=1)            # tile -> visit pos
+        vp_sb = (jnp.take(invv, posS[:, 0] // nsub, axis=1) * nsub
+                 + (posS[:, 0] % nsub)[None, :])             # (nb, S)
+        vp_full = jnp.broadcast_to(
+            vp_sb.T[:, :, None], (S, nb, tb)).reshape(S, B)
+    else:
+        vp_full = jnp.broadcast_to(posS, (S, B))
+    if absorb:
+        delta_abs = float(np.log(sm) + 25.0 * np.log(2.0) + 1.0)
+        cut_abs = cut_of(shift - delta_abs).reshape(1, B)
+        cut_heavy = cut_of(shift - 0.5).reshape(1, B)
+        ph = jnp.max(jnp.where(bounds <= cut_heavy, vp_full, -1), axis=0)
+        ph = jnp.where(ph >= 0, ph, S).astype(jnp.float32).reshape(1, B)
+        absorb_args = (ph, cut_abs)
+        absorb_specs = (row_spec, row_spec)
+
     stack_kernel = _make_chi2stack_screened_kernel(
-        F, ignore_model_err, a1, log_thresh, nsub, sm, ng=len(g_args))
-    pdf, s = pl.pallas_call(
-        stack_kernel,
-        grid=(nb, nm),
-        in_specs=[data_spec, data_spec, model_spec, model_spec,
-                  bound_spec, row_spec, row_spec, *g_specs, stat_spec],
-        out_specs=(pl.BlockSpec((tb, Gp), lambda i, j: (i, 0)), stat_spec),
-        out_shape=(jax.ShapeDtypeStruct((B, Gp), jnp.float32),
-                   jax.ShapeDtypeStruct((B, 1), jnp.float32)),
-        compiler_params=params,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * B * Mp * (Gp + 4 * F),
-            bytes_accessed=(Mp * Gp + 2 * Mp * F) * 8 + B * Gp * 4,
-            transcendentals=B * Mp),
-        interpret=interpret,
-    )(d, de, mT, meT, bounds_k, cut_uf, cut_dot, *g_args, shift)
+        F, ignore_model_err, a1, log_thresh, nsub, sm, ng=len(g_args),
+        absorb=absorb, prefetch=home_first)
+    stack_out = (jax.ShapeDtypeStruct((B, Gp), jnp.float32),
+                 jax.ShapeDtypeStruct((B, 1), jnp.float32))
+    stack_cost = pl.CostEstimate(
+        flops=2 * B * Mp * (Gp + 4 * F),
+        bytes_accessed=(Mp * Gp + 2 * Mp * F) * 8 + B * Gp * 4,
+        transcendentals=B * Mp)
+    if home_first:
+        pdf, s = pl.pallas_call(
+            stack_kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(nb, nm),
+                in_specs=[
+                    pl.BlockSpec((tb, F), lambda i, j, v: (i, 0)),
+                    pl.BlockSpec((tb, F), lambda i, j, v: (i, 0)),
+                    pl.BlockSpec((F, tm), lambda i, j, v: (0, v[i, j])),
+                    pl.BlockSpec((F, tm), lambda i, j, v: (0, v[i, j])),
+                    pl.BlockSpec((1, nsub, tb),
+                                 lambda i, j, v: (v[i, j], 0, i)),
+                    pl.BlockSpec((1, tb), lambda i, j, v: (0, i)),
+                    pl.BlockSpec((1, tb), lambda i, j, v: (0, i)),
+                    *([pl.BlockSpec((1, tb), lambda i, j, v: (0, i))]
+                      * len(absorb_args)),
+                    *([pl.BlockSpec((tm, Gp),
+                                    lambda i, j, v: (v[i, j], 0))]
+                      * len(g_args)),
+                    pl.BlockSpec((tb, 1), lambda i, j, v: (i, 0)),
+                ],
+                out_specs=(pl.BlockSpec((tb, Gp), lambda i, j, v: (i, 0)),
+                           pl.BlockSpec((tb, 1), lambda i, j, v: (i, 0))),
+            ),
+            out_shape=stack_out,
+            compiler_params=params,
+            cost_estimate=stack_cost,
+            interpret=interpret,
+        )(visit, d, de, mT, meT, bounds_k, cut_uf, cut_dot, *absorb_args,
+          *g_args, shift)
+    else:
+        pdf, s = pl.pallas_call(
+            stack_kernel,
+            grid=(nb, nm),
+            in_specs=[data_spec, data_spec, model_spec, model_spec,
+                      bound_spec, row_spec, row_spec, *absorb_specs,
+                      *g_specs, stat_spec],
+            out_specs=(pl.BlockSpec((tb, Gp), lambda i, j: (i, 0)),
+                       stat_spec),
+            out_shape=stack_out,
+            compiler_params=params,
+            cost_estimate=stack_cost,
+            interpret=interpret,
+        )(d, de, mT, meT, bounds_k, cut_uf, cut_dot, *absorb_args,
+          *g_args, shift)
 
     if a1 <= _A1_NOLOG_MAX and m_pad:
         pw_c = _half_pow(jnp.asarray(_CHI2_CLAMP, jnp.float32), a1)
@@ -1494,7 +1631,13 @@ def _fused_call_fullmask_dimprior_screened(
         hit = (bounds <= cut).reshape(-1, nb, tb).any(axis=2)
         return jnp.mean(hit.astype(jnp.float32))
 
-    stats = jnp.stack([run_frac(seed), run_frac(cut_uf),
+    if absorb:
+        gate_run = jnp.maximum(
+            jnp.where(vp_full.astype(jnp.float32) > ph, cut_abs, cut_uf),
+            cut_dot)                              # (S, B)
+    else:
+        gate_run = cut_uf
+    stats = jnp.stack([run_frac(seed), run_frac(gate_run),
                        run_frac(cut_dot)])
     return pdf, lmap_o, levid, stats
 
@@ -1641,14 +1784,16 @@ def _fused_call_fullmask_dimprior(d, de, mT, meT, G, *, ignore_model_err,
                      "scale_ltol", "scale_max_iter", "chi2_mxu",
                      "cdf_thresh", "cdf_topk", "m_pad", "g_split",
                      "band_skip", "screen", "screen_sub",
-                     "screen_run_all", "screen_stats"))
+                     "screen_run_all", "screen_stats", "screen_absorb",
+                     "screen_home_first"))
 def _fused_call(d, de, dm, mT, meT, mmT, valid, G, *, dim_prior,
                 ignore_model_err, wt_thresh, tb, tm, interpret,
                 full_mask=False, free_scale=False, scale_ltol=1e-3,
                 scale_max_iter=100, chi2_mxu=False, cdf_thresh=None,
                 cdf_topk=8, m_pad=0, g_split=False, band_skip=True,
                 screen=True, screen_sub=512, screen_run_all=False,
-                screen_stats=False):
+                screen_stats=False, screen_absorb=True,
+                screen_home_first=True):
     cdf_mode = wt_thresh is None and cdf_thresh is not None
     if full_mask and dim_prior and not free_scale and not cdf_mode:
         if screen and not chi2_mxu:
@@ -1657,7 +1802,8 @@ def _fused_call(d, de, dm, mT, meT, mmT, valid, G, *, dim_prior,
                 d, de, mT, meT, G, ignore_model_err=ignore_model_err,
                 wt_thresh=wt_thresh, tb=tb, tm=tm, interpret=interpret,
                 m_pad=m_pad, g_split=g_split, sm=sm,
-                run_all=screen_run_all, with_stats=screen_stats)
+                run_all=screen_run_all, with_stats=screen_stats,
+                absorb=screen_absorb, home_first=screen_home_first)
         return _fused_call_fullmask_dimprior(
             d, de, mT, meT, G, ignore_model_err=ignore_model_err,
             wt_thresh=wt_thresh, tb=tb, tm=tm, interpret=interpret,
@@ -1834,7 +1980,8 @@ def fused_fit_pdf(data, data_err, data_mask, models, models_err,
                   scale_ltol=1e-4, scale_max_iter=100, chi2_mxu=False,
                   cdf_topk=8, defer_cdf_check=False, g_split=None,
                   band_skip=True, screen=None, screen_sub=512,
-                  screen_run_all=False, screen_stats=False):
+                  screen_run_all=False, screen_stats=False,
+                  screen_absorb=True, screen_home_first=True):
     """Fused fit->PDF for one object batch.
 
     Parameters mirror `ops.logprob` + a row-normalized kernel matrix `G`
@@ -1899,6 +2046,14 @@ def fused_fit_pdf(data, data_err, data_mask, models, models_err,
     per-subtile predication costs ~20 ms/batch of Mosaic control
     overhead, which outweighs the extra skips (512: 201 ms, 256:
     204 ms, 128: 292 ms at tb=tm=512, B=64Ki, M=100K).
+    ``screen_absorb`` (default True) adds the ABSORPTION cut to the
+    screened pass B: past the last subtile that can hold a row's
+    best-fit model, the running weight sum provably contains the peak
+    weight (~1), so a subtile whose weight-sum upper bound is below
+    half an ulp of it folds into `s` as a bitwise no-op — an exact
+    skip at delta-lnl ~ 25 instead of the f32-underflow ~104 (see
+    `_make_chi2stack_screened_kernel`).  Outputs are bitwise-identical
+    with it on or off; the knob exists for A/B measurement.
     """
     if interpret is None:
         interpret = not pallas_supported()
@@ -1981,7 +2136,8 @@ def fused_fit_pdf(data, data_err, data_mask, models, models_err,
         cdf_topk=int(cdf_topk), m_pad=Mp - M, g_split=bool(g_split),
         band_skip=bool(band_skip), screen=bool(screen),
         screen_sub=int(screen_sub), screen_run_all=bool(screen_run_all),
-        screen_stats=bool(screen_stats))
+        screen_stats=bool(screen_stats), screen_absorb=bool(screen_absorb),
+        screen_home_first=bool(screen_home_first))
     stats = None
     if screen_stats:
         if len(out) != 4:

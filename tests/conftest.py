@@ -25,8 +25,15 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
-# Persistent compilation cache: repeated suite runs skip recompiles.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# NO persistent compilation cache for the CPU suite: this jaxlib's
+# XLA:CPU AOT executable serialization is machine-feature-specialized
+# but NOT part of the cache key, and on some driver VMs it hard-crashes
+# the process — reloading an entry written on a different CPU SIGSEGVs
+# in cpu_aot_loader, and serializing the biggest executables (the
+# sampler mega-programs) aborts outright ("Fatal Python error:
+# Aborted" in compilation_cache.put_executable_and_time, reproducible
+# at tests/test_samplers.py on the round-5 VM).  CPU compiles are
+# local and cheap relative to the relay's; correctness wins.
+jax.config.update("jax_compilation_cache_dir", None)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

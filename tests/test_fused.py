@@ -675,6 +675,58 @@ def test_screened_stats_and_edge_rows():
     np.testing.assert_array_equal(np.float32(np.asarray(out[2])), lv)
 
 
+@pytest.mark.parametrize("home_first", [True, False])
+def test_screened_absorption_cut_fires_and_stays_bitwise(home_first):
+    """The pass-B ABSORPTION cut (delta-lnl ~25 instead of the f32 exp
+    underflow ~104): past the last subtile that can hold a row's
+    best-fit chi2, the running weight sum provably contains the peak
+    weight, so subtiles whose weight-sum upper bound is below half an
+    ulp of it fold into s as exact f32 no-ops.  On data with locality
+    (models along a photometric line, objects clustered at one end) it
+    must (a) strictly reduce the pass-B run fraction and (b) leave
+    pdf/lmap/levid bitwise-unchanged vs absorb=False AND vs
+    screen_run_all=True — under BOTH tile visit orders (the per-block
+    home-first order expresses ph in visit coordinates)."""
+    rng = np.random.default_rng(3)
+    M, B, F, Ng = 4096, 64, 5, 65
+    t = np.sort(rng.uniform(0, 1, M)).astype(np.float32)
+    m = (1.0 + 9.0 * t)[:, None] * np.linspace(1., 2., F)[None, :]
+    m = (m + rng.normal(0, .02, (M, F))).astype(np.float32)
+    me = (0.02 * m).astype(np.float32)
+    d = (m[rng.integers(0, 400, B)]
+         + rng.normal(0, .05, (B, F))).astype(np.float32)
+    de = np.full((B, F), .05, np.float32)
+    G = np.abs(rng.normal(size=(M, Ng))).astype(np.float32)
+    G /= G.sum(1, keepdims=True)
+    od, om = np.ones_like(d), np.ones_like(m)
+    kw = dict(tb=8, tm=512, interpret=True, wt_thresh=1e-3,
+              full_mask=True, screen=True, screen_stats=True,
+              screen_home_first=home_first)
+    on = fused_fit_pdf(d, de, od, m, me, om, G, screen_absorb=True, **kw)
+    off = fused_fit_pdf(d, de, od, m, me, om, G, screen_absorb=False,
+                        **kw)
+    ra = fused_fit_pdf(d, de, od, m, me, om, G, screen_absorb=True,
+                       screen_run_all=True, **kw)
+    for a, b, name in zip(on[:3], off[:3], ("pdf", "lmap", "levid")):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=name)
+    for a, b, name in zip(on[:3], ra[:3], ("pdf", "lmap", "levid")):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=name)
+    assert float(on[3][1]) < float(off[3][1])
+    # wt_thresh=None neutralizes absorption exactly (cut_dot == cut_uf
+    # floors the gate): run fractions must match absorb=False.
+    kw["wt_thresh"] = None
+    on_n = fused_fit_pdf(d, de, od, m, me, om, G, screen_absorb=True,
+                         **kw)
+    off_n = fused_fit_pdf(d, de, od, m, me, om, G, screen_absorb=False,
+                          **kw)
+    np.testing.assert_array_equal(np.asarray(on_n[3]),
+                                  np.asarray(off_n[3]))
+    for a, b in zip(on_n[:3], off_n[:3]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_screened_wide_filters_logform_bitwise():
     """F=20 (a1 > 8.5) routes the screened pass B through the log-form
     weight; skips must stay bitwise-exact there too."""

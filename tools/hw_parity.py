@@ -219,6 +219,28 @@ for sname, F_s, regime_s, skw in [
         fails += 1
         print(f"{sname}: FAIL\n{str(e)[:300]}", flush=True)
 
+# ---- absorption cut on/off bitwise ON HARDWARE ----
+# The pass-B absorption skips (delta-lnl ~25 cut past the peak-holding
+# subtile) must fold into s as exact f32 no-ops under Mosaic's own
+# accumulation order — absorb on vs off bitwise on every output.
+d, de, dm, m, me, mm, G = make(5, True, "normal")
+kws = dict(full_mask=True, tb=256, tm=512, screen=True)
+t0 = time.time()
+ab_on = jax.device_get(fused_fit_pdf(d, de, dm, m, me, mm, G,
+                                     screen_absorb=True, **kws))
+ab_off = jax.device_get(fused_fit_pdf(d, de, dm, m, me, mm, G,
+                                      screen_absorb=False, **kws))
+t1 = time.time()
+try:
+    for a, b, part in zip(ab_on, ab_off, ("pdf", "lmap", "levid")):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=f"absorb {part}")
+    print(f"screened-absorb-bitwise: OK (on vs off; {t1-t0:.1f}s)",
+          flush=True)
+except AssertionError as e:
+    fails += 1
+    print(f"screened-absorb-bitwise: FAIL\n{str(e)[:300]}", flush=True)
+
 # ---- chunked large-model paths (forced-small ceilings on real HW) ----
 # (a) banded fullmask model-axis chunking (_NM_SMEM_MAX, ops/fused.py):
 # vs the unchunked kernel only f32 reassociation at chunk boundaries may
