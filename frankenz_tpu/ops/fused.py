@@ -1225,6 +1225,27 @@ def _chi2_subtile_fullmask(d_ref, de_ref, mT_ref, meT_ref, sl, *, nfilt,
     return chi2
 
 
+def _zig_tile_of(st, j, nm):
+    """Tile visited at position `j` of the zig-zag-from-home order.
+
+    Sequence: st, st+1, st-1, st+2, st-2, ... and once one side
+    exhausts, the remaining tiles of the other side in order — a
+    permutation of [0, nm) for any home tile `st`.  Pure int32
+    arithmetic so Pallas index maps can evaluate it per grid step from
+    a scalar-prefetched (nb,) home-tile vector (the full (nb, nm)
+    visit table overruns SMEM past ~130K entries).  Works on traced
+    scalars and broadcast arrays alike.
+    """
+    nl = st                       # tiles strictly left of home
+    nr = (nm - 1) - st            # tiles strictly right of home
+    zig = jnp.where(j % 2 == 1, st + (j + 1) // 2, st - j // 2)
+    return jnp.where(
+        j == 0, st,
+        jnp.where(j // 2 > nl, st + (j - nl),          # left exhausted
+                  jnp.where((j + 1) // 2 > nr,
+                            st - (j - nr), zig)))      # right exhausted
+
+
 def _make_seed_kernel(nfilt, ignore_model_err, c0):
     """Per-object-block seed refinement: exact chi^2 against ONE model
     tile — the block's best-bounded neighborhood, DMA'd via a scalar-
@@ -1517,27 +1538,36 @@ def _fused_call_fullmask_dimprior_screened(
     S = bounds.shape[0]
     posS = jnp.arange(S, dtype=jnp.int32)[:, None]
     visit = None
-    # The (nb, nm) visit table is a scalar-prefetch operand and lives
-    # whole in SMEM (1 MB total on v5e): at 1M models (nm = 1954,
+    # The full (nb, nm) visit table is a scalar-prefetch operand and
+    # lives whole in SMEM (1 MB total on v5e): at 1M models (nm = 1954,
     # nb = 128) it is exactly 1.00 MB and the Mosaic compile dies with
-    # "Ran out of memory in memory space smem".  Past half the budget,
-    # fall back to the natural tile order — the absorption cut stays
-    # active (its pre-home half), and screening improves with model
-    # count anyway at these sizes.
-    if home_first and nb * nm * 4 > _VISIT_SMEM_MAX:
-        home_first = False
+    # "Ran out of memory in memory space smem".  Past half the budget
+    # the order switches to a ZIG-ZAG from each block's home tile,
+    # computed arithmetically in the index maps from just `start_tiles`
+    # ((nb,) ints in SMEM) — locality makes distance-from-home a good
+    # proxy for ascending bound, at any model count.
+    visit_table = home_first and nb * nm * 4 <= _VISIT_SMEM_MAX
     if home_first:
-        # Per-object-block tile VISIT order, ascending per-block tile
-        # bound: each block's best-bounded (peak-holding) tiles are
-        # visited first, so `ph` — the last visit position whose bound
-        # admits a row's argmax chi^2 — lands near 0 for most rows and
-        # the absorption cut applies at nearly every later position
-        # (the natural-order ph splits the Morton ball in half).  Any
-        # per-block visit permutation is exact: run_all shares the
-        # structure bit-for-bit, and the per-row weight sums
-        # reassociate exactly like the Morton model sort already does.
-        tmin = bmin.reshape(nm, nsub, nb).min(axis=1)        # (nm, nb)
-        visit = jnp.argsort(tmin.T, axis=1).astype(jnp.int32)  # (nb, nm)
+        # Per-object-block tile VISIT order: each block's best-bounded
+        # (peak-holding) tiles are visited first, so `ph` — the last
+        # visit position whose bound admits a row's argmax chi^2 —
+        # lands near 0 for most rows and the absorption cut applies at
+        # nearly every later position (the natural-order ph splits the
+        # Morton ball in half).  Any per-block visit permutation is
+        # exact: run_all shares the structure bit-for-bit, and the
+        # per-row weight sums reassociate exactly like the Morton
+        # model sort already does.
+        if visit_table:
+            # Ascending per-block tile bound (the measured-best order).
+            tmin = bmin.reshape(nm, nsub, nb).min(axis=1)    # (nm, nb)
+            visit = jnp.argsort(tmin.T, axis=1).astype(jnp.int32)
+        else:
+            # Zig-zag from the home tile: home, +1, -1, +2, -2, ...
+            # with exhausted-side tails appended (a permutation for
+            # any home position).  Must match `_zig_tile_of` exactly —
+            # the kernel's index maps recompute it per (i, j).
+            jj = jnp.arange(nm, dtype=jnp.int32)[None, :]
+            visit = _zig_tile_of(start_tiles[:, None], jj, nm)
         invv = jnp.argsort(visit, axis=1)            # tile -> visit pos
         vp_sb = (jnp.take(invv, posS[:, 0] // nsub, axis=1) * nsub
                  + (posS[:, 0] % nsub)[None, :])             # (nb, S)
@@ -1564,6 +1594,12 @@ def _fused_call_fullmask_dimprior_screened(
         bytes_accessed=(Mp * Gp + 2 * Mp * F) * 8 + B * Gp * 4,
         transcendentals=B * Mp)
     if home_first:
+        if visit_table:
+            pf_arg = visit
+            tile_at = lambda i, j, v: v[i, j]  # noqa: E731
+        else:
+            pf_arg = start_tiles
+            tile_at = lambda i, j, v: _zig_tile_of(v[i], j, nm)  # noqa: E731
         pdf, s = pl.pallas_call(
             stack_kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -1572,16 +1608,18 @@ def _fused_call_fullmask_dimprior_screened(
                 in_specs=[
                     pl.BlockSpec((tb, F), lambda i, j, v: (i, 0)),
                     pl.BlockSpec((tb, F), lambda i, j, v: (i, 0)),
-                    pl.BlockSpec((F, tm), lambda i, j, v: (0, v[i, j])),
-                    pl.BlockSpec((F, tm), lambda i, j, v: (0, v[i, j])),
+                    pl.BlockSpec((F, tm),
+                                 lambda i, j, v: (0, tile_at(i, j, v))),
+                    pl.BlockSpec((F, tm),
+                                 lambda i, j, v: (0, tile_at(i, j, v))),
                     pl.BlockSpec((1, nsub, tb),
-                                 lambda i, j, v: (v[i, j], 0, i)),
+                                 lambda i, j, v: (tile_at(i, j, v), 0, i)),
                     pl.BlockSpec((1, tb), lambda i, j, v: (0, i)),
                     pl.BlockSpec((1, tb), lambda i, j, v: (0, i)),
                     *([pl.BlockSpec((1, tb), lambda i, j, v: (0, i))]
                       * len(absorb_args)),
                     *([pl.BlockSpec((tm, Gp),
-                                    lambda i, j, v: (v[i, j], 0))]
+                                    lambda i, j, v: (tile_at(i, j, v), 0))]
                       * len(g_args)),
                     pl.BlockSpec((tb, 1), lambda i, j, v: (i, 0)),
                 ],
@@ -1592,7 +1630,7 @@ def _fused_call_fullmask_dimprior_screened(
             compiler_params=params,
             cost_estimate=stack_cost,
             interpret=interpret,
-        )(visit, d, de, mT, meT, bounds_k, cut_uf, cut_dot, *absorb_args,
+        )(pf_arg, d, de, mT, meT, bounds_k, cut_uf, cut_dot, *absorb_args,
           *g_args, shift)
     else:
         pdf, s = pl.pallas_call(

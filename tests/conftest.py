@@ -37,3 +37,26 @@ jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_compilation_cache_dir", None)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import gc  # noqa: E402
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables after each test module.
+
+    On single-core driver VMs, XLA:CPU's in-process LLVM JIT becomes
+    unstable after a few hundred compiled programs accumulate in one
+    process — the suite segfaulted/aborted inside
+    `backend_compile_and_load` (and, when the persistent cache was on,
+    inside its read/write paths) at ~85% regardless of which test got
+    there, while every crashing test passes in isolation.  Clearing
+    caches at module boundaries bounds the resident compiled-program
+    state; within-module jit reuse (what tests/test_recompile.py pins,
+    via before/after deltas) is unaffected.
+    """
+    yield
+    jax.clear_caches()
+    gc.collect()

@@ -727,6 +727,62 @@ def test_screened_absorption_cut_fires_and_stays_bitwise(home_first):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_screened_zig_visit_order_bitwise(monkeypatch):
+    """Past the SMEM budget for the full (nb, nm) visit table, pass B
+    switches to the zig-zag-from-home order computed arithmetically in
+    the index maps from the (nb,) home-tile vector.  The order must be
+    a permutation for every home position, and outputs must stay
+    bitwise vs run_all / absorb-off and reassociation-close to the
+    table order."""
+    from frankenz_tpu.ops import fused as fz
+
+    for nm in (1, 2, 5, 8):
+        for st in range(nm):
+            vs = np.asarray(fz._zig_tile_of(
+                np.int32(st), np.arange(nm, dtype=np.int32), nm))
+            assert sorted(vs.tolist()) == list(range(nm)), (nm, st, vs)
+
+    rng = np.random.default_rng(3)
+    M, B, F, Ng = 4096, 64, 5, 65
+    t = np.sort(rng.uniform(0, 1, M)).astype(np.float32)
+    m = (1.0 + 9.0 * t)[:, None] * np.linspace(1., 2., F)[None, :]
+    m = (m + rng.normal(0, .02, (M, F))).astype(np.float32)
+    me = (0.02 * m).astype(np.float32)
+    d = (m[rng.integers(0, M, B)]
+         + rng.normal(0, .05, (B, F))).astype(np.float32)
+    de = np.full((B, F), .05, np.float32)
+    G = np.abs(rng.normal(size=(M, Ng))).astype(np.float32)
+    G /= G.sum(1, keepdims=True)
+    od, om = np.ones_like(d), np.ones_like(m)
+    kw = dict(tb=8, tm=512, interpret=True, wt_thresh=1e-3,
+              full_mask=True, screen=True)
+    table = fused_fit_pdf(d, de, od, m, me, om, G, **kw)
+    monkeypatch.setattr(fz, "_VISIT_SMEM_MAX", 0)  # force the zig path
+    fz._fused_call_fullmask_dimprior_screened.clear_cache()
+    fz._fused_call.clear_cache()
+    try:
+        zig = fused_fit_pdf(d, de, od, m, me, om, G, **kw)
+        zra = fused_fit_pdf(d, de, od, m, me, om, G,
+                            screen_run_all=True, **kw)
+        zoff = fused_fit_pdf(d, de, od, m, me, om, G,
+                             screen_absorb=False, **kw)
+    finally:
+        monkeypatch.undo()
+        fz._fused_call_fullmask_dimprior_screened.clear_cache()
+        fz._fused_call.clear_cache()
+    for a, b, name in zip(zig, zra, ("pdf", "lmap", "levid")):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg="run_all " + name)
+    for a, b, name in zip(zig, zoff, ("pdf", "lmap", "levid")):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg="absorb " + name)
+    np.testing.assert_array_equal(np.asarray(zig[1]), np.asarray(table[1]))
+    np.testing.assert_allclose(np.asarray(zig[2]), np.asarray(table[2]),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(zig[0]), np.asarray(table[0]),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_screened_wide_filters_logform_bitwise():
     """F=20 (a1 > 8.5) routes the screened pass B through the log-form
     weight; skips must stay bitwise-exact there too."""

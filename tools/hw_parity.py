@@ -241,6 +241,38 @@ except AssertionError as e:
     fails += 1
     print(f"screened-absorb-bitwise: FAIL\n{str(e)[:300]}", flush=True)
 
+# ---- zig-zag visit order (forced past the SMEM table budget) ----
+# Past _VISIT_SMEM_MAX the home-first order is computed arithmetically
+# in the index maps (_zig_tile_of) from the (nb,) home-tile vector;
+# Mosaic must evaluate that scalar arithmetic identically to the XLA
+# prep that derives ph/stats from it — bitwise vs run-all and vs the
+# table order's own absorb-off run.
+d, de, dm, m, me, mm, G = make(5, True, "normal")
+kws = dict(full_mask=True, tb=256, tm=512, screen=True)
+_visit_max = fz._VISIT_SMEM_MAX
+fz._VISIT_SMEM_MAX = 0
+fz._fused_call_fullmask_dimprior_screened.clear_cache()
+fz._fused_call.clear_cache()
+t0 = time.time()
+try:
+    zg = jax.device_get(fused_fit_pdf(d, de, dm, m, me, mm, G, **kws))
+    zg_ra = jax.device_get(fused_fit_pdf(d, de, dm, m, me, mm, G,
+                                         screen_run_all=True, **kws))
+finally:
+    fz._VISIT_SMEM_MAX = _visit_max
+    fz._fused_call_fullmask_dimprior_screened.clear_cache()
+    fz._fused_call.clear_cache()
+t1 = time.time()
+try:
+    for a, b, part in zip(zg, zg_ra, ("pdf", "lmap", "levid")):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=f"zig {part}")
+    print(f"screened-zig-bitwise: OK (vs run-all; {t1-t0:.1f}s)",
+          flush=True)
+except AssertionError as e:
+    fails += 1
+    print(f"screened-zig-bitwise: FAIL\n{str(e)[:300]}", flush=True)
+
 # ---- chunked large-model paths (forced-small ceilings on real HW) ----
 # (a) banded fullmask model-axis chunking (_NM_SMEM_MAX, ops/fused.py):
 # vs the unchunked kernel only f32 reassociation at chunk boundaries may
